@@ -1,0 +1,488 @@
+package engine.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import engine.Core.{t, r4}
+import engine.Q
+
+/** Relational operator surface (SURVEY.md §2 Table B, B1–B31).
+  *
+  * Each entry generalizes a behavior of the reference NMEA parser
+  * (/root/reference/class.nmea.parser.php) to a relational operator over
+  * the driver testdata, expressed Spark-first so Catalyst handles
+  * pushdown, pruning, and join selection. Oracles are ANSI SQL for the
+  * driver's DuckDB comparison.
+  */
+object RelQueries {
+
+  // ---------------------------------------------------------------- B.1 scans
+  /** B1: parquet scan + projection (class.nmea.parser.php:121-123 inverse —
+    * materialized table access). Filter + projection must reach the scan. */
+  private val scanParquet = Q(
+    (s, d) => t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  /** B4: parquet sink then re-scan (DumpNmea :121-123 — full materialization).
+    * Writes a filtered projection to a scratch dir, reads it back. */
+  private val sinkParquet = Q(
+    (s, d) => {
+      val out = s"/tmp/graft_sink_parquet_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, d, "nation").write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  // --------------------------------------------------- B.2 projection / filter
+  /** B6: projection + computed columns (GGA field extraction :174-187). */
+  private val projectSelect = Q(
+    (s, d) => t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      r4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      r4(col("l_quantity") * col("l_tax")).as("qty_tax"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+      round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+      round(l_quantity * l_tax, 4) AS qty_tax
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** B7: conjunctive quality filter — the reference's *intended* (never
+    * applied, :13) minSats/maxHDOP gate (:40-77), as value-band predicates. */
+  private val filterQuality = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity") >= 5 && col("l_quantity") <= 45 &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.08)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem
+      WHERE l_quantity >= 5 AND l_quantity <= 45
+        AND l_discount >= 0.02 AND l_discount <= 0.08
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** B8: completeness predicate — GoodEnough() (:126-129): required fields
+    * all present. */
+  private val filterCompleteness = Q(
+    (s, d) => t(s, d, "orders")
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull &&
+        col("o_orderstatus").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_complete"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(*) AS n_complete FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B9: multi-way CASE dispatch (ParseLine switch :105-113; unknown types
+    * dropped :112 → the ELSE branch filters out). */
+  private val dispatchCase = Q(
+    (s, d) => t(s, d, "events")
+      .withColumn("kind",
+        when(col("event_type") === "click", lit("interaction"))
+          .when(col("event_type") === "view", lit("interaction"))
+          .when(col("event_type") === "purchase", lit("commerce"))
+          .when(col("event_type") === "error", lit("fault"))
+          .otherwise(lit(null)))
+      .filter(col("kind").isNotNull)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .orderBy("kind"),
+    Some("""SELECT kind, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM (SELECT CASE WHEN event_type = 'click' THEN 'interaction'
+                        WHEN event_type = 'view' THEN 'interaction'
+                        WHEN event_type = 'purchase' THEN 'commerce'
+                        WHEN event_type = 'error' THEN 'fault'
+                        ELSE NULL END AS kind, value
+            FROM events) WHERE kind IS NOT NULL
+      GROUP BY kind ORDER BY kind"""))
+
+  // ------------------------------------------------------------------ B.3 joins
+  /** B10: broadcast-hash inner equi-join — small dim broadcast explicitly
+    * (the fix merge :173 generalized to a keyed join). */
+  private val joinInnerHash = Q(
+    (s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(r4(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty,
+      count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** B11: sort-merge join on large×large (merge hint disables broadcast). */
+  private val joinSortmerge = Q(
+    (s, d) => t(s, d, "orders").hint("merge")
+      .join(t(s, d, "lineitem").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      count(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** B12: left outer join — sparse fix rows (a GSA with no GGA partner). */
+  private val joinOuter = Q(
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_custs"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+      count(DISTINCT c_custkey) AS n_custs
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** B12b: full outer join over two aggregated sides. */
+  private val joinOuterFull = Q(
+    (s, d) => {
+      val bySupp = t(s, d, "lineitem").groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("n_lines"))
+      val supp = t(s, d, "supplier").select(col("s_suppkey").as("k2"),
+        col("s_name"))
+      bySupp.join(supp, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("suppkey"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("s_name"), lit("<none>")).as("s_name"))
+        .orderBy("suppkey")
+    },
+    Some("""SELECT COALESCE(k, k2) AS suppkey,
+      COALESCE(n_lines, 0) AS n_lines,
+      COALESCE(s_name, '<none>') AS s_name
+      FROM (SELECT l_suppkey AS k, count(*) AS n_lines FROM lineitem GROUP BY 1) a
+      FULL JOIN (SELECT s_suppkey AS k2, s_name FROM supplier) b ON k = k2
+      ORDER BY suppkey"""))
+
+  /** B13: left semi join — the GoodEnough gate as existence check. */
+  private val joinSemi = Q(
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      ORDER BY c_custkey"""))
+
+  /** B14: left anti join — unknown-sentence drop (:112) as non-existence. */
+  private val joinAnti = Q(
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** B15: theta/range join — the DOP quality-band classification (:44-50)
+    * generalized: classify l_quantity into bands via a range join against a
+    * small inline band table (broadcast → BroadcastNestedLoopJoin). */
+  private val joinThetaRange = Q(
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 10.0, "low"), (10.0, 25.0, "mid"),
+        (25.0, 40.0, "high"), (40.0, 1e9, "extreme")))
+        .toDF("lo", "hi", "band")
+      t(s, d, "lineitem")
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), r4(avg(col("l_quantity"))).as("avg_qty"))
+        .orderBy("band")
+    },
+    Some("""SELECT band, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+      FROM lineitem JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'),
+        (25.0, 40.0, 'high'), (40.0, 1e9, 'extreme')) bands(lo, hi, band)
+        ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY band ORDER BY band"""))
+
+  /** B17: interval/overlap join — event ts within a per-customer order
+    * "validity window" [o_orderdate, o_orderdate + 7 days). Equi-key on the
+    * customer plus range predicate keeps it a hash join, not a cross join. */
+  private val joinInterval = Q(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"))
+      ev.join(o, col("user_id") === col("o_custkey") &&
+          col("ts") >= col("o_orderdate") &&
+          col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_events
+      FROM events JOIN orders ON user_id = o_custkey
+        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+      GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  /** B18: cartesian product (bounded small×small). */
+  private val joinCross = Q(
+    (s, d) => t(s, d, "region").select(col("r_name"))
+      .crossJoin(t(s, d, "nation").select(col("n_name")))
+      .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name"""))
+
+  // --------------------------------------------------------------- B.4 aggs
+  /** B19: hash aggregate, partial+final (TPC-H Q1 shape) — the per-fix merge
+    * (:173-187) as a degenerate group-by. */
+  private val aggHash = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 4) AS sum_qty,
+      round(sum(l_extendedprice), 4) AS sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
+  private val aggDistinct = Q(
+    (s, d) => t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_prios"))
+      .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+      count(DISTINCT o_orderpriority) AS n_prios
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B22: ROLLUP grouping sets; NULL group markers coalesced to a sentinel
+    * so sort order is engine-independent. */
+  private val aggGroupingSets = Q(
+    (s, d) => t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("r_name"), lit("<all>")).as("region"),
+        coalesce(col("n_name"), lit("<all>")).as("nation"), col("n"))
+      .orderBy("region", "nation"),
+    Some("""SELECT COALESCE(r_name, '<all>') AS region,
+      COALESCE(n_name, '<all>') AS nation, count(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation"""))
+
+  /** B23: last-writer-wins merge — the fix-assembly aggregate (:173-187).
+    * Plain last() is shuffle-order-nondeterministic; the deterministic form
+    * is max_by(col, arrival_seq) == DuckDB arg_max. */
+  private val aggLastMerge = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        expr("max_by(value, event_id)").as("last_value"),
+        expr("max_by(event_type, event_id)").as("last_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n"))
+      .withColumn("last_value", r4(col("last_value")))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, round(arg_max(value, event_id), 4) AS last_value,
+      arg_max(event_type, event_id) AS last_type,
+      max(event_id) AS last_event_id, count(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** B24: collect_list — the GSV satellite accumulation (:246-258 intended
+    * semantics). Sorted and joined to a string for hash determinism. */
+  private val aggCollect = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("types_seen"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+      array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+      count(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ------------------------------------------------------------ B.5 windows
+  /** B25: ranking window functions (sentence sequence within a fix). */
+  private val winRank = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          r4(col("o_totalprice")).as("price"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 4) AS price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+      WHERE rn <= 2 ORDER BY o_custkey, rn"""))
+
+  /** B26: lag/lead — Δvalue between consecutive events per user (the
+    * RMC-speed cross-check :295-296 generalized). */
+  private val winLagLead = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          r4(col("value") - col("prev_value")).as("delta"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, round(value - prev_value, 4) AS delta
+      FROM (SELECT event_id, user_id, value,
+        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_value FROM events)
+      WHERE prev_value IS NOT NULL ORDER BY event_id"""))
+
+  /** B27: moving-frame aggregate — DOP smoothing intent (:44-50). */
+  private val winFrameMoving = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      t(s, d, "events")
+        .withColumn("moving_avg", r4(avg(col("value")).over(w)))
+        .select(col("event_id"), col("user_id"), col("moving_avg"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+      FROM events ORDER BY event_id"""))
+
+  /** B28: last(ignoreNulls) carry-forward — the CurrentUTC cursor (:22,
+    * :172→:227) as a window op: carry the last 'purchase' value forward. */
+  private val winCarryForward = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase",
+          r4(last(col("purchase_value"), ignoreNulls = true).over(w)))
+        .filter(col("last_purchase").isNotNull)
+        .select(col("event_id"), col("user_id"), col("last_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, round(last_purchase, 4) AS last_purchase
+      FROM (SELECT event_id, user_id,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        FROM events)
+      WHERE last_purchase IS NOT NULL ORDER BY event_id"""))
+
+  // ------------------------------------------- B.6 sort / top-k / set ops
+  /** B29: global sort + limit (the ordered fix map). Total order via
+    * unique-key tiebreaks. */
+  private val sortLimit = Q(
+    (s, d) => t(s, d, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r4(col("l_extendedprice")).as("price")),
+    Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""))
+
+  /** B30: top-k per group — best-DOP-fix-per-window generalized. */
+  private val topkPerGroup = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          r4(col("o_totalprice")).as("price"))
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 4) AS price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+      WHERE rk <= 3 ORDER BY o_custkey, rk"""))
+
+  /** B31: set operations — the 6-branch sentence-type union (A6 dispatch)
+    * generalized to UNION ALL / INTERSECT / EXCEPT over key sets. */
+  private val setOps = Q(
+    (s, d) => {
+      val buyers = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val bigSpenders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("k")).distinct()
+      val all = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val inter = buyers.intersect(bigSpenders)
+        .withColumn("src", lit("both"))
+      val nonBuyers = all.except(buyers).withColumn("src", lit("never"))
+      inter.unionByName(nonBuyers).orderBy("src", "k")
+    },
+    Some("""SELECT * FROM (
+      SELECT k, 'both' AS src FROM
+        ((SELECT DISTINCT o_custkey AS k FROM orders)
+         INTERSECT
+         (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0))
+      UNION ALL
+      SELECT k, 'never' AS src FROM
+        ((SELECT c_custkey AS k FROM customer)
+         EXCEPT
+         (SELECT DISTINCT o_custkey AS k FROM orders)))
+      ORDER BY src, k"""))
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "sink_parquet" -> sinkParquet,
+    "project_select" -> projectSelect,
+    "filter_quality" -> filterQuality,
+    "filter_completeness" -> filterCompleteness,
+    "dispatch_case" -> dispatchCase,
+    "join_inner_hash" -> joinInnerHash,
+    "join_sortmerge" -> joinSortmerge,
+    "join_outer" -> joinOuter,
+    "join_outer_full" -> joinOuterFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_interval" -> joinInterval,
+    "join_cross" -> joinCross,
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_last_merge" -> aggLastMerge,
+    "agg_collect" -> aggCollect,
+    "win_rank" -> winRank,
+    "win_lag_lead" -> winLagLead,
+    "win_frame_moving" -> winFrameMoving,
+    "win_carry_forward" -> winCarryForward,
+    "sort_limit" -> sortLimit,
+    "topk_per_group" -> topkPerGroup,
+    "set_ops" -> setOps)
+}
