@@ -9,11 +9,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   private def all: Map[String, engine.Q] =
-    engine.rel.RelQueries.queries
+    engine.rel.RelQueries.queries ++
+    engine.rel.FnQueries.queries ++
+    engine.rel.GpsQueries.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full NMEA pipeline: synthesize sentences → parse → assemble fixes
+    * → quality-gate → per-device-hour trip summary (SURVEY.md §7.2 M0). */
   def entry(spark: SparkSession): DataFrame =
-    all("agg_hash").fn(spark, "/root/testdata/sf0.001")
+    all("nmea_fix_pipeline").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
