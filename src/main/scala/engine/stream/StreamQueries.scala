@@ -1,0 +1,209 @@
+package engine.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import engine.Core.{t, r4}
+import engine.Q
+import gps.parse.{NmeaFunctions, NmeaSynth}
+import gps.stream.{FixAssembler, ParsedSentence}
+
+/** Structured Streaming surface (SURVEY.md §2 B5, B38–B43).
+  *
+  * Real streaming execution under `Trigger.AvailableNow` with memory sinks
+  * so each query terminates and returns a DataFrame the driver can verify;
+  * event-time windows are also expressed batch-side where DuckDB can check
+  * them (the contract's batch-equivalent oracle strategy).
+  */
+object StreamQueries {
+
+  /** Write a batch df to a scratch parquet dir and open it as a stream. */
+  private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
+      singleFile: Boolean = false): DataFrame = {
+    val dir = s"/tmp/graft_stream_src_$tag"
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+
+  /** Run a streaming df to completion into a memory sink; return result. */
+  private def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    spark.catalog.dropTempView(name) // tolerate re-runs within a session
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** B38: tumbling event-time window (the per-second fix keying :172,
+    * widened to hours). Batch window() — DuckDB checks via date_trunc. */
+  private val streamTumbling = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("h", "event_type"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
+        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY h, event_type"""))
+
+  /** B39: sliding window (2h length, 1h slide) — each event lands in two
+    * windows; oracle unnests both window starts. */
+  private val streamSliding = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("ws"),
+        col("n"))
+      .orderBy("ws"),
+    Some("""SELECT strftime(ws, '%Y-%m-%d %H:00') AS ws, count(*) AS n
+      FROM (SELECT unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+            FROM events)
+      GROUP BY 1 ORDER BY ws"""))
+
+  /** B40: session window — trip segmentation by gap (the fix-gap semantics
+    * of UTC keying). Oracle = lag+cumsum island detection. */
+  private val streamSession = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE OR
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      islands AS (
+        SELECT user_id, ts, value,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, epoch_us(min(ts)) AS session_start,
+        count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM islands GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  /** B5 + B41: real streaming file source → watermark → tumbling agg →
+    * memory sink, Trigger.AvailableNow. Single batch ⇒ watermark starts at
+    * epoch and drops nothing, so the batch oracle holds exactly (late-drop
+    * behavior itself is unit-tested with a two-batch MemoryStream). */
+  private val streamWatermarkLate = Q(
+    (s, d) => {
+      // single file ⇒ one batch ⇒ the watermark (which only advances
+      // *between* batches) drops nothing and complete mode emits every
+      // window — exactly the batch oracle. Late-drop semantics are
+      // unit-tested with a two-batch MemoryStream (StreamingSpec).
+      val src = asFileStream(s, t(s, d, "events")
+        .select(col("ts"), col("event_type"), col("value")), "wm",
+        singleFile = true)
+      val agg = src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
+          col("n"))
+      runToMemory(s, agg, "graft_wm_sink", mode = "complete").orderBy("h")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
+        count(*) AS n
+      FROM events GROUP BY 1 ORDER BY h"""))
+
+  /** B43: streaming deduplication — duplicate sentence suppression
+    * (last-writer-wins :173-187 degenerated to identical replays). The
+    * source replays every event twice; dropDuplicates restores exact
+    * counts. */
+  private val streamDedup = Q(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"))
+      val doubled = ev.unionAll(ev)
+      val src = asFileStream(s, doubled, "dedup")
+      val deduped = src.dropDuplicates("event_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      runToMemory(s, deduped, "graft_dedup_sink", mode = "complete")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(DISTINCT event_id) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    doc = "complete-mode agg after streaming dropDuplicates")
+
+  /** B42: the flagship as a *real stream* — synthesized NMEA lines flow
+    * through flatMapGroupsWithState fix assembly (per-device state), then
+    * the same trip summary as the batch pipeline; the oracle is the same
+    * arithmetic reconstruction over events. Per-device sentinel lines close
+    * the final open fix (they never become fixes themselves — no RMC/date
+    * ⇒ GoodEnough false). */
+  private val streamStatefulMerge = Q(
+    (s, d) => {
+      import s.implicits._
+      val lines = NmeaSynth.fromEvents(t(s, d, "events"))
+      val sentinels = t(s, d, "events").groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("max_eid"))
+        .select(col("user_id").cast("string").as("device"),
+          (col("max_eid") * 10 + 9).as("line_no"),
+          NmeaSynth.withChecksum(
+            lit("GPGGA,999999,0000.0000,N,00000.0000,E,1,00,0.0,0.0,M,0.0,M,,"))
+            .as("line"))
+      val src = asFileStream(s, lines.unionByName(sentinels), "merge")
+      val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
+      val fixes = FixAssembler.assemble(parsed)
+      val out = runToMemory(s, fixes.toDF(), "graft_merge_sink")
+      out.filter(col("complete"))
+        .filter(col("numsat") >= 5 && col("hdop") <= 8.0)
+        .groupBy(col("device"),
+          date_format(date_trunc("hour", col("fix_time")), "yyyy-MM-dd HH:00")
+            .as("hour"))
+        .agg(count(lit(1)).as("n_fixes"),
+          round(avg(col("lat")), 6).as("avg_lat"),
+          round(avg(col("lon")), 6).as("avg_lon"),
+          r4(max(col("speed_knots"))).as("max_knots"))
+        .orderBy("device", "hour")
+    },
+    Some("""WITH f AS (
+        SELECT user_id, date_trunc('second', ts) AS sec,
+               arg_max(value, event_id) AS value
+        FROM events GROUP BY 1, 2
+      ), g AS (
+        SELECT user_id, sec, value,
+          fmod(value, 90.0) - 45.0 AS lat0,
+          fmod(value * 7.0, 180.0) - 90.0 AS lon0,
+          fmod(value, 60.0) AS knots0,
+          fmod(value, 10.0) AS hdop,
+          user_id % 8 + 4 AS numsat
+        FROM f
+      ), p AS (
+        SELECT user_id, sec, hdop, numsat, round(knots0, 2) AS knots,
+          (CASE WHEN lat0 < 0 THEN -1 ELSE 1 END) *
+            round(floor(abs(lat0))
+              + round((abs(lat0) - floor(abs(lat0))) * 60.0, 4) / 60.0, 6) AS lat,
+          (CASE WHEN lon0 < 0 THEN -1 ELSE 1 END) *
+            round(floor(abs(lon0))
+              + round((abs(lon0) - floor(abs(lon0))) * 60.0, 4) / 60.0, 6) AS lon
+        FROM g
+      )
+      SELECT CAST(user_id AS VARCHAR) AS device,
+        strftime(date_trunc('hour', sec), '%Y-%m-%d %H:00') AS hour,
+        count(*) AS n_fixes,
+        round(avg(lat), 6) AS avg_lat,
+        round(avg(lon), 6) AS avg_lon,
+        round(max(knots), 4) AS max_knots
+      FROM p
+      WHERE hdop <= 8.0 AND numsat >= 5
+      GROUP BY 1, 2
+      ORDER BY device, hour"""))
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful_merge" -> streamStatefulMerge)
+}
