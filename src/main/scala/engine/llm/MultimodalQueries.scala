@@ -1,0 +1,72 @@
+package engine.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import engine.Core.{t, r4}
+import engine.Q
+
+/** Multimodal column plumbing (driver mandate, SURVEY.md §2 B51): media
+  * as opaque `BINARY` payloads + typed metadata, with decode / feature-
+  * extract / frame-sample as a partition-local typed transform
+  * (`Dataset.mapPartitions` — the Scala analog of `mapInPandas`: one
+  * iterator per partition, no per-row serialization churn, executors
+  * never ship whole payload sets to the driver).
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * CLEARLY-MARKED deterministic fake (byte histogram + stride sampling
+  * standing in for pixel decode + frame sampling). The Spark-side
+  * plumbing — schema, binary payload handling, batch shape, partition
+  * locality — is real and is what LlmSpec tests.
+  */
+object MultimodalQueries {
+
+  /** Opaque media payload + metadata, as a pretraining table would. */
+  final case class MediaRow(
+      doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int, channels: Int)
+
+  /** Extracted features: fixed-width histogram "embedding" + a sampled
+    * byte signature (stand-ins for a real decoder's outputs). */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      hist: Array[Double], sample_hex: String)
+
+  /** DECODE STUB — deterministic fake for the absent media codec. A real
+    * deployment replaces the body with e.g. JPEG decode + resize; the
+    * signature (payload bytes in, fixed-size features out, pure,
+    * partition-local) is the contract that scales. */
+  def decodeStub(m: MediaRow): MediaFeatures = {
+    val bins = new Array[Double](16)
+    m.payload.foreach(b => bins((b & 0xff) >> 4) += 1.0)
+    val n = math.max(m.payload.length, 1)
+    val hist = bins.map(c => math.rint(c / n * 10000) / 10000)
+    // "frame sample": every stride-th byte, first 8, hex-encoded
+    val stride = math.max(m.payload.length / 8, 1)
+    val sample = m.payload.indices.by(stride).take(8)
+      .map(i => f"${m.payload(i) & 0xff}%02x").mkString
+    MediaFeatures(m.doc_id, m.payload.length, m.width, m.height, hist, sample)
+  }
+
+  /** Non-SQL (stubbed decode has no DuckDB equivalent); covered by
+    * LlmSpec. Payload synthesized from the text bytes — deterministic,
+    * so re-runs hash identically. */
+  private val multimodalFeatures = Q(
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (pmod(col("doc_id") * 37, lit(512)) + 128).cast("int").as("width"),
+        (pmod(col("doc_id") * 53, lit(384)) + 96).cast("int").as("height"),
+        lit(3).as("channels"))
+        .as[MediaRow]
+      media.mapPartitions(_.map(decodeStub)).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("hist"), col("sample_hex"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_features" -> multimodalFeatures)
+}

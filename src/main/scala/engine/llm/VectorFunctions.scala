@@ -1,0 +1,62 @@
+package engine.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column library (SURVEY.md §2 B49, B51): cosine
+  * similarity and sign-random-projection LSH over `ARRAY<FLOAT>` columns,
+  * as pure `Column` compositions (`zip_with`/`aggregate`) — codegen'd,
+  * no UDFs.
+  *
+  * All arithmetic is promoted to DOUBLE *before* accumulation and summed
+  * strictly left-to-right, so the DuckDB oracle (list_transform with
+  * ::DOUBLE + list_sum) computes the bit-identical IEEE result.
+  */
+object VectorFunctions {
+
+  /** float[] -> double[] (promote once, then all math is exact-order). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  private def sum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-order dot product of two double vectors. */
+  def dot(a: Column, b: Column): Column = sum(zip_with(a, b, (x, y) => x * y))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(sum(transform(a, x => x * x)))
+
+  /** Cosine similarity of two double vectors. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 hyperplane coefficient for (plane j, dim d), derived
+    * from md5 so executors and tests agree with no shared state. */
+  private def coeff(j: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8"))
+    if ((digest(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** Sign-random-projection LSH code (nPlanes bits) for a double vector:
+    * bit j = [dot(v, h_j) >= 0] with h_j a fixed ±1 hyperplane. Vectors
+    * with high cosine agree on most bits; banding the code turns ANN
+    * search into an equi-join on band keys — the 100 TB path that replaces
+    * the O(n²) cross join. */
+  def srpCode(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      val planeDot = aggregate(
+        zip_with(v, lit((0 until dim).map(coeff(j, _)).toArray), (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All bands of an LSH/simhash code as ARRAY<STRUCT<band, bv>> — explode
+    * this to get one (band index, band value) row per band. Shift amounts
+    * are compile-time constants so the whole thing stays codegen'd. */
+  def codeBands(code: Column, nBands: Int, w: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(code, b * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))
+    }: _*)
+}

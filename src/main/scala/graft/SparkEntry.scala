@@ -11,8 +11,10 @@ object SparkEntry {
   private def all: Map[String, engine.Q] =
     engine.rel.RelQueries.queries ++
     engine.rel.FnQueries.queries ++
+    engine.rel.UdafQueries.queries ++
     engine.rel.GpsQueries.queries ++
-    engine.stream.StreamQueries.queries
+    engine.stream.StreamQueries.queries ++
+    engine.llm.LlmQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full NMEA pipeline: synthesize sentences → parse → assemble fixes
