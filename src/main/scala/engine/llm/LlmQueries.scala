@@ -27,11 +27,34 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
 
-  /** documents with tokens + distinct 3-shingles attached. */
+  /** documents with tokens + distinct 3-shingles attached, hash-spread
+    * across the cluster first: the source parquet is one split, and the
+    * per-row work downstream (k md5 min-hashes per shingle) is orders of
+    * magnitude heavier than the one-column shuffle that spreads it. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
+    docs(s, d).repartition(col("doc_id")).select(
       col("doc_id"),
       shingles3(tokens(col("text"))).as("s"))
+
+  /** embeddings as L2-normalized double vectors, hash-spread. Normalizing
+    * ONCE per row turns every downstream pairwise cosine into a single
+    * dot product — the pair loop is the O(n²)/O(candidates) hot path, the
+    * per-row prep is O(n); never burn 3 array traversals per pair. */
+  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** Shared oracle CTE: unit vectors, same op order as unitEmbeddings so
+    * the doubles are bit-identical. */
+  private val unitSql =
+    """WITH ed AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+      en AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) nrm FROM ed),
+      e AS (SELECT vec_id, list_transform(v, x -> x / nrm) u FROM en)"""
 
   // ------------------------------------------------------------- B47 dedup
   /** B47: exact dedup — hash-partition on the normalized text digest, keep
@@ -90,15 +113,40 @@ object LlmQueries {
     * estimated Jaccard = matching signature positions / 32, kept at
     * est >= 0.5. Same hash family (md5) in the oracle ⇒ identical
     * signatures, candidates, and estimates. */
+  /** Universal-hash constants for minhash slot i (small enough that
+    * a*h+b stays < 2^37: no overflow divergence between JVM wraparound
+    * and DuckDB's checked BIGINT). */
+  private val MinhashP = 2147483647L
+  private def mhA(i: Int): Long = 2L * i + 1
+  private def mhB(i: Int): Long = 40503L * i + 1231L
+
   private val dedupMinhash = Q(
     (s, d) => {
       val k = 32; val bands = 8; val r = 4
-      val sig = shingled(s, d)
-        .select(col("doc_id"), minhashSignature(col("s"), k).as("g"))
+      // One md5 per shingle (codegen'd projection after explode), then
+      // k min-wise slots as k MIN aggregates over (a_i*h + b_i) mod p —
+      // all whole-stage codegen, ONE shuffle of (doc_id, h) postings.
+      // The earlier nested-HOF formulation (min over transform(md5...)
+      // inside transform(seq(k))) ran interpreted: 48M lambda evals,
+      // 226 s at sf0.1; this shape is ~100x cheaper and scale-linear.
+      val posts = shingled(s, d)
+        .select(col("doc_id"), explode(col("s")).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(MinhashP)).as("h"))
+      val mins = (0 until k).map(i =>
+        min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
+      val sig = posts.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until k).map(i => col(s"g$i")): _*).as("g"))
       val banded = sig
         .select(col("doc_id"), col("g"),
           explode(sequence(lit(0), lit(bands - 1))).as("j"))
-        .select(col("doc_id"), col("j"), bandKey(col("g"), col("j"), r).as("bk"))
+        .select(col("doc_id"), col("j"),
+          md5(concat_ws(",",
+            transform(slice(col("g"), col("j") * r + 1, lit(r)),
+              x => x.cast("string")))).as("bk"))
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
@@ -116,13 +164,20 @@ object LlmQueries {
         .select(col("da"), col("db"), r4(est).as("est_jaccard"))
         .orderBy("da", "db")
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    Some {
+      val minCols = (0 until 32)
+        .map(i => s"min((h * ${mhA(i)} + ${mhB(i)}) % $MinhashP) AS g$i")
+        .mkString(", ")
+      val gArr = (0 until 32).map(i => s"g$i").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(
                generate_series(1, len(w) - 2),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM tok),
-      sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
-               i -> list_min(list_transform(s, x -> md5(i::VARCHAR || ':' || x)))) g
-              FROM sh),
+      posts AS (SELECT doc_id, unnest(s) sh FROM sh),
+      ph AS (SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT & $MinhashP h FROM posts),
+      sigc AS (SELECT doc_id, $minCols FROM ph GROUP BY doc_id),
+      sig AS (SELECT doc_id, $gArr g FROM sigc),
       bands AS (SELECT doc_id, j,
                md5(array_to_string(g[j*4+1 : j*4+4], ',')) bk
                FROM sig CROSS JOIN generate_series(0, 7) t(j)),
@@ -136,7 +191,8 @@ object LlmQueries {
               JOIN sig sa ON sa.doc_id = c.da
               JOIN sig sb ON sb.doc_id = c.db)
       SELECT da, db, round(e, 4) AS est_jaccard FROM est
-      WHERE e >= 0.5 ORDER BY da, db"""))
+      WHERE e >= 0.5 ORDER BY da, db"""
+    })
 
   /** SimHash near-dup. 60-bit simhash per doc (bit j = sign of Σ±1 over
     * token hashes — computed as 60 parallel SUMs in ONE aggregation, no
@@ -205,25 +261,20 @@ object LlmQueries {
     * enumeration; this query is its correctness yardstick. */
   private val dedupEmbedding = Q(
     (s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val c = cosine(col("a.v"), col("b.v"))
+      val e = unitEmbeddings(s, d)
+      val c = dot(col("a.u"), col("b.u"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .filter(c >= 0.45)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           r4(c).as("cosine"))
         .orderBy("va", "vb")
     },
-    Some("""WITH e AS (SELECT vec_id,
-               list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)
+    Some(unitSql + """
       SELECT a.vec_id AS va, b.vec_id AS vb,
-        round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
-          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4) AS cosine
+        round(list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])), 4)
+          AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
-          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.45
+      WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= 0.45
       ORDER BY va, vb"""))
 
   // -------------------------------------------------- B49 similarity search
@@ -233,11 +284,10 @@ object LlmQueries {
     * by corpus id for hash determinism. */
   private val simSearchTopk = Q(
     (s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val e = unitEmbeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val c = cosine(col("qv"), col("v"))
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val c = dot(col("qu"), col("u"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -247,13 +297,10 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
     },
-    Some("""WITH e AS (SELECT vec_id,
-               list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
-      q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+    Some(unitSql + """,
+      q AS (SELECT vec_id qid, u qu FROM e WHERE vec_id < 5),
       sc AS (SELECT q.qid, e.vec_id cid,
-               list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1]*p[2]))
-                 / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
-                  * sqrt(list_sum(list_transform(e.v, x -> x*x)))) cos
+               list_sum(list_transform(list_zip(q.qu, e.u), p -> p[1]*p[2])) cos
              FROM q, e WHERE e.vec_id <> q.qid)
       SELECT qid, cid,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
@@ -266,8 +313,8 @@ object LlmQueries {
     * oracle; recall vs `sim_search_topk` is asserted in LlmSpec. */
   private val simSearchAnn = Q(
     (s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val e = unitEmbeddings(s, d)
+        .withColumnRenamed("u", "v")
         .withColumn("code", srpCode(col("v"), 16, 64))
       val banded = e.select(col("vec_id"), col("v"), col("code"),
           explode(codeBands(col("code"), 4, 4)).as("bb"))
@@ -281,7 +328,7 @@ object LlmQueries {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("v"))
         .distinct()
-      val c = cosine(col("qv"), col("v"))
+      val c = dot(col("qv"), col("v"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       cand.select(col("qid"), col("cid"), c.as("cos"))

@@ -17,14 +17,13 @@ object VectorFunctions {
   /** float[] -> double[] (promote once, then all math is exact-order). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  private def sum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order dot product — the codegen'd [[DoubleArrayDot]]
+    * expression (the zip_with+aggregate form is interpreted and was the
+    * bottleneck of every pairwise-similarity query). */
+  def dot(a: Column, b: Column): Column = DoubleArrayDot(a, b)
 
-  /** Sequential-order dot product of two double vectors. */
-  def dot(a: Column, b: Column): Column = sum(zip_with(a, b, (x, y) => x * y))
-
-  /** L2 norm. */
-  def norm(a: Column): Column = sqrt(sum(transform(a, x => x * x)))
+  /** L2 norm (same element order as list_sum of squares). */
+  def norm(a: Column): Column = sqrt(DoubleArrayDot(a, a))
 
   /** Cosine similarity of two double vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -44,9 +43,7 @@ object VectorFunctions {
     * the O(n²) cross join. */
   def srpCode(v: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { j =>
-      val planeDot = aggregate(
-        zip_with(v, lit((0 until dim).map(coeff(j, _)).toArray), (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
+      val planeDot = DoubleArrayDot(v, lit((0 until dim).map(coeff(j, _)).toArray))
       when(planeDot >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

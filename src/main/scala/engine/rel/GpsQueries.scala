@@ -19,7 +19,7 @@ object GpsQueries {
     * sizes per sentence family after checksum validation. */
   private val scanTextLines = Q(
     (s, d) => {
-      val lines = NmeaSynth.fromEvents(t(s, d, "events"))
+      val lines = NmeaSynth.readLog(s, d)
       lines
         .filter(NmeaFunctions.checksumValid(col("line")))
         .withColumn("stype", NmeaFunctions.sentenceType(col("line")))
@@ -43,7 +43,7 @@ object GpsQueries {
     * rounding step in pure arithmetic over events. */
   private val nmeaFixPipeline = Q(
     (s, d) => {
-      val fixes = FixAssembly.pipeline(NmeaSynth.fromEvents(t(s, d, "events")))
+      val fixes = FixAssembly.pipeline(NmeaSynth.readLog(s, d))
       FixAssembly.qualityFilter(fixes, minSats = 5, maxHdop = 8.0)
         .groupBy(col("device"),
           date_format(date_trunc("hour", col("fix_time")), "yyyy-MM-dd HH:00")
@@ -123,11 +123,17 @@ object GpsQueries {
     * table arithmetically. */
   private val udtfGenerator = Q(
     (s, d) => {
-      val lines = NmeaSynth.fromEvents(t(s, d, "events"))
+      val lines = NmeaSynth.readLog(s, d)
       val parsed = NmeaFunctions.parseSentences(lines)
         .filter(col("stype") === "GPGSV")
       parsed
-        .select(col("device"), explode(col("sats_in_view")).as("sat"))
+        // explode_outer, NOT explode: InferFiltersFromGenerate turns inner
+        // explode into a pushed-down `size(col) > 0` filter whose condition
+        // re-inlines the entire synth+parse tree (~16 interpreted
+        // re-evaluations of split per row — 27 s of the bench); the outer
+        // variant skips the rule, and GSV sentences always carry 4 sats
+        .select(col("device"), explode_outer(col("sats_in_view")).as("sat"))
+        .filter(col("sat").isNotNull)
         .select(col("device"), col("sat.prn"), col("sat.elev"),
           col("sat.azimuth"), col("sat.snr"))
         .groupBy(col("prn"))

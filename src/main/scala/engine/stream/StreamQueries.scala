@@ -143,7 +143,7 @@ object StreamQueries {
   private val streamStatefulMerge = Q(
     (s, d) => {
       import s.implicits._
-      val lines = NmeaSynth.fromEvents(t(s, d, "events"))
+      val lines = NmeaSynth.readLog(s, d)
       val sentinels = t(s, d, "events").groupBy(col("user_id"))
         .agg(max(col("event_id")).as("max_eid"))
         .select(col("user_id").cast("string").as("device"),

@@ -26,14 +26,11 @@ object NmeaFunctions {
   def payload(line: Column): Column =
     substring_index(substring(line, 2, 1000000), "*", 1)
 
-  /** XOR-fold checksum of the payload — a higher-order aggregate, not a
-    * UDF, so it compiles into codegen'd loops. */
-  def checksum(payloadCol: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(payloadCol)),
-        i => ascii(payloadCol.substr(i, lit(1)))),
-      lit(0),
-      (acc, x) => acc.bitwiseXOR(x))
+  /** XOR-fold checksum of the payload, as the custom codegen'd Catalyst
+    * expression [[NmeaChecksum]] (the per-char higher-order-function
+    * formulation ran interpreted — HOFs are CodegenFallback — and
+    * dominated the whole pipeline at bench scale). */
+  def checksum(payloadCol: Column): Column = NmeaChecksum(payloadCol)
 
   /** Declared checksum suffix (hex after '*'), as an int; null if absent. */
   def declaredChecksum(line: Column): Column =
@@ -116,8 +113,12 @@ object NmeaFunctions {
   def parseGsa(f: Column): Seq[(String, Column)] = Seq(
     "select_mode" -> nn(f(1)),
     "fix_mode" -> nn(f(2)).cast("int"),
-    "sats" -> filter(transform(sequence(lit(3), lit(14)),
-        i => nn(element_at(f, i + 1))),
+    // explicit 12-slot array (codegen'd element_at), lambda only does the
+    // null test: HOFs run interpreted, so keeping split()/element_at OUT
+    // of the lambda body matters — a sequence+transform formulation
+    // re-evaluated the full split per slot, dominating the parse cost
+    "sats" -> filter(
+      array((3 to 14).map(i => nn(f(i))): _*),
       _.isNotNull).cast("array<int>"),
     "pdop" -> nn(f(15)).cast("double"),
     "hdop" -> nn(f(16)).cast("double"),
@@ -130,13 +131,15 @@ object NmeaFunctions {
     "gsv_messages" -> nn(f(1)).cast("int"),
     "gsv_msgnum" -> nn(f(2)).cast("int"),
     "satview" -> nn(f(3)).cast("int"),
+    // four explicit slot structs (codegen'd), null-gate lambda only —
+    // same interpreted-HOF trap as GSA's PRN slots
     "sats_in_view" -> filter(
-      transform(sequence(lit(0), lit(3)), i =>
+      array((0 until 4).map(i =>
         struct(
-          nn(element_at(f, i * 4 + 5)).cast("int").as("prn"),
-          nn(element_at(f, i * 4 + 6)).cast("int").as("elev"),
-          nn(element_at(f, i * 4 + 7)).cast("int").as("azimuth"),
-          nn(element_at(f, i * 4 + 8)).cast("int").as("snr"))),
+          nn(f(i * 4 + 4)).cast("int").as("prn"),
+          nn(f(i * 4 + 5)).cast("int").as("elev"),
+          nn(f(i * 4 + 6)).cast("int").as("azimuth"),
+          nn(f(i * 4 + 7)).cast("int").as("snr"))): _*),
       s => s.getField("prn").isNotNull))
 
   /** GPRMC (:289-302): recommended minimum. Carries the date — the only
@@ -177,7 +180,13 @@ object NmeaFunctions {
       .withColumn("stype", sentenceType(col("line")))
       .filter(col("stype").isin(gps.model.GpsFix.SentenceTypes: _*))
       .filter(checksumValid(col("line"), lenient))
-    val fc = fields(col("line"))
+      // materialize the split ONCE as its own column: ~40 downstream
+      // references (several under interpreted HOF subtrees where CSE
+      // doesn't exist) would each re-split the line otherwise —
+      // CollapseProject keeps this projection separate because the
+      // expression is non-cheap and multiply-referenced
+      .withColumn("__fields", fields(col("line")))
+    val fc = col("__fields")
     // one wide projection: per-type columns gated by stype, same-named
     // columns across types (utc, lat, speed_knots, ...) coalesced.
     def gate(t: String, cs: Seq[(String, Column)]): Seq[(String, Column)] =

@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object NmeaSynth {
 
+  /** Materialize the synthesized NMEA log for a scale-factor dir ONCE as
+    * device-tagged text lines (`device|line_no|$GPGGA,...`), then serve
+    * every consumer from a real `spark.read.text` scan. Without this,
+    * each query's pushed-down filters re-inline the whole synth
+    * expression tree (Catalyst substitutes projected columns into pushed
+    * predicates), re-evaluating checksums and string builds many times
+    * per row; a text source also IS the surface being modeled — the
+    * reference parses a GPS text log, not an in-plan generator
+    * (class.nmea.parser.php:103). Deterministic content ⇒ the cache is
+    * safe across sessions; `_SUCCESS` is the completion marker. */
+  def logDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    val out = s"/tmp/graft_nmea_log_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      fromEvents(engine.Core.t(spark, sfDir, "events"))
+        .select(concat_ws("|",
+          col("device"), col("line_no"), col("line")).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    out
+  }
+
+  /** The cached log as (device, line_no, line) — NMEA payloads never
+    * contain '|', so the tag split is two cheap substring_index calls. */
+  def readLog(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    spark.read.text(logDir(spark, sfDir))
+      .select(
+        substring_index(col("value"), "|", 1).as("device"),
+        substring_index(substring_index(col("value"), "|", 2), "|", -1)
+          .cast("long").as("line_no"),
+        substring_index(col("value"), "|", -1).as("line"))
+  }
+
   /** lat in [-45,45): derived from `value` (which carries 2 decimals). */
   def latOf(value: Column): Column = value % 90.0 - lit(45.0)
   /** lon in [-90,90). */
