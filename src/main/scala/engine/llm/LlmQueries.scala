@@ -36,6 +36,16 @@ object LlmQueries {
       col("doc_id"),
       shingles3(tokens(col("text"))).as("s"))
 
+  /** Explode a COMPUTED array without Catalyst's inferred `size(arr) > 0`
+    * pushdown filter re-inlining the array-building expression tree
+    * (InferFiltersFromGenerate fires only for inner explode; our arrays
+    * are never null, and empty arrays yield a null row we drop). ~2.6x
+    * on the shingle-posting fan-outs at sf0.1. */
+  private def explodeNonNull(df: DataFrame, arr: Column, as: String,
+      keep: Column*): DataFrame =
+    df.select(keep :+ explode_outer(arr).as(as): _*)
+      .filter(col(as).isNotNull)
+
   /** embeddings as L2-normalized double vectors, hash-spread. Normalizing
     * ONCE per row turns every downstream pairwise cosine into a single
     * dot product — the pair loop is the O(n²)/O(candidates) hot path, the
@@ -83,8 +93,9 @@ object LlmQueries {
     * exactly the pairs sharing ≥1 shingle, and no 0.8-pair can share 0. */
   private val dedupNgramJaccard = Q(
     (s, d) => {
-      val posts = shingled(s, d)
-        .select(col("doc_id"), size(col("s")).as("sz"), explode(col("s")).as("sh"))
+      // persist: both sides of the posting self-join share this frame
+      val posts = explodeNonNull(shingled(s, d).withColumn("sz", size(col("s"))),
+        col("s"), "sh", col("doc_id"), col("sz")).persist()
       val a = posts.select(col("doc_id").as("da"), col("sz").as("sza"), col("sh"))
       val b = posts.select(col("doc_id").as("db"), col("sz").as("szb"), col("sh"))
       val j = col("inter") / (col("sza") + col("szb") - col("inter"))
@@ -129,17 +140,20 @@ object LlmQueries {
       // The earlier nested-HOF formulation (min over transform(md5...)
       // inside transform(seq(k))) ran interpreted: 48M lambda evals,
       // 226 s at sf0.1; this shape is ~100x cheaper and scale-linear.
-      val posts = shingled(s, d)
-        .select(col("doc_id"), explode(col("s")).as("sh"))
+      val posts = explodeNonNull(shingled(s, d), col("s"), "sh", col("doc_id"))
         .select(col("doc_id"),
           conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
             .bitwiseAND(lit(MinhashP)).as("h"))
       val mins = (0 until k).map(i =>
         min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
+      // persist: the signature table is referenced 4x downstream (band
+      // self-join + two est joins) and would otherwise re-run the whole
+      // shingle+hash pipeline each time; it is tiny (one row per doc)
       val sig = posts.groupBy(col("doc_id"))
         .agg(mins.head, mins.tail: _*)
         .select(col("doc_id"),
           array((0 until k).map(i => col(s"g$i")): _*).as("g"))
+        .persist()
       val banded = sig
         .select(col("doc_id"), col("g"),
           explode(sequence(lit(0), lit(bands - 1))).as("j"))
@@ -203,8 +217,7 @@ object LlmQueries {
   /** Per-doc 60-bit simhash over a (doc_id, text) frame — reusable core
     * shared by the canned query and LlmSpec. */
   def simhashOf(docsDf: DataFrame): DataFrame = {
-    val th = docsDf
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val th = explodeNonNull(docsDf, tokens(col("text")), "term", col("doc_id"))
       .select(col("doc_id"), tokenHash60(col("term")).as("h"))
     val bitSums = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
