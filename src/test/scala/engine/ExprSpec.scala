@@ -1,0 +1,68 @@
+package engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+import gps.parse.{NmeaChecksum, NmeaFunctions}
+import engine.llm.DoubleArrayDot
+
+/** Custom Catalyst expression tests (SURVEY.md §4.2): the codegen'd
+  * NmeaChecksum and DoubleArrayDot against golden values and against
+  * forced-interpreted evaluation. */
+class ExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Golden NMEA sentences (class.nmea.parser.php:145-315 examples) carry
+  // their own checksums — recompute and compare to the declared suffix.
+  val golden = Seq(
+    "$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47",
+    "$GPGSA,A,3,04,05,,09,12,,,24,,,,,2.5,1.3,2.1*39",
+    "$GPGSV,2,1,08,01,40,083,46,02,17,308,41,12,07,344,39,14,22,228,45*75",
+    "$GPRMC,123519,A,4807.038,N,01131.000,E,022.4,084.4,230394,003.1,W*6A",
+    "$GPVTG,054.7,T,034.4,M,005.5,N,010.2,K*48")
+
+  test("NmeaChecksum matches the golden sentences' declared checksums") {
+    val df = golden.toDF("line").select(
+      NmeaChecksum(NmeaFunctions.payload(col("line"))).as("computed"),
+      conv(substring_index(col("line"), "*", -1), 16, 10).cast("int")
+        .as("declared"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("NmeaChecksum: interpreted eval agrees with codegen path") {
+    // wholestage codegen on (default) vs off forces the two paths
+    val df = golden.toDF("line")
+      .select(NmeaChecksum(NmeaFunctions.payload(col("line"))).as("c"))
+    val on = df.collect().map(_.getInt(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = df.collect().map(_.getInt(0)).toSeq
+      assert(on == off)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("DoubleArrayDot: golden value, order, and interpreted/codegen parity") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").select(DoubleArrayDot(col("a"), col("b")).as("d"))
+    assert(df.head().getDouble(0) == 32.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.head().getDouble(0) == 32.0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // strict left-to-right accumulation (not pairwise/tree): the sum of
+    // [big, 1, -big] dotted with ones is order-sensitive
+    val big = 1e17
+    val seqSum = ((0.0 + big) + 1.0) + -big
+    val df2 = Seq((Array(big, 1.0, -big), Array(1.0, 1.0, 1.0))).toDF("a", "b")
+      .select(DoubleArrayDot(col("a"), col("b")).as("d"))
+    assert(df2.head().getDouble(0) == seqSum)
+  }
+
+  test("DoubleArrayDot rejects non-double-array inputs at analysis") {
+    val ex = intercept[Exception] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .select(DoubleArrayDot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("double"))
+  }
+}

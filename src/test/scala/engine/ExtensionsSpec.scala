@@ -1,0 +1,63 @@
+package engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+import engine.ext.GraftExtensions
+import engine.llm.{DoubleArrayDot => DAD}
+
+/** Extension-point wiring tests (SURVEY.md §4.2): SQL-callable custom
+  * functions and the HOF-dot-product acceleration rule. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("register(): custom expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    val ck = spark.sql("SELECT nmea_checksum('GPVTG,054.7,T') AS c")
+      .head().getInt(0)
+    // XOR of the payload bytes, independently computed
+    val expect = "GPVTG,054.7,T".getBytes("UTF-8").foldLeft(0)(_ ^ _)
+    assert(ck == expect)
+    val d = spark.sql(
+      "SELECT double_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
+  // literal-only inputs constant-fold to a LocalRelation before the plan
+  // can be inspected, so the rule tests read a real parquet source
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), transform(col("embedding"),
+      x => x.cast("double")).as("v"))
+
+  test("AccelerateDotProduct rewrites the HOF dot product") {
+    GraftExtensions.register(spark)
+    val df = emb.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    val optimized = df.queryExecution.optimizedPlan
+    val found = optimized.expressions.flatMap(_.collect {
+      case e: engine.llm.DoubleArrayDot => e
+    })
+    assert(found.nonEmpty, s"rule did not fire:\n$optimized")
+    // and the rewritten plan computes the right value (= ||v||^2)
+    val row = df.orderBy("vec_id").head()
+    val direct = emb.orderBy("vec_id")
+      .select(DAD(col("v"), col("v"))).head().getDouble(0)
+    assert(row.getDouble(1) == direct)
+  }
+
+  test("AccelerateDotProduct leaves non-matching aggregates alone") {
+    GraftExtensions.register(spark)
+    // max-merge, not add-merge: must NOT rewrite
+    val df = emb.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("m"))
+    val found = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case e: engine.llm.DoubleArrayDot => e
+    })
+    assert(found.isEmpty)
+  }
+}
