@@ -1,0 +1,64 @@
+package engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+
+/** Physical-plan regression tests — the 100 TB posture (SURVEY.md §4.2)
+  * asserted against the actual plans at sf0.001: dimension joins
+  * broadcast, large-large joins sort-merge, filters and projections reach
+  * the parquet scan, candidate generation is equi-join (no cartesian in
+  * the near-dup path), and the similarity hot loop uses the codegen'd
+  * dot product. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("join_inner_hash broadcasts the small dimension") {
+    assert(plan("join_inner_hash").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge stays sort-merge (no broadcast of a large side)") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("filter_quality pushes predicates into the parquet scan") {
+    val p = plan("filter_quality")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), p)
+  }
+
+  test("project_select prunes the parquet read schema") {
+    val p = plan("project_select")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 16-column lineitem: only the 6 referenced columns are read
+    assert(read.contains("l_orderkey") && read.contains("l_discount"))
+    assert(!read.contains("l_shipmode") && !read.contains("l_comment"), read)
+  }
+
+  test("near-dup candidate generation is equi-join, not cartesian") {
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a BNLJ")
+    }
+  }
+
+  test("sim_search_topk broadcasts the query set and uses the codegen'd dot") {
+    val p = plan("sim_search_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("double_array_dot"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("dedup_exact shuffles on the digest, not the document body") {
+    // the exchange key is the md5 digest (pre-projected as _w0)
+    val p = plan("dedup_exact")
+    val keyed = p.contains("hashpartitioning(md5") ||
+      (p.contains("hashpartitioning(_w0") &&
+        p.linesIterator.exists(l => l.contains("md5") && l.contains("_w0")))
+    assert(keyed, p)
+  }
+}
