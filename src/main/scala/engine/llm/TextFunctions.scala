@@ -31,19 +31,6 @@ object TextFunctions {
           element_at(tok, i), element_at(tok, i + 1), element_at(tok, i + 2)))))
       .otherwise(array(concat_ws(" ", tok)))
 
-  /** MinHash signature: sig(i) = min over shingles of md5(i + ":" + s),
-    * for i in 0 until k. Lexicographic min over hex digests is a valid
-    * min-wise hash family and is portable to the DuckDB oracle verbatim.
-    * k=32 keeps the per-row cost at 32 md5s per shingle — one projection,
-    * no shuffle. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
-
-  /** LSH band key for band `j` of width `r` over a minhash signature. */
-  def bandKey(sig: Column, j: Column, r: Int): Column =
-    md5(concat_ws(",", slice(sig, j * r + 1, lit(r))))
-
   /** 60-bit token hash: first 15 hex chars of md5 (fits signed Long). */
   def tokenHash60(term: Column): Column =
     conv(substring(md5(term), 1, 15), 16, 10).cast("long")
