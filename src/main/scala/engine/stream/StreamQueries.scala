@@ -24,8 +24,9 @@ object StreamQueries {
     * streaming flagship's bench time. */
   private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
       singleFile: Boolean = false): DataFrame = {
-    // tag MUST be sf-qualified by the caller — the cache is per content
-    val dir = s"/tmp/graft_stream_src_$tag"
+    // tag MUST be sf-qualified by the caller — the cache is per content;
+    // v-suffix = source format version (bump on content change)
+    val dir = s"/tmp/graft_stream_src_v1_$tag"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       (if (singleFile) df.coalesce(1) else df)
         .write.mode("overwrite").parquet(dir)

@@ -27,7 +27,9 @@ object NmeaSynth {
     * (class.nmea.parser.php:103). Deterministic content ⇒ the cache is
     * safe across sessions; `_SUCCESS` is the completion marker. */
   def logDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
-    val out = s"/tmp/graft_nmea_log_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // v-suffix = synth format version: bump it whenever fromEvents'
+    // encoding changes, or stale caches would feed the correctness gate
+    val out = s"/tmp/graft_nmea_log_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       fromEvents(engine.Core.t(spark, sfDir, "events"))
         .select(concat_ws("|",
