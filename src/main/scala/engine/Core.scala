@@ -34,4 +34,45 @@ object Core {
 
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Publish a deterministic scratch dataset at `dir` exactly once.
+    * Writers produce into a unique temp dir and atomically rename into
+    * place, so a concurrent process can never observe (or overwrite) a
+    * half-written directory — the losing writer just discards its copy.
+    * `_SUCCESS` marks a complete publish; a marker-less leftover from a
+    * crashed writer is cleared before racing. */
+  def publishOnce(dir: String)(write: String => Unit): String = {
+    val dest = new java.io.File(dir)
+    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      if (dest.exists()) deleteRecursively(dest) // crashed, marker-less write
+      val tmp = new java.io.File(dir + ".tmp." + java.util.UUID.randomUUID)
+      write(tmp.getPath)
+      try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => // another writer won the race
+        deleteRecursively(tmp)
+      }
+    }
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}
+
+/** Registry for intra-query persisted frames. A query builder can mark a
+  * frame that several downstream joins share (`ScratchCache.persist`);
+  * the harness (Verify/Bench) drains the registry after materializing
+  * each query so cached partitions never accumulate across a 60-query
+  * session — persist lifetime is one query, not one SparkSession. */
+object ScratchCache {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(); frames += p; p
+  }
+  def drain(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false)); frames.clear()
+  }
 }

@@ -20,7 +20,11 @@ import gps.parse.NmeaChecksum
   * JIT'd loop for free. IEEE-safe: + and * are commutative (not
   * associative — but operand order within each step is all that changes),
   * and DoubleArrayDot accumulates in the same left-to-right element
-  * order as ArrayAggregate. */
+  * order as ArrayAggregate. Null-safe: DoubleArrayDot returns NULL on a
+  * length mismatch or any null element — exactly what zip_with's null
+  * padding + `acc + null` poisoning produce — so the rewrite preserves
+  * semantics on ragged and nullable-element arrays too (ExtensionsSpec
+  * pins this). */
 object AccelerateDotProduct extends Rule[LogicalPlan] {
 
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {

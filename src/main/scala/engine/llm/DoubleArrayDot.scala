@@ -20,11 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Accumulation order is exactly element 0..n-1 (same as DuckDB's
   * list_sum over list_transform), so oracle comparisons stay
-  * bit-identical. Null elements are treated as 0 (embeddings are dense;
-  * documented assumption). Mismatched lengths use the shorter side.
+  * bit-identical. Null propagation mirrors the HOF form exactly:
+  * zip_with pads a length mismatch with nulls and `acc + null` poisons
+  * the aggregate, so mismatched lengths or any null element yield NULL —
+  * which is what makes the [[engine.ext.AccelerateDotProduct]] rewrite
+  * semantics-preserving on *every* input, not just dense equal-length
+  * vectors.
   */
 case class DoubleArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL on ragged/null-element inputs, even when both inputs are non-null
+  override def nullable: Boolean = true
 
   private val ok = ArrayType(DoubleType, containsNull = false)
   private def isDoubleArray(t: DataType): Boolean = t match {
@@ -45,11 +52,13 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
@@ -59,10 +68,13 @@ case class DoubleArrayDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |}

@@ -27,6 +27,10 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
 
+  /** Vector-count gate for dedup_embedding's exact all-pairs yardstick;
+    * above this the SRP-banded candidate path runs instead. */
+  private val ExactPairLimit = 4096L
+
   /** documents with tokens + distinct 3-shingles attached, hash-spread
     * across the cluster first: the source parquet is one split, and the
     * per-row work downstream (k md5 min-hashes per shingle) is orders of
@@ -66,6 +70,19 @@ object LlmQueries {
              sqrt(list_sum(list_transform(v, x -> x * x))) nrm FROM ed),
       e AS (SELECT vec_id, list_transform(v, x -> x / nrm) u FROM en)"""
 
+  /** Shared oracle CTE: tokens → distinct 3-shingles, mirroring
+    * TextFunctions.shingles3 *including* its <3-token fallback to a single
+    * whole-doc shingle (generate_series alone would yield an empty list
+    * for short docs — a latent divergence if the testdata ever grows
+    * short documents). */
+  private val shingleSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [array_to_string(w, ' ')] END s FROM tok)"""
+
   // ------------------------------------------------------------- B47 dedup
   /** B47: exact dedup — hash-partition on the normalized text digest, keep
     * the lowest doc_id per group. One shuffle on a 128-bit key; at 100 TB
@@ -85,31 +102,57 @@ object LlmQueries {
         PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
       ORDER BY doc_id"""))
 
-  /** Exact n-gram Jaccard near-dup pairs (j >= 0.8) via an inverted
-    * shingle index: explode shingles, equi-join postings, count
-    * intersections per pair, |A∪B| = |A|+|B|−|A∩B|. Sub-quadratic — cost
-    * is Σ postings², not n² — and shuffles only (doc_id, shingle) pairs.
-    * The DuckDB oracle is the naive list_intersect formulation; both see
-    * exactly the pairs sharing ≥1 shingle, and no 0.8-pair can share 0. */
+  /** Exact n-gram Jaccard near-dup pairs (j >= 0.8) via PREFIX-FILTERED
+    * posting candidates + exact set verification.
+    *
+    * Candidate generation joins only each document's *prefix* — its
+    * (|s| − ⌈t·|s|⌉ + 1) rarest shingles under the global (df, shingle)
+    * order. Exactness (prefix-filter theorem; Chaudhuri et al. ICDE'06,
+    * Xiao et al. WWW'08 "PPJoin"): J(x,y) ≥ t ⇒ |x∩y| ≥ t·max(|x|,|y|)
+    * (since |x|+|y|−|x∩y| ≥ max(|x|,|y|)), so x can miss at most
+    * |x| − ⌈t·|x|⌉ intersection elements — two prefixes one longer than
+    * that MUST share an element. Candidates are then verified with the
+    * exact Jaccard over the full shingle sets, so the result is identical
+    * to the naive all-pairs oracle.
+    *
+    * Scale posture: a stop-shingle with document frequency df contributes
+    * df² to a naive posting self-join (one hot key = 10¹² pairs at
+    * df=10⁶); under the prefix filter a high-df shingle sorts to the
+    * *end* of the global order and drops out of every prefix, so posting
+    * skew is structurally bounded — no cap heuristic needed, and the
+    * result stays provably exact. */
   private val dedupNgramJaccard = Q(
     (s, d) => {
-      // persist: both sides of the posting self-join share this frame
-      val posts = explodeNonNull(shingled(s, d).withColumn("sz", size(col("s"))),
-        col("s"), "sh", col("doc_id"), col("sz")).persist()
-      val a = posts.select(col("doc_id").as("da"), col("sz").as("sza"), col("sh"))
-      val b = posts.select(col("doc_id").as("db"), col("sz").as("szb"), col("sh"))
-      val j = col("inter") / (col("sza") + col("szb") - col("inter"))
-      a.join(b, a("sh") === b("sh") && col("da") < col("db"))
-        .groupBy("da", "db", "sza", "szb")
-        .agg(count(lit(1)).as("inter"))
-        .filter(j >= 0.8)
+      val t = 0.8
+      val sh = shingled(s, d).withColumn("sz", size(col("s")))
+      val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"), col("sz"))
+      // global canonical order = (document frequency asc, shingle asc):
+      // rarest shingles first, so prefixes index the most selective keys
+      val df = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("sh"))
+      val prefix = posts.join(df, "sh")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+        .select(col("doc_id"), col("sh"))
+      val candIds = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      // exact verification on the full shingle sets (candidates only)
+      val sa = sh.select(col("doc_id").as("da"), col("s").as("sa"),
+        col("sz").as("sza"))
+      val sb = sh.select(col("doc_id").as("db"), col("s").as("sb"),
+        col("sz").as("szb"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val j = inter / (col("sza") + col("szb") - inter)
+      candIds.join(sa, "da").join(sb, "db")
+        .filter(j >= t)
         .select(col("da"), col("db"), r4(j).as("jaccard"))
         .orderBy("da", "db")
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, len(w) - 2),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM tok)
+    Some(shingleSql + """
       SELECT a.doc_id AS da, b.doc_id AS db,
         round(len(list_intersect(a.s, b.s))::DOUBLE
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
@@ -148,12 +191,14 @@ object LlmQueries {
         min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
       // persist: the signature table is referenced 4x downstream (band
       // self-join + two est joins) and would otherwise re-run the whole
-      // shingle+hash pipeline each time; it is tiny (one row per doc)
-      val sig = posts.groupBy(col("doc_id"))
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc_id"),
-          array((0 until k).map(i => col(s"g$i")): _*).as("g"))
-        .persist()
+      // shingle+hash pipeline each time; it is tiny (one row per doc).
+      // Registered with ScratchCache so the harness unpersists it after
+      // this query materializes (not at session end).
+      val sig = engine.ScratchCache.persist(
+        posts.groupBy(col("doc_id"))
+          .agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"),
+            array((0 until k).map(i => col(s"g$i")): _*).as("g")))
       val banded = sig
         .select(col("doc_id"), col("g"),
           explode(sequence(lit(0), lit(bands - 1))).as("j"))
@@ -183,10 +228,7 @@ object LlmQueries {
         .map(i => s"min((h * ${mhA(i)} + ${mhB(i)}) % $MinhashP) AS g$i")
         .mkString(", ")
       val gArr = (0 until 32).map(i => s"g$i").mkString("[", ", ", "]")
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, len(w) - 2),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM tok),
+      shingleSql + s""",
       posts AS (SELECT doc_id, unnest(s) sh FROM sh),
       ph AS (SELECT doc_id,
                ('0x' || substr(md5(sh), 1, 8))::BIGINT & $MinhashP h FROM posts),
@@ -267,16 +309,41 @@ object LlmQueries {
       WHERE bit_count(xor(a.sim, b.sim)) <= 8
       ORDER BY da, db"""))
 
-  /** Embedding-cosine near-dup pairs (cos >= 0.45) — the *oracle-exact
-    * quadratic baseline*. All math promoted to double before sequential
-    * accumulation so the DuckDB result is bit-identical. At 100 TB the
-    * banded SRP-LSH prefilter of `sim_search_ann` replaces the pair
-    * enumeration; this query is its correctness yardstick. */
+  /** Embedding-cosine near-dup pairs (cos >= 0.45), SCALE-GATED: up to
+    * [[ExactPairLimit]] vectors the oracle-exact all-pairs enumeration
+    * runs (the correctness yardstick — bit-identical to DuckDB); beyond
+    * it, candidate pairs come from SRP-LSH band collisions and only those
+    * are exact-cosine verified — the 100 TB shape, where the O(n²) pair
+    * loop must never be the default. The banded path is a high-recall
+    * near-dup *screen* (recall → 1 as cosine → 1; pairs at the 0.45
+    * margin can be missed — SRP band-collision probability ≈ 0.54 there),
+    * which is the semantics a dedup pipeline wants from this operator at
+    * scale; the gated exact path is how it is validated. */
   private val dedupEmbedding = Q(
     (s, d) => {
       val e = unitEmbeddings(s, d)
       val c = dot(col("a.u"), col("b.u"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      val nVec = t(s, d, "embeddings").count() // parquet metadata count
+      val pairs =
+        if (nVec <= ExactPairLimit)
+          e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        else {
+          val banded = e
+            .withColumn("code", srpCode(col("u"), 16, 64))
+            .select(col("vec_id"),
+              explode(codeBands(col("code"), 4, 4)).as("bb"))
+            .select(col("vec_id"), col("bb.band").as("band"),
+              col("bb.bv").as("bv"))
+          val candIds = banded.as("x")
+            .join(banded.as("y"),
+              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("ai"), col("y.vec_id").as("bi"))
+            .distinct() // id-pair dedup only — vectors re-attached below
+          candIds.join(e.as("a"), col("ai") === col("a.vec_id"))
+            .join(e.as("b"), col("bi") === col("b.vec_id"))
+        }
+      pairs
         .filter(c >= 0.45)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           r4(c).as("cosine"))
@@ -329,18 +396,25 @@ object LlmQueries {
       val e = unitEmbeddings(s, d)
         .withColumnRenamed("u", "v")
         .withColumn("code", srpCode(col("v"), 16, 64))
-      val banded = e.select(col("vec_id"), col("v"), col("code"),
+      // band postings carry ONLY ids — a pair surfacing in several bands
+      // is deduped on the (qid, cid) key, never by hashing/shuffling the
+      // 64-dim vectors themselves (a wide-payload group key is the
+      // anti-pattern: the dedup exchange would carry |cands| full vectors)
+      val banded = e.select(col("vec_id"),
           explode(codeBands(col("code"), 4, 4)).as("bb"))
-        .select(col("vec_id"), col("v"), col("bb.band").as("band"),
-          col("bb.bv").as("bv"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
       val q = banded.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("band"), col("bv"))
-      val cand = banded.join(broadcast(q),
-          Seq("band", "bv"))
+        .select(col("vec_id").as("qid"), col("band"), col("bv"))
+      val candIds = banded.join(broadcast(q), Seq("band", "bv"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("v"))
+        .select(col("qid"), col("vec_id").as("cid"))
         .distinct()
+      // re-attach vectors: candidate ids broadcast against the corpus (no
+      // corpus shuffle), query vectors broadcast (tiny set)
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cand = e.join(broadcast(candIds), col("vec_id") === col("cid"))
+        .join(broadcast(qv), Seq("qid"))
       val c = dot(col("qv"), col("v"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
@@ -472,10 +546,7 @@ object LlmQueries {
       fingerprint(col("s")).as("fp"),
       substring(fingerprint(col("s")), 1, 8).as("fp8"))
       .orderBy("doc_id"),
-    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, len(w) - 2),
-               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM tok)
+    Some(shingleSql + """
       SELECT doc_id, len(s) AS n_shingles,
         list_min(list_transform(s, x -> md5(x))) AS fp,
         substr(list_min(list_transform(s, x -> md5(x))), 1, 8) AS fp8

@@ -49,7 +49,11 @@ object MultimodalQueries {
 
   /** Non-SQL (stubbed decode has no DuckDB equivalent); covered by
     * LlmSpec. Payload synthesized from the text bytes — deterministic,
-    * so re-runs hash identically. */
+    * so re-runs hash identically. The histogram is projected as 16
+    * scalar columns (hist_00..hist_15), not ARRAY<DOUBLE>: the final
+    * result is a verification surface and scalar columns sort/hash in
+    * any downstream tool (array-typed result columns are the one shape
+    * the driver harness cannot factorize). */
   private val multimodalFeatures = Q(
     (s, d) => {
       import s.implicits._
@@ -60,9 +64,11 @@ object MultimodalQueries {
         (pmod(col("doc_id") * 53, lit(384)) + 96).cast("int").as("height"),
         lit(3).as("channels"))
         .as[MediaRow]
+      val histCols = (0 until 16).map(i =>
+        element_at(col("hist"), i + 1).as(f"hist_$i%02d"))
       media.mapPartitions(_.map(decodeStub)).toDF()
-        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-          col("hist"), col("sample_hex"))
+        .select(Seq(col("doc_id"), col("n_bytes"), col("width"),
+          col("height")) ++ histCols :+ col("sample_hex"): _*)
         .orderBy("doc_id")
     },
     None)

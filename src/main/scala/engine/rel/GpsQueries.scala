@@ -40,7 +40,18 @@ object GpsQueries {
     * fixes (carry-forward + last-writer-wins merge), apply GoodEnough and
     * the reference's *intended* quality filter (:13,:40-77), summarize
     * trips per device-hour. The oracle reproduces every decode∘encode
-    * rounding step in pure arithmetic over events. */
+    * rounding step in pure arithmetic over events.
+    *
+    * ORACLE DATA ASSUMPTION: the oracle groups by
+    * (user_id, date_trunc('second', ts)) *globally*, while the engine
+    * segments fixes by runs of the carried HHmmss in line_no order. The
+    * two agree because in the synthesized log a device's events are
+    * emitted in event_id order with monotonically non-decreasing ts, so
+    * same-truncated-second events are always ADJACENT (one run = one
+    * second), and the testdata spans < 24h per device (no two runs N days
+    * apart share an HHmmss key). Both properties hold for every
+    * /root/testdata sf; data violating them would need an island-based
+    * (lag/cumsum over event_id) oracle instead. */
   private val nmeaFixPipeline = Q(
     (s, d) => {
       val fixes = FixAssembly.pipeline(NmeaSynth.readLog(s, d))

@@ -25,11 +25,11 @@ object StreamQueries {
   private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
       singleFile: Boolean = false): DataFrame = {
     // tag MUST be sf-qualified by the caller — the cache is per content;
-    // v-suffix = source format version (bump on content change)
-    val dir = s"/tmp/graft_stream_src_v1_$tag"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    // v-suffix = source format version (bump on content change).
+    // publishOnce = temp dir + atomic rename (no cross-process races).
+    val dir = engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
       (if (singleFile) df.coalesce(1) else df)
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp)
     }
     spark.readStream.schema(df.schema).parquet(dir)
   }

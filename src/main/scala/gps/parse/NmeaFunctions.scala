@@ -71,13 +71,17 @@ object NmeaFunctions {
     val u = fixUtc(utc)
     val yy = substring(date, 5, 2).cast("int")
     val yyyy = when(yy < 70, yy + 2000).otherwise(yy + 1900)
+    // timezone passed EXPLICITLY: NMEA wall-clock fields are UTC by spec,
+    // and the 7-arg overload keeps fix_time correct for any caller — not
+    // just sessions that happen to set spark.sql.session.timeZone=UTC
     make_timestamp(
       yyyy,
       substring(date, 3, 2).cast("int"),
       substring(date, 1, 2).cast("int"),
       substring(u, 1, 2).cast("int"),
       substring(u, 3, 2).cast("int"),
-      substring(u, 5, 2).cast("int").cast("decimal(8,6)"))
+      substring(u, 5, 2).cast("int").cast("decimal(8,6)"),
+      lit("UTC"))
   }
 
   private def nn(c: Column): Column = when(c =!= "", c) // empty field → null

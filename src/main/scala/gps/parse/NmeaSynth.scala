@@ -28,15 +28,16 @@ object NmeaSynth {
     * safe across sessions; `_SUCCESS` is the completion marker. */
   def logDir(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     // v-suffix = synth format version: bump it whenever fromEvents'
-    // encoding changes, or stale caches would feed the correctness gate
+    // encoding changes, or stale caches would feed the correctness gate.
+    // publishOnce = temp dir + atomic rename, so concurrent JVMs can't
+    // race a half-written cache into the correctness gate.
     val out = s"/tmp/graft_nmea_log_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    engine.Core.publishOnce(out) { tmp =>
       fromEvents(engine.Core.t(spark, sfDir, "events"))
         .select(concat_ws("|",
           col("device"), col("line_no"), col("line")).as("value"))
-        .write.mode("overwrite").text(out)
+        .write.mode("overwrite").text(tmp)
     }
-    out
   }
 
   /** The cached log as (device, line_no, line) — NMEA payloads never

@@ -49,6 +49,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == direct)
   }
 
+  test("DoubleArrayDot matches HOF semantics on ragged/null-element arrays") {
+    // the rewrite is only sound if both formulations agree on EVERY input:
+    // zip_with pads a length mismatch with nulls and acc+null poisons the
+    // aggregate => NULL; a null element likewise => NULL
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(DAD(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity broken: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
   test("AccelerateDotProduct leaves non-matching aggregates alone") {
     GraftExtensions.register(spark)
     // max-merge, not add-merge: must NOT rewrite

@@ -64,11 +64,12 @@ class LlmSpec extends AnyFunSuite {
 
   test("multimodal decode stub: deterministic, fixed-width features") {
     val out = MultimodalQueries.queries("multimodal_features").fn(spark, sf)
-      .collect()
-    assert(out.length > 0)
-    out.foreach { r =>
-      val hist = r.getSeq[Double](4)
-      assert(hist.length == 16)
+    val histIdx = (0 until 16).map(i => out.columns.indexOf(f"hist_$i%02d"))
+    assert(histIdx.forall(_ >= 0), "16 flattened histogram columns")
+    val rows = out.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val hist = histIdx.map(r.getDouble)
       assert(math.abs(hist.sum - 1.0) < 0.01, "histogram normalized")
       assert(r.getInt(1) > 0) // n_bytes
     }
