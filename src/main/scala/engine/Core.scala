@@ -72,7 +72,10 @@ object ScratchCache {
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(); frames += p; p
   }
-  def drain(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false)); frames.clear()
+  /** Blocking by default: a lazy unpersist leaks block-eviction work into
+    * whatever runs next (r2's bench drifted 2-4x on untouched queries with
+    * `blocking = false` drains in between). */
+  def drain(blocking: Boolean = true): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking)); frames.clear()
   }
 }

@@ -89,9 +89,13 @@ object LlmQueries {
     * the digest (32 bytes) shuffles instead of the document body. */
   private val dedupExact = Q(
     (s, d) => {
-      val w = Window.partitionBy(md5(lower(trim(col("text")))))
-        .orderBy(col("doc_id"))
+      // digest computed BEFORE the window and the body dropped, so the
+      // exchange carries (digest, doc_id, lang, source, n_chars) — 32-byte
+      // keys, never the document text (PlanSpec pins the exchange schema)
+      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
       docs(s, d)
+        .select(md5(lower(trim(col("text")))).as("dg"),
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -124,17 +128,25 @@ object LlmQueries {
   private val dedupNgramJaccard = Q(
     (s, d) => {
       val t = 0.8
-      val sh = shingled(s, d).withColumn("sz", size(col("s")))
+      // persist: the shingle frame feeds FIVE consumers (posts→df,
+      // posts→prefix, and the sa/sb verification sides) — uncached, the
+      // tokenize+shingle+repartition subtree re-executes for each one
+      // (r2 bench: 44.6 s, ~35 s of it recomputed lineage). One cached
+      // copy per query, drained by the harness after materialization.
+      val sh = engine.ScratchCache.persist(
+        shingled(s, d).withColumn("sz", size(col("s"))))
       val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"), col("sz"))
       // global canonical order = (document frequency asc, shingle asc):
       // rarest shingles first, so prefixes index the most selective keys
       val df = posts.groupBy("sh").agg(count(lit(1)).as("df"))
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("sh"))
-      val prefix = posts.join(df, "sh")
-        .withColumn("rn", row_number().over(byRarity))
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
-        .select(col("doc_id"), col("sh"))
+      // persist: consumed twice by the candidate self-join below
+      val prefix = engine.ScratchCache.persist(
+        posts.join(df, "sh")
+          .withColumn("rn", row_number().over(byRarity))
+          .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+          .select(col("doc_id"), col("sh")))
       val candIds = prefix.as("a")
         .join(prefix.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -54,11 +54,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_exact shuffles on the digest, not the document body") {
-    // the exchange key is the md5 digest (pre-projected as _w0)
-    val p = plan("dedup_exact")
-    val keyed = p.contains("hashpartitioning(md5") ||
-      (p.contains("hashpartitioning(_w0") &&
-        p.linesIterator.exists(l => l.contains("md5") && l.contains("_w0")))
-    assert(keyed, p)
+    // unwrap AQE: AdaptiveSparkPlanExec is childless, so collect() on the
+    // raw executedPlan would not see the exchanges inside it
+    val exec = graft.SparkEntry.queries("dedup_exact")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(exec.toString.contains("hashpartitioning(dg#"), exec.toString)
+    // every exchange in the plan ships the 32-byte digest, never `text`
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"exchange carries the document body: ${e.output.map(_.name)}")
+    }
   }
 }
