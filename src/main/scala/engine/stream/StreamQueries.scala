@@ -23,15 +23,34 @@ object StreamQueries {
     * the merge source is 600k rows and rebuilding it dominated the
     * streaming flagship's bench time. */
   private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
-      singleFile: Boolean = false): DataFrame = {
+      singleFile: Boolean = false, orderedBy: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // tag MUST be sf-qualified by the caller — the cache is per content;
     // v-suffix = source format version (bump on content change).
     // publishOnce = temp dir + atomic rename (no cross-process races).
     val dir = engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
-      (if (singleFile) df.coalesce(1) else df)
-        .write.mode("overwrite").parquet(tmp)
+      val out = orderedBy match {
+        // global sort ⇒ range-partitioned part files: file k's key range
+        // precedes file k+1's, modeling a log that arrives in order
+        case Some(c) => df.orderBy(col(c))
+        case None => if (singleFile) df.coalesce(1) else df
+      }
+      out.write.mode("overwrite").parquet(tmp)
+      // FileStreamSource admits files by (mtime, path); a parallel write
+      // leaves mtimes unordered, so stagger them in part-name order to
+      // make multi-trigger admission follow the sort order
+      if (orderedBy.isDefined) {
+        val parts = new java.io.File(tmp).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val base = System.currentTimeMillis() - parts.length * 2000L
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 2000L): Unit
+        }
+      }
     }
-    spark.readStream.schema(df.schema).parquet(dir)
+    val reader = spark.readStream.schema(df.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
   }
 
   /** Run a streaming df to completion into a memory sink; return result. */
@@ -44,28 +63,44 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** The events table as a streaming file source, published once per sf
+    * and shared by the window queries (B38-B40). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    asFileStream(s,
+      t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value")),
+      s"events_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+
   /** B38: tumbling event-time window (the per-second fix keying :172,
-    * widened to hours). Batch window() — DuckDB checks via date_trunc. */
+    * widened to hours), executed as a real stream: file source → windowed
+    * agg → complete-mode memory sink. A single AvailableNow batch makes
+    * complete mode emit exactly the batch result, so the DuckDB
+    * date_trunc oracle holds verbatim. */
   private val streamTumbling = Q(
-    (s, d) => t(s, d, "events")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
-        col("event_type"), col("n"), col("sum_value"))
-      .orderBy("h", "event_type"),
+    (s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
+          col("event_type"), col("n"), col("sum_value"))
+      runToMemory(s, agg, "graft_tumble_sink", mode = "complete")
+        .orderBy("h", "event_type")
+    },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
         event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY h, event_type"""))
 
-  /** B39: sliding window (2h length, 1h slide) — each event lands in two
-    * windows; oracle unnests both window starts. */
+  /** B39: sliding window (2h length, 1h slide) as a real stream — each
+    * event lands in two windows; oracle unnests both window starts. */
   private val streamSliding = Q(
-    (s, d) => t(s, d, "events")
-      .groupBy(window(col("ts"), "2 hours", "1 hour"))
-      .agg(count(lit(1)).as("n"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("ws"),
-        col("n"))
-      .orderBy("ws"),
+    (s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("ws"),
+          col("n"))
+      runToMemory(s, agg, "graft_slide_sink", mode = "complete").orderBy("ws")
+    },
     Some("""SELECT strftime(ws, '%Y-%m-%d %H:00') AS ws, count(*) AS n
       FROM (SELECT unnest([date_trunc('hour', ts),
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
@@ -73,15 +108,20 @@ object StreamQueries {
       GROUP BY 1 ORDER BY ws"""))
 
   /** B40: session window — trip segmentation by gap (the fix-gap semantics
-    * of UTC keying). Oracle = lag+cumsum island detection. */
+    * of UTC keying) as a real stream; complete mode merges sessions across
+    * the batch. Oracle = lag+cumsum island detection. */
   private val streamSession = Q(
-    (s, d) => t(s, d, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), r4(sum(col("value"))).as("sum_value"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start"),
-        col("n_events"), col("sum_value"))
-      .orderBy("user_id", "session_start"),
+    (s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          r4(sum(col("value"))).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+      runToMemory(s, agg, "graft_session_sink", mode = "complete")
+        .orderBy("user_id", "session_start")
+    },
     Some("""WITH marked AS (
         SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -145,25 +185,38 @@ object StreamQueries {
   /** B42: the flagship as a *real stream* — synthesized NMEA lines flow
     * through flatMapGroupsWithState fix assembly (per-device state), then
     * the same trip summary as the batch pipeline; the oracle is the same
-    * arithmetic reconstruction over events. Per-device sentinel lines close
-    * the final open fix (they never become fixes themselves — no RMC/date
-    * ⇒ GoodEnough false). */
+    * arithmetic reconstruction over events.
+    *
+    * Scale posture: the log is served as range-partitioned files admitted
+    * a few per trigger (`maxFilesPerTrigger`), so a trigger's per-device
+    * buffer in [[FixAssembler]] is a bounded slice (~batch_rows/devices),
+    * never the whole log; open fixes of devices that go silent are closed
+    * by the assembler's event-time timeout. The single `__wm__` heartbeat
+    * line (1h past the last event) advances the final watermark so every
+    * device's last open fix flushes via timeout — the heartbeat's own fix
+    * is behind the final watermark and is never emitted. */
   private val streamStatefulMerge = Q(
     (s, d) => {
       import s.implicits._
       val lines = NmeaSynth.readLog(s, d)
-      val sentinels = t(s, d, "events").groupBy(col("user_id"))
-        .agg(max(col("event_id")).as("max_eid"))
-        .select(col("user_id").cast("string").as("device"),
-          (col("max_eid") * 10 + 9).as("line_no"),
-          NmeaSynth.withChecksum(
-            lit("GPGGA,999999,0000.0000,N,00000.0000,E,1,00,0.0,0.0,M,0.0,M,,"))
-            .as("line"))
-      val src = asFileStream(s, lines.unionByName(sentinels), s"merge_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val hbTs = col("mx") + expr("INTERVAL 1 HOUR")
+      val heartbeat = t(s, d, "events")
+        .agg(max(col("ts")).as("mx"), max(col("event_id")).as("meid"))
+        .select(lit("__wm__").as("device"),
+          (col("meid") * 10 + 100).as("line_no"),
+          NmeaSynth.withChecksum(concat_ws(",",
+            lit("GPRMC"), date_format(hbTs, "HHmmss"), lit("A"),
+            lit("0000.0000"), lit("N"), lit("00000.0000"), lit("E"),
+            lit("000.0"), lit("084.4"), date_format(hbTs, "ddMMyy"),
+            lit("003.1"), lit("W"))).as("line"))
+      val src = asFileStream(s, lines.unionByName(heartbeat),
+        s"mergev2_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
+        orderedBy = Some("line_no"), maxFilesPerTrigger = Some(8))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
       val out = runToMemory(s, fixes.toDF(), "graft_merge_sink")
-      out.filter(col("complete"))
+      out.filter(col("device") =!= "__wm__")
+        .filter(col("complete"))
         .filter(col("numsat") >= 5 && col("hdop") <= 8.0)
         .groupBy(col("device"),
           date_format(date_trunc("hour", col("fix_time")), "yyyy-MM-dd HH:00")

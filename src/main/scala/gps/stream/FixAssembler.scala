@@ -58,14 +58,17 @@ case class StreamFix(
     speed_kmph: Option[Double],
     track_deg: Option[Double],
     n_sats_view: Int,
-    complete: Boolean)
+    complete: Boolean,
+    types_seen: String)
 
 /** Per-device stream state: the fix currently being assembled — exactly the
   * reference's `$CurrentUTC` cursor + `$Nmea[$CurrentUTC]` open row
   * (class.nmea.parser.php:22,25), except bounded: closed fixes are emitted
   * downstream instead of accumulating forever (the reference never evicts —
-  * SURVEY.md §4.2). */
-case class FixBuffer(current: Option[ParsedSentence], maxLineNo: Long)
+  * SURVEY.md §4.2). `types` is the sentence-type flag set of the open fix
+  * (:173 etc.), mirroring the batch assembly's `types_seen`. */
+case class FixBuffer(current: Option[ParsedSentence], maxLineNo: Long,
+    types: Seq[String])
 
 /** Streaming GPS-fix assembly — the flagship stateful operator (SURVEY.md
   * B42). `flatMapGroupsWithState` keyed by device; sentences are folded in
@@ -121,23 +124,46 @@ object FixAssembler {
   private def goodEnough(p: ParsedSentence): Boolean =
     p.date.isDefined && p.utc.isDefined && p.lat.isDefined && p.lon.isDefined
 
-  private[stream] def toFix(p: ParsedSentence): StreamFix = StreamFix(
-    device = p.device, utc = p.utc.getOrElse(""), date = p.date,
-    fix_time = p.fix_time, lat = p.lat, lon = p.lon, quality = p.quality,
-    numsat = p.numsat, hdop = p.hdop, vdop = p.vdop, alt = p.alt,
-    speed_knots = p.speed_knots, speed_kmph = p.speed_kmph,
-    track_deg = p.track_deg,
-    n_sats_view = p.sats_in_view.map(_.size).getOrElse(0),
-    complete = goodEnough(p))
+  private[stream] def toFix(p: ParsedSentence, types: Seq[String]): StreamFix =
+    StreamFix(
+      device = p.device, utc = p.utc.getOrElse(""), date = p.date,
+      fix_time = p.fix_time, lat = p.lat, lon = p.lon, quality = p.quality,
+      numsat = p.numsat, hdop = p.hdop, vdop = p.vdop, alt = p.alt,
+      speed_knots = p.speed_knots, speed_kmph = p.speed_kmph,
+      track_deg = p.track_deg,
+      n_sats_view = p.sats_in_view.map(_.size).getOrElse(0),
+      complete = goodEnough(p),
+      // sorted distinct flag set — same encoding as the batch assembly's
+      // array_join(array_sort(collect_set(stype)), ",")
+      types_seen = types.distinct.sorted.mkString(","))
+
+  /** Watermark delay AND per-fix eviction cushion. A fix whose device has
+    * been silent for this long past the fix's own event time is closed and
+    * emitted by timeout; rows disordered by less than this are never
+    * dropped as late. The synth log is time-ordered (event_id is monotone
+    * in ts), so real disorder is only same-second interleaving. */
+  val WatermarkDelay = "10 minutes"
+  private val CushionMs = 10 * 60 * 1000L
 
   /** The per-group fold. Emits every fix closed in this trigger; keeps the
-    * still-open fix in state for the next trigger. */
-  private def processGroup(
+    * still-open fix in state for the next trigger. `evict` (streaming
+    * only) schedules an event-time timeout at the open fix's own time +
+    * cushion, so state for silent devices is flushed and removed instead
+    * of living forever — the reference's unbounded `$Nmea` defect
+    * (class.nmea.parser.php:18,25; SURVEY.md §4.2), fixed. */
+  private def processGroup(evict: Boolean)(
       device: String,
       it: Iterator[ParsedSentence],
       state: GroupState[FixBuffer]): Iterator[StreamFix] = {
+    if (evict && state.hasTimedOut) {
+      // silent device: close and emit the open fix, drop the state
+      val out = state.getOption.toSeq.flatMap(b =>
+        b.current.filter(goodEnough).map(p => toFix(p, b.types)))
+      state.remove()
+      return out.iterator
+    }
     val sorted = it.toSeq.sortBy(_.line_no)
-    var buf = state.getOption.getOrElse(FixBuffer(None, -1L))
+    var buf = state.getOption.getOrElse(FixBuffer(None, -1L, Nil))
     val out = Seq.newBuilder[StreamFix]
     sorted.foreach { s =>
       // replayed/duplicate lines at or before the high-water mark are
@@ -146,10 +172,12 @@ object FixAssembler {
         val opensNew = s.utc.isDefined &&
           !buf.current.exists(_.utc == s.utc)
         if (opensNew) {
-          buf.current.filter(goodEnough).foreach(p => out += toFix(p))
-          buf = FixBuffer(Some(s), s.line_no)
+          buf.current.filter(goodEnough)
+            .foreach(p => out += toFix(p, buf.types))
+          buf = FixBuffer(Some(s), s.line_no, Seq(s.stype))
         } else if (buf.current.isDefined) {
-          buf = FixBuffer(Some(merge(buf.current.get, s)), s.line_no)
+          buf = FixBuffer(Some(merge(buf.current.get, s)), s.line_no,
+            buf.types :+ s.stype)
         } else {
           // pre-fix, timestamp-less sentence: the reference piles these
           // under key 0 (:29); we drop them (they can never GoodEnough)
@@ -158,16 +186,35 @@ object FixAssembler {
       }
     }
     state.update(buf)
+    if (evict) {
+      // Timeouts must be re-armed on every invocation. The open fix's own
+      // event time anchors the timeout; a fix that has no RMC yet inherits
+      // the current watermark as its anchor (it still evicts one cushion
+      // after the stream moves on). Both anchors are >= the current
+      // watermark, which setTimeoutTimestamp requires.
+      val anchor = buf.current.flatMap(_.fix_time).map(_.getTime)
+        .getOrElse(state.getCurrentWatermarkMs())
+      state.setTimeoutTimestamp(math.max(anchor,
+        state.getCurrentWatermarkMs()) + CushionMs)
+    }
     out.result().iterator
   }
 
-  /** Streaming assembly over parsed sentences. Append-mode compatible. */
+  /** Streaming assembly over parsed sentences, with event-time state
+    * eviction (watermark on `fix_time`, carried by RMC sentences). On a
+    * batch Dataset the watermark node is erased by the analyzer, so the
+    * batch path runs the identical fold without timeouts. */
   def assemble(parsed: Dataset[ParsedSentence]): Dataset[StreamFix] = {
     import parsed.sparkSession.implicits._
-    parsed
-      .groupByKey(_.device)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(processGroup)
+    if (parsed.isStreaming)
+      parsed.withWatermark("fix_time", WatermarkDelay)
+        .groupByKey(_.device)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(processGroup(evict = true))
+    else
+      parsed.groupByKey(_.device)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(processGroup(evict = false))
   }
 
   /** Batch entry point with identical semantics (for stream≡batch tests). */

@@ -57,9 +57,41 @@ class StreamingSpec extends AnyFunSuite {
     val batch = FixAssembler.assemble(
       NF.parseSentences(all.toDF("device", "line_no", "line"))
         .as[ParsedSentence])
-      .collect().filter(_.complete).map(f => (f.device, f.utc, f.speed_kmph))
+      .collect().filter(_.complete)
+      .map(f => (f.device, f.utc, f.speed_kmph, f.types_seen))
     assert(batch.toSet == Set(
-      ("A", "120000", Some(41.5)), ("A", "120001", None)))
+      ("A", "120000", Some(41.5), "GPGGA,GPGSA,GPRMC,GPVTG"),
+      ("A", "120001", None, "GPGGA,GPRMC")))
+  }
+
+  test("event-time timeout closes and evicts a silent device's open fix (B42)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val parsed = NF.parseSentences(
+      mem.toDF().toDF("device", "line_no", "line")).as[ParsedSentence]
+    val q = FixAssembler.assemble(parsed).toDF()
+      .writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(fix1: _*) // A's fix at 12:00:00 — open, nothing emitted
+      q.processAllAvailable()
+      assert(spark.table("evict").filter(col("device") === "A").count() == 0)
+      // a different device advances event time to 13:00 → after this
+      // batch the watermark is 12:50, past A's 12:10 eviction anchor
+      mem.addData(("B", 100L,
+        ck("GPRMC,130000,A,4807.0380,N,01131.0000,E,010.0,084.4,010324,003.1,W")))
+      q.processAllAvailable()
+      // the next batch's timeout sweep fires for A: the open fix emits
+      // WITHOUT any closing sentence from A, and A's state is removed
+      mem.addData(("B", 101L,
+        ck("GPRMC,130100,A,4807.0380,N,01131.0000,E,010.0,084.4,010324,003.1,W")))
+      q.processAllAvailable()
+      val a = spark.table("evict").filter(col("device") === "A").collect()
+      assert(a.length == 1, s"expected A's fix flushed by timeout: ${a.toSeq}")
+      assert(a(0).getAs[String]("utc") == "120000")
+      assert(a(0).getAs[Boolean]("complete"))
+      assert(a(0).getAs[String]("types_seen") == "GPGGA,GPGSA,GPRMC")
+    } finally q.stop()
   }
 
   test("watermark drops late data across triggers (B41)") {
