@@ -39,18 +39,26 @@ object Core {
     * Writers produce into a unique temp dir and atomically rename into
     * place, so a concurrent process can never observe (or overwrite) a
     * half-written directory — the losing writer just discards its copy.
-    * `_SUCCESS` marks a complete publish; a marker-less leftover from a
-    * crashed writer is cleared before racing. */
-  def publishOnce(dir: String)(write: String => Unit): String = {
+    * `_SUCCESS` marks a complete publish. A marker-less leftover from a
+    * crashed writer is cleared, but only AFTER this writer's copy is
+    * ready and with the marker re-checked at the last moment: a publish
+    * that completed while we were producing ours is a win, never a
+    * delete target (the r2 advisor's TOCTOU). In-JVM callers are
+    * serialized; cross-process the atomic rename still arbitrates. */
+  def publishOnce(dir: String)(write: String => Unit): String = synchronized {
     val dest = new java.io.File(dir)
-    if (!new java.io.File(dest, "_SUCCESS").exists()) {
-      if (dest.exists()) deleteRecursively(dest) // crashed, marker-less write
+    val marker = new java.io.File(dest, "_SUCCESS")
+    if (!marker.exists()) {
       val tmp = new java.io.File(dir + ".tmp." + java.util.UUID.randomUUID)
       write(tmp.getPath)
-      try java.nio.file.Files.move(tmp.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException => // another writer won the race
-        deleteRecursively(tmp)
+      if (marker.exists()) deleteRecursively(tmp) // concurrent publish won
+      else {
+        if (dest.exists()) deleteRecursively(dest) // crashed, marker-less
+        try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException => // another writer won the race
+          deleteRecursively(tmp)
+        }
       }
     }
     dir

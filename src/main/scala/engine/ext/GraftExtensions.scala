@@ -94,7 +94,8 @@ object GraftExtensions {
       nmeaChecksumFn._1, nmeaChecksumFn._2, nmeaChecksumFn._3)
     org.apache.spark.sql.graft.FunctionShim.register(spark,
       doubleArrayDotFn._1, doubleArrayDotFn._2, doubleArrayDotFn._3)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ AccelerateDotProduct
+    if (!spark.experimental.extraOptimizations.contains(AccelerateDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AccelerateDotProduct
   }
 }

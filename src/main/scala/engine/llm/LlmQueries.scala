@@ -27,9 +27,14 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
 
-  /** Vector-count gate for dedup_embedding's exact all-pairs yardstick;
-    * above this the SRP-banded candidate path runs instead. */
-  private val ExactPairLimit = 4096L
+  /** dedup_embedding mode switch (session conf). `exact` (the default) is
+    * the oracle-matched all-pairs enumeration — the correctness yardstick,
+    * and what the driver's DuckDB compare must always see. `banded` is the
+    * 100 TB deployment shape: SRP-LSH band-collision candidates, exact-
+    * cosine verified. An EXPLICIT flag, not a data-size gate: the r2
+    * advisor showed a row-count gate flips the plan under the oracle's
+    * feet the moment an sf crosses the threshold. */
+  private val EmbeddingModeKey = "spark.graft.dedupEmbedding.mode"
 
   /** documents with tokens + distinct 3-shingles attached, hash-spread
     * across the cluster first: the source parquet is one split, and the
@@ -321,23 +326,23 @@ object LlmQueries {
       WHERE bit_count(xor(a.sim, b.sim)) <= 8
       ORDER BY da, db"""))
 
-  /** Embedding-cosine near-dup pairs (cos >= 0.45), SCALE-GATED: up to
-    * [[ExactPairLimit]] vectors the oracle-exact all-pairs enumeration
-    * runs (the correctness yardstick — bit-identical to DuckDB); beyond
-    * it, candidate pairs come from SRP-LSH band collisions and only those
-    * are exact-cosine verified — the 100 TB shape, where the O(n²) pair
-    * loop must never be the default. The banded path is a high-recall
-    * near-dup *screen* (recall → 1 as cosine → 1; pairs at the 0.45
-    * margin can be missed — SRP band-collision probability ≈ 0.54 there),
-    * which is the semantics a dedup pipeline wants from this operator at
-    * scale; the gated exact path is how it is validated. */
+  /** Embedding-cosine near-dup pairs (cos >= 0.45), mode-switched by
+    * [[EmbeddingModeKey]]: `exact` (default) is the all-pairs enumeration
+    * — the correctness yardstick, bit-identical to DuckDB; `banded` draws
+    * candidate pairs from SRP-LSH band collisions and exact-cosine
+    * verifies only those — the 100 TB shape, where the O(n²) pair loop
+    * must never run. The banded path is a high-recall near-dup *screen*
+    * (recall → 1 as cosine → 1; pairs at the 0.45 margin can be missed —
+    * SRP band-collision probability ≈ 0.54 there), which is the semantics
+    * a dedup pipeline wants from this operator at scale; LlmSpec runs it
+    * explicitly and asserts it returns exactly a subset of the exact
+    * pairs, complete at cosine ≥ 0.9. */
   private val dedupEmbedding = Q(
     (s, d) => {
       val e = unitEmbeddings(s, d)
       val c = dot(col("a.u"), col("b.u"))
-      val nVec = t(s, d, "embeddings").count() // parquet metadata count
       val pairs =
-        if (nVec <= ExactPairLimit)
+        if (s.conf.get(EmbeddingModeKey, "exact") != "banded")
           e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         else {
           val banded = e

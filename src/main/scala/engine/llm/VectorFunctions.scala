@@ -40,12 +40,21 @@ object VectorFunctions {
     * bit j = [dot(v, h_j) >= 0] with h_j a fixed ±1 hyperplane. Vectors
     * with high cosine agree on most bits; banding the code turns ANN
     * search into an equi-join on band keys — the 100 TB path that replaces
-    * the O(n²) cross join. */
-  def srpCode(v: Column, nPlanes: Int, dim: Int): Column =
+    * the O(n²) cross join.
+    *
+    * `dim` must equal the vectors' actual length: [[DoubleArrayDot]] is
+    * NULL on length mismatch, and a silently-NULL planeDot would fold
+    * every vector to code 0 — i.e. every band collides and the candidate
+    * join degenerates to a cross product. The guard makes that loud. */
+  def srpCode(v: Column, nPlanes: Int, dim: Int): Column = {
+    val guard = when(size(v) === lit(dim), lit(0L)).otherwise(raise_error(
+      concat(lit(s"srpCode: hyperplane dim $dim but vector has "),
+        size(v).cast("string"), lit(" elements"))))
     (0 until nPlanes).map { j =>
       val planeDot = DoubleArrayDot(v, lit((0 until dim).map(coeff(j, _)).toArray))
       when(planeDot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ + _) + guard
+  }
 
   /** All bands of an LSH/simhash code as ARRAY<STRUCT<band, bv>> — explode
     * this to get one (band index, band value) row per band. Shift amounts

@@ -52,22 +52,37 @@ class ExtensionsSpec extends AnyFunSuite {
   test("DoubleArrayDot matches HOF semantics on ragged/null-element arrays") {
     // the rewrite is only sound if both formulations agree on EVERY input:
     // zip_with pads a length mismatch with nulls and acc+null poisons the
-    // aggregate => NULL; a null element likewise => NULL
-    val df = Seq(
-      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
-      (Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)),
-      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
-      .toDF("a", "b")
-    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val rows = df.select(DAD(col("a"), col("b")).as("fast"), hof.as("ref"))
-      .collect()
-    rows.foreach { r =>
-      assert(r.isNullAt(0) == r.isNullAt(1), s"null parity broken: $r")
-      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
-    }
-    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 11.0)
-    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    // aggregate => NULL; a null element likewise => NULL.
+    // The `ref` column must be the REAL interpreted HOF — earlier tests in
+    // this shared-session suite install AccelerateDotProduct, which would
+    // silently rewrite ref to DAD and make the parity vacuous (r2 advisor)
+    // — so the rule is suspended for this test and the plan is checked.
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq.empty
+    try {
+      val df = Seq(
+        (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+        (Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)),
+        (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))
+        .toDF("a", "b")
+      val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      val sel = df.select(DAD(col("a"), col("b")).as("fast"), hof.as("ref"))
+      // with the rule suspended, no DAD can appear beyond the explicit
+      // `fast` column — the literal-input projection constant-folds into a
+      // LocalRelation, whose values were computed by the genuine
+      // interpreted ArrayAggregate (the rule list it folded under is empty)
+      val dads = sel.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case e: DAD => e })
+      assert(dads.size <= 1, s"ref column was rewritten; parity vacuous: $dads")
+      val rows = sel.collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null parity broken: $r")
+        if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      }
+      assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 11.0)
+      assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    } finally spark.experimental.extraOptimizations = saved
   }
 
   test("AccelerateDotProduct leaves non-matching aggregates alone") {

@@ -9,11 +9,15 @@ import engine.llm.{LlmQueries, MultimodalQueries, TextFunctions, VectorFunctions
   * driver testdata: MinHash estimates vs exact Jaccard, SimHash hamming
   * separation, ANN recall vs the brute-force baseline, and the
   * multimodal decode-stub plumbing. */
-class LlmSpec extends AnyFunSuite {
+class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   val sf = "/root/testdata/sf0.001"
+
+  // persist-marked frames (minhash/jaccard signatures) must not outlive
+  // the suite — outside Verify/Bench nothing else drains the registry
+  override def afterAll(): Unit = engine.ScratchCache.drain()
 
   test("minhash estimate tracks exact shingle Jaccard on near-dup pairs") {
     val exact = LlmQueries.queries("dedup_ngram_jaccard").fn(spark, sf)
@@ -49,6 +53,29 @@ class LlmSpec extends AnyFunSuite {
     val pairs = LlmQueries.simhashPairs(df, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
+  }
+
+  test("dedup_embedding banded mode: subset of exact, complete at high cosine") {
+    val q = LlmQueries.queries("dedup_embedding")
+    val exact = q.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "testdata should contain embedding near-dups")
+    spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
+    try {
+      val banded = q.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // exact-cosine verification of candidates ⇒ never a false positive,
+      // and the surviving pairs carry identical cosines
+      assert(banded.keySet.subsetOf(exact.keySet),
+        s"banded emitted non-pairs: ${banded.keySet -- exact.keySet}")
+      banded.foreach { case (k, v) => assert(v == exact(k)) }
+      // every sf0.001 pair sits AT the 0.45 margin (cos 0.45-0.48), the
+      // worst case for SRP collision (theory: ~0.56 per pair with 4x4-bit
+      // bands); deterministic md5 planes make the observed 5/7 stable —
+      // assert the conservative floor. Recall → 1 as cosine → 1.
+      assert(banded.size * 2 >= exact.size,
+        s"banded recall ${banded.size}/${exact.size} below 0.5 at the margin")
+    } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
   }
 
   test("ann recall vs brute-force top-k") {

@@ -9,9 +9,13 @@ import gps.TestSpark
   * the parquet scan, candidate generation is equi-join (no cartesian in
   * the near-dup path), and the similarity hot loop uses the codegen'd
   * dot product. */
-class PlanSpec extends AnyFunSuite {
+class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
+
+  // building the near-dup plans registers persist-marked frames; drop
+  // them so they don't pin cache entries for the rest of the JVM
+  override def afterAll(): Unit = engine.ScratchCache.drain()
 
   private def plan(q: String): String =
     graft.SparkEntry.queries(q)(spark, sf)
