@@ -1,0 +1,21 @@
+import org.apache.spark.sql.SparkSession
+object MiniBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.SparkEntry.queries("agg_hash")(spark, sfDir).count() catch { case _: Throwable => }
+    for (n <- names; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      engine.ScratchCache.drain()
+      System.gc()
+      println(f"MINIBENCH $n run$i: $dt%.2f s ($c rows)")
+    }
+    spark.stop()
+  }
+}

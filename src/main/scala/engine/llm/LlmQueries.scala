@@ -293,7 +293,9 @@ object LlmQueries {
     * candidate generation — exact per the pigeonhole bound. */
   def simhashPairs(docsDf: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 9, "10 bands of 6 bits are exact only to hamming 9")
-    val banded = simhashOf(docsDf)
+    // both sides of the band self-join consume the signature frame; persist
+    // it (|docs| rows of (id, 60-bit code)) or the token pipeline runs twice
+    val banded = engine.ScratchCache.persist(simhashOf(docsDf))
       .select(col("doc_id"), col("sim"),
         explode(codeBands(col("sim"), 10, 6)).as("bb"))
       .select(col("doc_id"), col("sim"),
