@@ -1,4 +1,13 @@
+package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time individual queries by name (2 runs each, drained
+  * and GC'd in between, after an agg_hash warm-up) without paying for
+  * the full 60-query [[Bench]] sweep.
+  *
+  * {{{ sbt "runMain graft.MiniBench /root/testdata/sf0.1 dedup_minhash" }}}
+  */
 object MiniBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -7,10 +16,11 @@ object MiniBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try graft.SparkEntry.queries("agg_hash")(spark, sfDir).count() catch { case _: Throwable => }
+    try SparkEntry.queries("agg_hash")(spark, sfDir).count()
+    catch { case _: Throwable => }
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val c = SparkEntry.queries(n)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       engine.ScratchCache.drain()
       System.gc()
