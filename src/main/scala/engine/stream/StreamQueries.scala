@@ -75,7 +75,11 @@ object StreamQueries {
     * widened to hours), executed as a real stream: file source → windowed
     * agg → complete-mode memory sink. A single AvailableNow batch makes
     * complete mode emit exactly the batch result, so the DuckDB
-    * date_trunc oracle holds verbatim. */
+    * date_trunc oracle holds verbatim. Complete+memory is the *harness*
+    * sink (it must buffer the whole result); a production deployment runs
+    * the same agg in append mode behind a watermark to a real sink, which
+    * emits each window once and keeps state bounded — exactly the shape
+    * B41 (stream_watermark_late) demonstrates. */
   private val streamTumbling = Q(
     (s, d) => {
       val agg = eventsStream(s, d)
