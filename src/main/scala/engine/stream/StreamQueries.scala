@@ -30,9 +30,13 @@ object StreamQueries {
     // publishOnce = temp dir + atomic rename (no cross-process races).
     val dir = engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
       val out = orderedBy match {
-        // global sort ⇒ range-partitioned part files: file k's key range
-        // precedes file k+1's, modeling a log that arrives in order
-        case Some(c) => df.orderBy(col(c))
+        // EXPLICIT 32-way range partitioning ⇒ 32 part files where file
+        // k's key range precedes file k+1's, modeling a log that arrives
+        // in order. (A bare orderBy is AQE-coalesced to ~4 files — fewer
+        // than maxFilesPerTrigger, which silently un-bounds the trigger;
+        // an explicit repartition count is exempt from AQE coalescing.)
+        case Some(c) => df.repartitionByRange(32, col(c))
+          .sortWithinPartitions(col(c))
         case None => if (singleFile) df.coalesce(1) else df
       }
       out.write.mode("overwrite").parquet(tmp)
@@ -214,7 +218,7 @@ object StreamQueries {
             lit("000.0"), lit("084.4"), date_format(hbTs, "ddMMyy"),
             lit("003.1"), lit("W"))).as("line"))
       val src = asFileStream(s, lines.unionByName(heartbeat),
-        s"mergev2_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
+        s"mergev3_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
         orderedBy = Some("line_no"), maxFilesPerTrigger = Some(8))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
