@@ -25,10 +25,21 @@ object StreamQueries {
   private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
       singleFile: Boolean = false, orderedBy: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val dir = publishSource(df, tag, singleFile, orderedBy)
+    val reader = spark.readStream.schema(df.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** Publish the batch df as the stream's file-source directory; returns
+    * the dir. Package-private so StreamingSpec can pin the file layout
+    * that `maxFilesPerTrigger` bounding depends on. */
+  private[stream] def publishSource(df: DataFrame, tag: String,
+      singleFile: Boolean = false, orderedBy: Option[String] = None): String = {
     // tag MUST be sf-qualified by the caller — the cache is per content;
     // v-suffix = source format version (bump on content change).
     // publishOnce = temp dir + atomic rename (no cross-process races).
-    val dir = engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
+    engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
       val out = orderedBy match {
         // EXPLICIT 32-way range partitioning ⇒ 32 part files where file
         // k's key range precedes file k+1's, modeling a log that arrives
@@ -52,9 +63,6 @@ object StreamQueries {
         }
       }
     }
-    val reader = spark.readStream.schema(df.schema)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
   }
 
   /** Run a streaming df to completion into a memory sink; return result. */

@@ -1,0 +1,43 @@
+package engine.stream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+
+/** Pins the file layout that the flagship's bounded-trigger posture
+  * depends on. `maxFilesPerTrigger=N` only bounds a trigger if the
+  * published source has MORE than N files — round 3 found a bare
+  * `orderBy` write AQE-coalesced to 4 files, silently turning the
+  * "bounded" stream into one whole-log trigger. */
+class StreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ordered publish yields >maxFilesPerTrigger contiguous-range files") {
+    val df = (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val tag = "spec_layout_" + System.nanoTime() // unique: force a fresh publish
+    val dir = StreamQueries.publishSource(df, tag, orderedBy = Some("k"))
+    try {
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .sortBy(_.getName)
+      assert(parts.length == 32,
+        s"expected 32 range files (AQE must not coalesce), got ${parts.length}")
+      // admission order (mtime, path) must follow key order: file k's max
+      // key < file k+1's min key, and mtimes strictly increase
+      assert(parts.sliding(2).forall { case Array(a, b) =>
+        a.lastModified < b.lastModified })
+      val ranges = parts.map { f =>
+        val r = spark.read.parquet(f.getPath).agg(min("k"), max("k")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(ranges.sliding(2).forall { case Array((_, amax), (bmin, _)) =>
+        amax < bmin }, s"ranges not contiguous-ordered: ${ranges.toSeq}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
