@@ -186,10 +186,19 @@ object StreamQueries {
     * counts. */
   private val streamDedup = Q(
     (s, d) => {
-      val ev = t(s, d, "events").select(col("event_id"), col("user_id"))
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("ts"))
       val doubled = ev.unionAll(ev)
-      val src = asFileStream(s, doubled, s"dedup_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-      val deduped = src.dropDuplicates("event_id")
+      val src = asFileStream(s, doubled, s"dedupv2_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: plain dedup
+      // state lives forever (one entry per event_id ever seen — the
+      // unbounded-state anti-pattern at 100 TB); the watermark form
+      // evicts a key once the watermark passes its event time + delay,
+      // which is the semantics replay suppression needs (replays arrive
+      // promptly, not days later). Exact here: a single AvailableNow
+      // admission processes all rows before the watermark first advances.
+      val deduped = src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
       runToMemory(s, deduped, "graft_dedup_sink", mode = "complete")
         .orderBy("user_id")
