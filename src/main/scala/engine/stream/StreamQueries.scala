@@ -234,9 +234,13 @@ object StreamQueries {
             lit("0000.0000"), lit("N"), lit("00000.0000"), lit("E"),
             lit("000.0"), lit("084.4"), date_format(hbTs, "ddMMyy"),
             lit("003.1"), lit("W"))).as("line"))
+      // the per-trigger buffer bound is O(maxFilesPerTrigger × file size)
+      // — an absolute cap independent of total log length (a 2000-file
+      // production log still admits 16 files per trigger), which is what
+      // keeps FixAssembler's per-device it.toSeq slice bounded at scale
       val src = asFileStream(s, lines.unionByName(heartbeat),
         s"mergev3_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
-        orderedBy = Some("line_no"), maxFilesPerTrigger = Some(8))
+        orderedBy = Some("line_no"), maxFilesPerTrigger = Some(16))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
       val out = runToMemory(s, fixes.toDF(), "graft_merge_sink")
