@@ -36,30 +36,35 @@ object Core {
   def r4(c: Column): Column = round(c, 4)
 
   /** Publish a deterministic scratch dataset at `dir` exactly once.
-    * Writers produce into a unique temp dir and atomically rename into
-    * place, so a concurrent process can never observe (or overwrite) a
-    * half-written directory — the losing writer just discards its copy.
-    * `_SUCCESS` marks a complete publish. A marker-less leftover from a
-    * crashed writer is cleared, but only AFTER this writer's copy is
-    * ready and with the marker re-checked at the last moment: a publish
-    * that completed while we were producing ours is a win, never a
-    * delete target (the r2 advisor's TOCTOU). In-JVM callers are
-    * serialized; cross-process the atomic rename still arbitrates. */
+    * Writers produce into a unique temp dir (outside any lock — the write
+    * is the slow part), then take an exclusive cross-process file lock for
+    * the commit step: re-check `_SUCCESS`, clear a marker-less leftover
+    * from a crashed writer, and atomically rename into place. A publish
+    * that completed while we were producing ours is a win, never a delete
+    * target — the lock closes the re-check→delete window that a
+    * marker-only protocol leaves open (r2 advisor TOCTOU; r3 review). */
   def publishOnce(dir: String)(write: String => Unit): String = synchronized {
     val dest = new java.io.File(dir)
     val marker = new java.io.File(dest, "_SUCCESS")
     if (!marker.exists()) {
       val tmp = new java.io.File(dir + ".tmp." + java.util.UUID.randomUUID)
       write(tmp.getPath)
-      if (marker.exists()) deleteRecursively(tmp) // concurrent publish won
-      else {
-        if (dest.exists()) deleteRecursively(dest) // crashed, marker-less
-        try java.nio.file.Files.move(tmp.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException => // another writer won the race
-          deleteRecursively(tmp)
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(dir + ".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        if (marker.exists()) deleteRecursively(tmp) // concurrent publish won
+        else {
+          if (dest.exists()) deleteRecursively(dest) // crashed, marker-less
+          try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => // lost a non-locking race
+            deleteRecursively(tmp)
+          }
         }
-      }
+      } finally { lock.release(); lockCh.close() }
     }
     dir
   }

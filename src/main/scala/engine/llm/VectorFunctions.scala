@@ -47,9 +47,14 @@ object VectorFunctions {
     * every vector to code 0 — i.e. every band collides and the candidate
     * join degenerates to a cross product. The guard makes that loud. */
   def srpCode(v: Column, nPlanes: Int, dim: Int): Column = {
-    val guard = when(size(v) === lit(dim), lit(0L)).otherwise(raise_error(
-      concat(lit(s"srpCode: hyperplane dim $dim but vector has "),
-        size(v).cast("string"), lit(" elements"))))
+    // NULL vector → NULL code (band keys never equi-join ⇒ the row is
+    // excluded, matching the exact path where a null cosine fails every
+    // threshold); a present-but-wrong-length vector fails loudly
+    val guard = when(isnull(v), lit(null).cast("long"))
+      .when(size(v) === lit(dim), lit(0L))
+      .otherwise(raise_error(
+        concat(lit(s"srpCode: hyperplane dim $dim but vector has "),
+          size(v).cast("string"), lit(" elements"))))
     (0 until nPlanes).map { j =>
       val planeDot = DoubleArrayDot(v, lit((0 until dim).map(coeff(j, _)).toArray))
       when(planeDot >= 0, lit(1L << j)).otherwise(lit(0L))

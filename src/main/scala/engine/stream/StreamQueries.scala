@@ -59,7 +59,12 @@ object StreamQueries {
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         val base = System.currentTimeMillis() - parts.length * 2000L
         parts.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(base + i * 2000L): Unit
+          // loud failure: silently unordered mtimes would let triggers
+          // admit files out of key order and the watermark would then
+          // drop later files' rows as late — wrong answers, no error
+          require(f.setLastModified(base + i * 2000L),
+            s"could not stagger mtime of $f — file-stream admission order" +
+              " would be undefined")
         }
       }
     }

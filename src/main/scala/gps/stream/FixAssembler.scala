@@ -203,7 +203,15 @@ object FixAssembler {
   /** Streaming assembly over parsed sentences, with event-time state
     * eviction (watermark on `fix_time`, carried by RMC sentences). On a
     * batch Dataset the watermark node is erased by the analyzer, so the
-    * batch path runs the identical fold without timeouts. */
+    * batch path runs the identical fold without timeouts.
+    *
+    * Eviction IS the watermark contract: a sentence arriving more than
+    * [[WatermarkDelay]] of event time after its fix opened may find the
+    * fix already flushed (and may itself be dropped as late) — the stream
+    * then differs from batch for that fix. That horizon is the necessary
+    * price of bounded state (the alternative is the reference's
+    * grow-forever map); real fixes span ~1 second, so the 10-minute
+    * cushion is ~600x the observed intra-fix spread. */
   def assemble(parsed: Dataset[ParsedSentence]): Dataset[StreamFix] = {
     import parsed.sparkSession.implicits._
     if (parsed.isStreaming)
