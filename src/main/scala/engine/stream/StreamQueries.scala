@@ -201,7 +201,9 @@ object StreamQueries {
       // evicts a key once the watermark passes its event time + delay,
       // which is the semantics replay suppression needs (replays arrive
       // promptly, not days later). Exact here: a single AvailableNow
-      // admission processes all rows before the watermark first advances.
+      // admission processes all rows before the watermark first advances
+      // (a production run evicts continuously across its many triggers;
+      // replay pairs share a ts, so co-admission keeps them in-window).
       val deduped = src.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
