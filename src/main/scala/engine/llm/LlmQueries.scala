@@ -408,8 +408,13 @@ object LlmQueries {
 
   /** ANN via sign-random-projection LSH: 16-bit SRP code per vector,
     * banded 4×4; candidates share a band (equi-join), then exact cosine +
-    * top-k *within candidates only*. Approximate by construction ⇒ no SQL
-    * oracle; recall vs `sim_search_topk` is asserted in LlmSpec. */
+    * top-k *within candidates only*. Approximate w.r.t. the true top-k
+    * (recall vs `sim_search_topk` is asserted in LlmSpec) but fully
+    * DETERMINISTIC — the hyperplanes are md5-derived — so the oracle
+    * replays the identical pipeline in DuckDB: same ±1 planes (sign of
+    * md5("j:d")'s first bit), same left-to-right plane dots (list_sum
+    * order = DoubleArrayDot order ⇒ bit-identical signs), same banding,
+    * candidate join, and tie-broken rank. */
   private val simSearchAnn = Q(
     (s, d) => {
       val e = unitEmbeddings(s, d)
@@ -443,7 +448,36 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
     },
-    None)
+    Some(unitSql + """,
+      planes AS (
+        SELECT j, list(CASE WHEN ('0x' || substr(
+                 md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
+               THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+        FROM generate_series(0, 15) s(j)
+        CROSS JOIN generate_series(0, 63) t(d) GROUP BY j),
+      codes AS (
+        SELECT vec_id,
+          sum(CASE WHEN list_sum(list_transform(list_zip(u, pl),
+                p -> p[1] * p[2])) >= 0
+              THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
+        FROM e CROSS JOIN planes GROUP BY vec_id),
+      bands AS (
+        SELECT vec_id, j AS band, (code >> (j * 4)) & 15 AS bv
+        FROM codes CROSS JOIN generate_series(0, 3) g(j)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      sc AS (
+        SELECT cand.qid, cand.cid,
+          list_sum(list_transform(list_zip(eq.u, ec.u), p -> p[1] * p[2])) AS cos
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.qid
+        JOIN e ec ON ec.vec_id = cand.cid)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        round(cos, 4) AS cosine
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
   // ------------------------------------------------------ B50 text analysis
   /** Synthetic stand-in stopword lists (the testdata vocabulary is 30

@@ -215,18 +215,40 @@ object FnQueries {
         ON events.user_id = o.k AND events.ts >= o.at
       ORDER BY event_id"""))
 
-  /** B21: HLL approximate distinct (scale mandate — 100 TB cardinalities
-    * can't be counted exactly without a full shuffle). No SQL oracle:
-    * DuckDB's approx sketch differs; correctness is bounded by the exact
-    * count emitted alongside (rows-only driver check + unit test). */
+  /** B21: approximate distinct (scale mandate — 100 TB cardinalities
+    * can't be counted exactly without shuffling every key). Two surfaces:
+    *
+    *  - Spark's native HLL (`approx_count_distinct`) is the operator a
+    *    user reaches for; its sketch isn't portable to DuckDB, so its
+    *    error bound is pinned in RelSpec, not here.
+    *  - The QUERY emits a *portable* cardinality sketch — linear counting
+    *    (Whang et al., TODS '90) over 4096 md5 buckets: estimate =
+    *    −K·ln(hit/K) for hit = fraction of buckets unhit. Bucketing and
+    *    arithmetic are deterministic and identical in both engines
+    *    (md5-prefix → BIGINT & 4095, same double math), so the whole row
+    *    — exact count, buckets hit, estimate — is hash-checked against
+    *    DuckDB like any exact query. */
   private val aggApproxDistinct = Q(
     (s, d) => t(s, d, "events")
+      .select(col("event_type"),
+        col("user_id"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").bitwiseAND(lit(4095L)).as("bucket"))
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+        countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("bucket")).as("lc_buckets"),
+        r4(-lit(4096.0) * log(lit(1.0) - countDistinct(col("bucket")) / lit(4096.0)))
+          .as("lc_estimate"))
       .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type,
+        count(DISTINCT user_id) AS exact_users,
+        count(DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT & 4095)
+          AS lc_buckets,
+        round(-4096.0 * ln(1.0 -
+          count(DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT & 4095)
+            / 4096.0), 4) AS lc_estimate
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val queries: Map[String, Q] = Map(
     "fn_string" -> fnString,

@@ -65,4 +65,19 @@ class ExprSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("double"))
   }
+
+  test("native HLL approx distinct stays within its rsd bound (B21)") {
+    // the oracle-checked query surface uses the portable linear-counting
+    // sketch; Spark's approx_count_distinct (the operator a user reaches
+    // for at 100 TB) is pinned here instead — rsd 0.01 ⇒ ±5% is generous
+    val df = engine.Core.t(spark, "/root/testdata/sf0.001", "events")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .head()
+    val (approx, exact) = (df.getLong(0), df.getLong(1))
+    assert(exact > 0)
+    assert(math.abs(approx - exact) <= math.max(1L, exact / 20),
+      s"approx=$approx exact=$exact")
+  }
 }
