@@ -47,13 +47,15 @@ object MultimodalQueries {
     MediaFeatures(m.doc_id, m.payload.length, m.width, m.height, hist, sample)
   }
 
-  /** Non-SQL (stubbed decode has no DuckDB equivalent); covered by
-    * LlmSpec. Payload synthesized from the text bytes — deterministic,
-    * so re-runs hash identically. The histogram is projected as 16
-    * scalar columns (hist_00..hist_15), not ARRAY<DOUBLE>: the final
-    * result is a verification surface and scalar columns sort/hash in
-    * any downstream tool (array-typed result columns are the one shape
-    * the driver harness cannot factorize). */
+  /** Payload synthesized from the text bytes — deterministic, so the
+    * stub IS oracle-expressible: DuckDB replays the byte arithmetic over
+    * `hex(payload)` (nibble histogram with round-half-even — Scala
+    * `math.rint` ≡ DuckDB `round_even` — and the stride-8 byte sample),
+    * so even the mapPartitions surface is hash-checked end to end. The
+    * histogram is projected as 16 scalar columns (hist_00..hist_15), not
+    * ARRAY<DOUBLE>: the final result is a verification surface and
+    * scalar columns sort/hash in any downstream tool (array-typed result
+    * columns are the one shape the driver harness cannot factorize). */
   private val multimodalFeatures = Q(
     (s, d) => {
       import s.implicits._
@@ -71,7 +73,33 @@ object MultimodalQueries {
           col("height")) ++ histCols :+ col("sample_hex"): _*)
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      val histAggs = (0 until 16).map(k =>
+        f"round_even(sum(CASE WHEN bin=$k THEN 1 ELSE 0 END)::DOUBLE" +
+          f" / max(n) * 10000, 0)/10000 AS hist_$k%02d").mkString(", ")
+      val histSel = (0 until 16).map(k => f"h.hist_$k%02d").mkString(", ")
+      s"""WITH m AS (
+        SELECT doc_id, encode(text) AS payload,
+          (doc_id * 37) % 512 + 128 AS width,
+          (doc_id * 53) % 384 + 96 AS height
+        FROM documents),
+      b AS (SELECT doc_id, width, height, octet_length(payload) AS nb,
+              greatest(octet_length(payload), 1) AS n, hex(payload) AS hx
+            FROM m),
+      nib AS (SELECT doc_id, n, ('0x' || substr(hx, 2*i+1, 1))::INT AS bin
+              FROM (SELECT doc_id, n, hx, unnest(range(n)) AS i FROM b)),
+      h AS (SELECT doc_id, $histAggs FROM nib GROUP BY doc_id),
+      smp AS (SELECT doc_id,
+                string_agg(lower(substr(hx, 2*(i*s)+1, 2)), '' ORDER BY i)
+                  AS sample_hex
+              FROM (SELECT doc_id, hx, n, greatest(n // 8, 1) AS s,
+                      unnest(range(8)) AS i FROM b)
+              WHERE i*s < n GROUP BY doc_id)
+      SELECT b.doc_id, b.nb AS n_bytes, b.width, b.height, $histSel,
+        smp.sample_hex
+      FROM b JOIN h ON b.doc_id = h.doc_id JOIN smp ON b.doc_id = smp.doc_id
+      ORDER BY b.doc_id"""
+    })
 
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures)
