@@ -70,13 +70,30 @@ object StreamQueries {
     }
   }
 
-  /** Run a streaming df to completion into a memory sink; return result. */
+  /** Run a streaming df to completion into a memory sink; return result.
+    * The checkpoint (WAL + state stores) is transient by design here —
+    * one-shot AvailableNow run, memory sink — so it goes to tmpfs when
+    * available: state-store commits were the dominant IO (and run-to-run
+    * variance) of every stateful stream on a disk-backed /tmp. A real
+    * deployment with a durable sink needs a durable checkpoint instead —
+    * that's a recovery requirement, not a throughput choice. */
   private def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     spark.catalog.dropTempView(name) // tolerate re-runs within a session
+    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ck = new java.io.File(
+      s"$ckRoot/graft_ckpt_${name}_${java.util.UUID.randomUUID}")
     val q = sdf.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck.getPath)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ck)
+    }
     spark.table(name)
   }
 
