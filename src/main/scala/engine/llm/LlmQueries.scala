@@ -40,13 +40,10 @@ object LlmQueries {
     * across the cluster first: the source parquet is one split, and the
     * per-row work downstream (k md5 min-hashes per shingle) is orders of
     * magnitude heavier than the one-column shuffle that spreads it. */
-  private[llm] def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d).repartition(col("doc_id")).select(
       col("doc_id"),
       shingles3(tokens(col("text"))).as("s"))
-
-  /** Probe access for perf tooling. */
-  def shingledProbe(s: SparkSession, d: String): DataFrame = shingled(s, d)
 
   /** Explode a COMPUTED array without Catalyst's inferred `size(arr) > 0`
     * pushdown filter re-inlining the array-building expression tree
@@ -427,7 +424,11 @@ object LlmQueries {
     * replays the identical pipeline in DuckDB: same ±1 planes (sign of
     * md5("j:d")'s first bit), same left-to-right plane dots (list_sum
     * order = DoubleArrayDot order ⇒ bit-identical signs), same banding,
-    * candidate join, and tie-broken rank. */
+    * candidate join, and tie-broken rank. The oracle's `u IS NOT NULL`
+    * filter mirrors srpCode's NULL-vector guard (NULL code ⇒ excluded
+    * from banding); without it the SQL CASE would fold a NULL vector to
+    * code 0 and admit it as a candidate. (No `--` comments in oracle
+    * SQL: SparkEntry collapses newlines.) */
   private val simSearchAnn = Q(
     (s, d) => {
       val e = unitEmbeddings(s, d)
@@ -473,7 +474,7 @@ object LlmQueries {
           sum(CASE WHEN list_sum(list_transform(list_zip(u, pl),
                 p -> p[1] * p[2])) >= 0
               THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
-        FROM e CROSS JOIN planes GROUP BY vec_id),
+        FROM e CROSS JOIN planes WHERE u IS NOT NULL GROUP BY vec_id),
       bands AS (
         SELECT vec_id, j AS band, (code >> (j * 4)) & 15 AS bv
         FROM codes CROSS JOIN generate_series(0, 3) g(j)),

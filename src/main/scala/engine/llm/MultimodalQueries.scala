@@ -74,6 +74,11 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
     Some {
+      // NB: no `--` comments in oracle SQL — SparkEntry normalizes all
+      // whitespace to single spaces, which would comment out the rest.
+      // pos uses range(nb), not range(n): a 0-byte payload must yield NO
+      // byte positions (('0x' || substr('',1,1))::INT is a hard error);
+      // the LEFT JOIN keeps its doc alive with bin NULL → all-zero hist.
       val histAggs = (0 until 16).map(k =>
         f"round_even(sum(CASE WHEN bin=$k THEN 1 ELSE 0 END)::DOUBLE" +
           f" / max(n) * 10000, 0)/10000 AS hist_$k%02d").mkString(", ")
@@ -86,18 +91,21 @@ object MultimodalQueries {
       b AS (SELECT doc_id, width, height, octet_length(payload) AS nb,
               greatest(octet_length(payload), 1) AS n, hex(payload) AS hx
             FROM m),
-      nib AS (SELECT doc_id, n, ('0x' || substr(hx, 2*i+1, 1))::INT AS bin
-              FROM (SELECT doc_id, n, hx, unnest(range(n)) AS i FROM b)),
+      pos AS (SELECT doc_id, unnest(range(nb)) AS i FROM b),
+      nib AS (SELECT b.doc_id, b.n,
+                ('0x' || substr(b.hx, 2*pos.i+1, 1))::INT AS bin
+              FROM b LEFT JOIN pos USING (doc_id)),
       h AS (SELECT doc_id, $histAggs FROM nib GROUP BY doc_id),
       smp AS (SELECT doc_id,
                 string_agg(lower(substr(hx, 2*(i*s)+1, 2)), '' ORDER BY i)
                   AS sample_hex
-              FROM (SELECT doc_id, hx, n, greatest(n // 8, 1) AS s,
+              FROM (SELECT doc_id, hx, nb, greatest(n // 8, 1) AS s,
                       unnest(range(8)) AS i FROM b)
-              WHERE i*s < n GROUP BY doc_id)
+              WHERE i*s < nb GROUP BY doc_id)
       SELECT b.doc_id, b.nb AS n_bytes, b.width, b.height, $histSel,
-        smp.sample_hex
-      FROM b JOIN h ON b.doc_id = h.doc_id JOIN smp ON b.doc_id = smp.doc_id
+        coalesce(smp.sample_hex, '') AS sample_hex
+      FROM b JOIN h ON b.doc_id = h.doc_id
+      LEFT JOIN smp ON b.doc_id = smp.doc_id
       ORDER BY b.doc_id"""
     })
 

@@ -222,32 +222,39 @@ object FnQueries {
     *    user reaches for; its sketch isn't portable to DuckDB, so its
     *    error bound is pinned in RelSpec, not here.
     *  - The QUERY emits a *portable* cardinality sketch — linear counting
-    *    (Whang et al., TODS '90) over 4096 md5 buckets: estimate =
-    *    −K·ln(hit/K) for hit = fraction of buckets unhit. Bucketing and
-    *    arithmetic are deterministic and identical in both engines
-    *    (md5-prefix → BIGINT & 4095, same double math), so the whole row
-    *    — exact count, buckets hit, estimate — is hash-checked against
-    *    DuckDB like any exact query. */
+    *    (Whang et al., TODS '90) over K=4096 md5 buckets: estimate =
+    *    −K·ln(V) where V = empty-bucket fraction = 1 − lc_buckets/K.
+    *    The empty count is clamped to ≥1 so a saturated sketch (every
+    *    bucket hit — certain beyond ~35k distinct) reports its ceiling
+    *    K·ln(K) ≈ 34k instead of ln(0) (DuckDB hard-errors, Spark NULLs).
+    *    Bucketing and arithmetic are deterministic and identical in both
+    *    engines (md5-prefix → BIGINT & 4095, same double math), so the
+    *    whole row — exact count, buckets hit, estimate — is hash-checked
+    *    against DuckDB like any exact query. */
   private val aggApproxDistinct = Q(
-    (s, d) => t(s, d, "events")
-      .select(col("event_type"),
-        col("user_id"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").bitwiseAND(lit(4095L)).as("bucket"))
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        countDistinct(col("bucket")).as("lc_buckets"),
-        r4(-lit(4096.0) * log(lit(1.0) - countDistinct(col("bucket")) / lit(4096.0)))
-          .as("lc_estimate"))
-      .orderBy("event_type"),
+    (s, d) => {
+      val hit = countDistinct(col("bucket"))
+      t(s, d, "events")
+        .select(col("event_type"),
+          col("user_id"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").bitwiseAND(lit(4095L)).as("bucket"))
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          hit.as("lc_buckets"),
+          r4(-lit(4096.0) *
+              log(greatest(lit(4096L) - hit, lit(1L)) / lit(4096.0)))
+            .as("lc_estimate"))
+        .orderBy("event_type")
+    },
     Some("""SELECT event_type,
         count(DISTINCT user_id) AS exact_users,
         count(DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT & 4095)
           AS lc_buckets,
-        round(-4096.0 * ln(1.0 -
-          count(DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT & 4095)
-            / 4096.0), 4) AS lc_estimate
+        round(-4096.0 * ln(greatest(4096 -
+          count(DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT & 4095),
+          1) / 4096.0), 4) AS lc_estimate
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   val queries: Map[String, Q] = Map(

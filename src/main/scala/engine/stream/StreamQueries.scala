@@ -84,11 +84,14 @@ object StreamQueries {
       else System.getProperty("java.io.tmpdir")
     val ck = new java.io.File(
       s"$ckRoot/graft_ckpt_${name}_${java.util.UUID.randomUUID}")
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ck.getPath)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally {
+    // start() is inside the try: it can throw after creating checkpoint
+    // dirs, and a stranded dir on tmpfs is leaked RAM
+    try {
+      sdf.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck.getPath)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }

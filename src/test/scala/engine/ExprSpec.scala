@@ -70,7 +70,7 @@ class ExprSpec extends AnyFunSuite {
     // the oracle-checked query surface uses the portable linear-counting
     // sketch; Spark's approx_count_distinct (the operator a user reaches
     // for at 100 TB) is pinned here instead — rsd 0.01 ⇒ ±5% is generous
-    val df = engine.Core.t(spark, "/root/testdata/sf0.001", "events")
+    val df = engine.Core.t(spark, "/root/testdata/sf0.01", "events")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
         countDistinct(col("user_id")).as("exact"))
