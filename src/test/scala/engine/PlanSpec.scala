@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_embedding's banded mode never nested-loops (the 100 TB path)") {
+    // the exact default is all-pairs by design (a BNLJ on vec_id<vec_id);
+    // the deployment path must be pure equi-joins on band keys
+    spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
+    try {
+      val p = plan("dedup_embedding")
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "banded dedup_embedding degenerated to a nested-loop join")
+    } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
+  }
+
   test("sim_search_topk broadcasts the query set and uses the codegen'd dot") {
     val p = plan("sim_search_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
