@@ -559,7 +559,13 @@ object LlmQueries {
         r4(avgLen).as("avg_token_len"),
         r4(stopR).as("stopword_ratio"),
         array_contains(tok, "dup").as("has_dup_marker"),
-        r4(quality).as("quality"))
+        // floor-based rounding, NOT round(): the composite lands exactly
+        // on .00005 boundaries (e.g. 32 tokens ⇒ 0.37825), where Spark's
+        // HALF_UP-on-binary and DuckDB's scaled-rint disagree by one ulp
+        // of output; floor(x*1e4 + 0.5)/1e4 is the identical IEEE op
+        // sequence in both engines, so the same input double always
+        // rounds the same way
+        (floor(quality * 10000 + lit(0.5)) / 10000.0).as("quality"))
         .orderBy("doc_id")
     },
     Some("""WITH q AS (SELECT doc_id, n_chars,
@@ -574,8 +580,9 @@ object LlmQueries {
       SELECT doc_id, n_chars, n_tokens, n_unique,
         round(avg_token_len, 4) AS avg_token_len,
         round(stopword_ratio, 4) AS stopword_ratio, has_dup_marker,
-        round(least(1.0, n_tokens / 100.0) * 0.6 + stopword_ratio * 0.2
-          + (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) * 0.2, 4) AS quality
+        floor((least(1.0, n_tokens / 100.0) * 0.6 + stopword_ratio * 0.2
+          + (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) * 0.2)
+          * 10000 + 0.5) / 10000.0 AS quality
       FROM q ORDER BY doc_id"""))
 
   /** Corpus-level TF-IDF term table: one explode + one agg (map-side

@@ -51,7 +51,10 @@ object GpsQueries {
     * second), and the testdata spans < 24h per device (no two runs N days
     * apart share an HHmmss key). Both properties hold for every
     * /root/testdata sf; data violating them would need an island-based
-    * (lag/cumsum over event_id) oracle instead. */
+    * (lag/cumsum over event_id) oracle instead. When k events share a
+    * second, their k GSV pairs all merge into that second's fix, so
+    * n_sats_seen counts 8 per EVENT (sum of per-second event counts),
+    * not 8 per fix — at sf0.1 one device-hour has such a collision. */
   private val nmeaFixPipeline = Q(
     (s, d) => {
       val fixes = FixAssembly.pipeline(NmeaSynth.readLog(s, d))
@@ -70,10 +73,11 @@ object GpsQueries {
     },
     Some("""WITH f AS (
         SELECT user_id, date_trunc('second', ts) AS sec,
-               arg_max(value, event_id) AS value
+               arg_max(value, event_id) AS value,
+               count(*) AS n_ev
         FROM events GROUP BY 1, 2
       ), g AS (
-        SELECT user_id, sec, value,
+        SELECT user_id, sec, value, n_ev,
           fmod(value, 90.0) - 45.0 AS lat0,
           fmod(value * 7.0, 180.0) - 90.0 AS lon0,
           fmod(value, 60.0) AS knots0,
@@ -81,7 +85,7 @@ object GpsQueries {
           user_id % 8 + 4 AS numsat
         FROM f
       ), p AS (
-        SELECT user_id, sec, hdop, numsat, round(knots0, 2) AS knots,
+        SELECT user_id, sec, hdop, numsat, n_ev, round(knots0, 2) AS knots,
           (CASE WHEN lat0 < 0 THEN -1 ELSE 1 END) *
             round(floor(abs(lat0))
               + round((abs(lat0) - floor(abs(lat0))) * 60.0, 4) / 60.0, 6) AS lat,
@@ -97,7 +101,7 @@ object GpsQueries {
         round(avg(lon), 6) AS avg_lon,
         round(max(knots), 4) AS max_knots,
         round(avg(hdop), 4) AS avg_hdop,
-        8 * count(*) AS n_sats_seen
+        8 * sum(n_ev) AS n_sats_seen
       FROM p
       WHERE hdop <= 8.0 AND numsat >= 5
       GROUP BY 1, 2

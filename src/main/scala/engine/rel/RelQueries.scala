@@ -121,11 +121,19 @@ object RelQueries {
       .join(t(s, d, "lineitem").hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      // revenue summed as exact integer ten-thousandths: price and
+      // discount are 2-dp money, so the per-row product is a 4-dp value
+      // whose *10000 rounds to an unambiguous integer in both engines;
+      // a BIGINT sum is associative, so the result no longer depends on
+      // summation order (a double SUM of ~6e9 differed in the last ulp
+      // between Spark and DuckDB at sf0.1 and crossed the r4 boundary)
+      .agg(r4(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000, 0).cast("long")) / 10000.0)
         .as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+        AS BIGINT)) / 10000.0, 4) AS revenue,
       count(*) AS n_lines
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
