@@ -89,9 +89,13 @@ object RelQueries {
           .otherwise(lit(null)))
       .filter(col("kind").isNotNull)
       .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      // events.value is 2-dp: exact integer-cents sum, order-free
+      .agg(count(lit(1)).as("n"),
+        r4(sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+          .as("sum_value"))
       .orderBy("kind"),
-    Some("""SELECT kind, count(*) AS n, round(sum(value), 4) AS sum_value
+    Some("""SELECT kind, count(*) AS n,
+      round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4) AS sum_value
       FROM (SELECT CASE WHEN event_type = 'click' THEN 'interaction'
                         WHEN event_type = 'view' THEN 'interaction'
                         WHEN event_type = 'purchase' THEN 'commerce'
@@ -249,23 +253,34 @@ object RelQueries {
   /** B19: hash aggregate, partial+final (TPC-H Q1 shape) — the per-fix merge
     * (:173-187) as a degenerate group-by. */
   private val aggHash = Q(
+    // money sums as exact integer cents/ten-thousandths (BIGINT sums are
+    // associative ⇒ order-free at any scale; a double SUM of 2-dp money
+    // diverges between engines in the last ulp once groups are large —
+    // join_sortmerge hit this at sf0.1); quantities are integral, so
+    // their double sums are already exact
     (s, d) => t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         r4(sum(col("l_quantity"))).as("sum_qty"),
-        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
-        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        r4(sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        r4(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000, 0).cast("long")) / 10000.0)
           .as("sum_disc_price"),
         r4(avg(col("l_quantity"))).as("avg_qty"),
-        r4(avg(col("l_discount"))).as("avg_disc"),
+        r4(sum(round(col("l_discount") * 100, 0).cast("long")) / 100.0
+          / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity), 4) AS sum_qty,
-      round(sum(l_extendedprice), 4) AS sum_base_price,
-      round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 4)
+        AS sum_base_price,
+      round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+        AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
       round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_discount), 4) AS avg_disc,
+      round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0
+        / count(*), 4) AS avg_disc,
       count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))

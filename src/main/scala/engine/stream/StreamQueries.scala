@@ -121,14 +121,21 @@ object StreamQueries {
     (s, d) => {
       val agg = eventsStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+        // 2-dp value summed as exact integer cents: order-free at any
+        // scale AND trigger-decomposition-free — a streaming partial agg
+        // must merge identically however the input splits into batches
+        .agg(count(lit(1)).as("n"),
+          r4(sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+            .as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
           col("event_type"), col("n"), col("sum_value"))
       runToMemory(s, agg, "graft_tumble_sink", mode = "complete")
         .orderBy("h", "event_type")
     },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
-        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        event_type, count(*) AS n,
+        round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4)
+          AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY h, event_type"""))
 
   /** B39: sliding window (2h length, 1h slide) as a real stream — each
@@ -156,7 +163,8 @@ object StreamQueries {
       val agg = eventsStream(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          r4(sum(col("value"))).as("sum_value"))
+          r4(sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+            .as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start"),
           col("n_events"), col("sum_value"))
@@ -176,7 +184,9 @@ object StreamQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM marked)
       SELECT user_id, epoch_us(min(ts)) AS session_start,
-        count(*) AS n_events, round(sum(value), 4) AS sum_value
+        count(*) AS n_events,
+        round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 4)
+          AS sum_value
       FROM islands GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
