@@ -35,39 +35,52 @@ object Core {
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Per-published-directory JVM monitors: `FileChannel.lock` throws
+    * OverlappingFileLockException when two threads of ONE JVM contend for
+    * the same .lock file, so same-dir publishes must serialize in-process
+    * — but publishes of unrelated dirs (parallel suites, independent
+    * stream sources) must not (r3 advisor: a global `synchronized` here
+    * serialized the slow `write` step JVM-wide). */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Publish a deterministic scratch dataset at `dir` exactly once.
-    * Writers produce into a unique temp dir (outside any lock — the write
-    * is the slow part), then take an exclusive cross-process file lock for
-    * the commit step: re-check `_SUCCESS`, clear a marker-less leftover
-    * from a crashed writer, and atomically rename into place. A publish
-    * that completed while we were producing ours is a win, never a delete
-    * target — the lock closes the re-check→delete window that a
-    * marker-only protocol leaves open (r2 advisor TOCTOU; r3 review). */
-  def publishOnce(dir: String)(write: String => Unit): String = synchronized {
-    val dest = new java.io.File(dir)
-    val marker = new java.io.File(dest, "_SUCCESS")
-    if (!marker.exists()) {
-      val tmp = new java.io.File(dir + ".tmp." + java.util.UUID.randomUUID)
-      write(tmp.getPath)
-      val lockCh = java.nio.channels.FileChannel.open(
-        java.nio.file.Paths.get(dir + ".lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        if (marker.exists()) deleteRecursively(tmp) // concurrent publish won
-        else {
-          if (dest.exists()) deleteRecursively(dest) // crashed, marker-less
-          try java.nio.file.Files.move(tmp.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => // lost a non-locking race
-            deleteRecursively(tmp)
+    * Writers produce into a unique temp dir (outside the cross-process
+    * lock — the write is the slow part), then take an exclusive
+    * cross-process file lock for the commit step: re-check `_SUCCESS`,
+    * clear a marker-less leftover from a crashed writer, and atomically
+    * rename into place. A publish that completed while we were producing
+    * ours is a win, never a delete target — the lock closes the
+    * re-check→delete window that a marker-only protocol leaves open
+    * (r2 advisor TOCTOU; r3 review). A failed produce step deletes its
+    * own temp dir instead of stranding it in /tmp. */
+  def publishOnce(dir: String)(write: String => Unit): String =
+    publishMonitors.computeIfAbsent(dir, _ => new Object).synchronized {
+      val dest = new java.io.File(dir)
+      val marker = new java.io.File(dest, "_SUCCESS")
+      if (!marker.exists()) {
+        val tmp = new java.io.File(dir + ".tmp." + java.util.UUID.randomUUID)
+        try write(tmp.getPath)
+        catch { case e: Throwable => deleteRecursively(tmp); throw e }
+        val lockCh = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(dir + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          if (marker.exists()) deleteRecursively(tmp) // concurrent publish won
+          else {
+            if (dest.exists()) deleteRecursively(dest) // crashed, marker-less
+            try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException => // lost a non-locking race
+              deleteRecursively(tmp)
+            }
           }
-        }
-      } finally { lock.release(); lockCh.close() }
+        } finally { lock.release(); lockCh.close() }
+      }
+      dir
     }
-    dir
-  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -156,7 +156,16 @@ object FixAssembler {
       it: Iterator[ParsedSentence],
       state: GroupState[FixBuffer]): Iterator[StreamFix] = {
     if (evict && state.hasTimedOut) {
-      // silent device: close and emit the open fix, drop the state
+      // Silent device: close and emit the open fix, drop the state.
+      // Known tradeoff (r3 advisor): removal also discards maxLineNo, the
+      // replay high-water mark — a duplicate line replayed AFTER eviction
+      // but still inside the watermark window re-assembles as a fresh fix
+      // and can double-emit. Accepted: eviction fires one full cushion
+      // (10 min) past the fix's own event time, so such a replay must be
+      // >10 min late yet non-late by watermark — impossible here, since
+      // the cushion equals the watermark delay; keeping tombstones would
+      // reintroduce the reference's unbounded-state defect for a replay
+      // pattern the source (monotone line_no per device) cannot produce.
       val out = state.getOption.toSeq.flatMap(b =>
         b.current.filter(goodEnough).map(p => toFix(p, b.types)))
       state.remove()

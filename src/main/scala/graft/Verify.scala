@@ -15,11 +15,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query dump must never go stale: if `outDir` survives from an
+    // earlier run and a query fails here, the old parquet would silently
+    // hash-compare against the CURRENT oracle SQL (this produced round 3's
+    // phantom nmea_fix_pipeline red row). So: retry once on failure, and
+    // if the retry also fails, delete any prior dump so the gate reports
+    // the query as missing/err instead of comparing stale output.
+    def deleteRecursive(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val dest = Paths.get(s"$outDir/$name")
+      def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(dest.toString)
+      try {
+        try run()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}; retrying once")
+          engine.ScratchCache.drain()
+          run()
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed twice: ${e.getMessage}")
+        deleteRecursive(dest)
       }
       finally engine.ScratchCache.drain() // per-query persist lifetime
     }

@@ -38,6 +38,10 @@ class StreamSourceSpec extends AnyFunSuite {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(new java.io.File(dir))
+      // publishOnce's commit-step lock file sits BESIDE the published dir
+      // — without this the per-run unique tag strands one .lock in /tmp
+      // per spec execution (r3 advisor)
+      rm(new java.io.File(dir + ".lock"))
     }
   }
 }
