@@ -78,20 +78,33 @@ object StreamQueries {
     * deployment with a durable sink needs a durable checkpoint instead —
     * that's a recovery requirement, not a throughput choice. */
   private def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
-      mode: String = "append"): DataFrame = {
+      mode: String = "append", noDataBatches: Boolean = true): DataFrame = {
     spark.catalog.dropTempView(name) // tolerate re-runs within a session
     val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val ck = new java.io.File(
       s"$ckRoot/graft_ckpt_${name}_${java.util.UUID.randomUUID}")
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = spark.conf.getOption(noDataKey)
     // start() is inside the try: it can throw after creating checkpoint
     // dirs, and a stranded dir on tmpfs is leaked RAM
     try {
+      // noDataBatches=false skips the trailing empty microbatch that only
+      // advances the watermark and evicts state. Callers may opt out ONLY
+      // when the sink result cannot depend on it (e.g. a complete-mode agg
+      // whose dedup filter already ran in the data batches); any query
+      // whose OUTPUT needs a watermark sweep — timeout-evicted fixes,
+      // append-mode window finalization — must keep it true.
+      spark.conf.set(noDataKey, noDataBatches.toString)
       sdf.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ck.getPath)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
     } finally {
+      noDataPrev match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
@@ -237,7 +250,12 @@ object StreamQueries {
       val deduped = src.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-      runToMemory(s, deduped, "graft_dedup_sink", mode = "complete")
+      // noDataBatches=false: the trailing empty batch only evicts expired
+      // dedup keys (the output of this complete-mode agg is fixed after
+      // the last data batch); eviction semantics are pinned by
+      // StreamingSpec's two-batch MemoryStream test, not by this run
+      runToMemory(s, deduped, "graft_dedup_sink", mode = "complete",
+        noDataBatches = false)
         .orderBy("user_id")
     },
     Some("""SELECT user_id, count(DISTINCT event_id) AS n_events

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: print the executed (physical) plan of named queries —
+  * the `.explain("formatted")` iteration loop for exchange/sort/codegen
+  * auditing, without attaching a debugger or enabling the UI.
+  *
+  * {{{ sbt "runMain graft.Explain /root/testdata/sf0.1 nmea_fix_pipeline" }}}
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"==== $n ====")
+      println("exchanges=" + "Exchange".r.findAllMatchIn(plan).length +
+        " sorts=" + "\\bSort\\b".r.findAllMatchIn(plan).length +
+        " codegen_spans=" + "WholeStageCodegen".r.findAllMatchIn(plan).length)
+      df.explain("formatted")
+      engine.ScratchCache.drain()
+    }
+    spark.stop()
+  }
+}
