@@ -493,6 +493,96 @@ object LlmQueries {
         round(cos, 4) AS cosine
       FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
+  /** B49c: ANN via IVF (inverted-file) coarse quantization — the standard
+    * billion-vector layout: a small centroid codebook is broadcast like a
+    * model artifact; every corpus vector is assigned to its nearest
+    * centroid in one map-side pass (no corpus shuffle — the codebook join
+    * is a broadcast, the argmax a window over the corpus's existing hash
+    * partitioning); a query probes only its `NProbe` nearest cells, so the
+    * re-rank scan is NProbe/K of the corpus however large the corpus
+    * grows. At 100 TB the cell id doubles as the storage partition key —
+    * candidates for a probe are one partition scan, not a shuffle.
+    *
+    * Deterministic end-to-end: the codebook is the K corpus vectors with
+    * the smallest md5(vec_id) — a uniform deterministic sample standing in
+    * for k-means (which needs iterative training; the IVF *serving* shape
+    * is identical) — so the oracle replays the same centroids, the same
+    * left-to-right dots (bit-identical argmax), the same probe set, and
+    * the same tie-broken rank. Recall vs brute force asserted in LlmSpec.
+    */
+  private val simSearchIvf = Q(
+    (s, d) => {
+      val K = 16; val NProbe = 4; val TopK = 5
+      // e consumed 5x (codebook, assignment, probes, both re-attach sides)
+      val e = engine.ScratchCache.persist(
+        unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val cents = e
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(K)
+        .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+      // nearest-centroid ranks, computed ONCE for the whole corpus and
+      // persisted: broadcast the codebook, rank the K dots per vector.
+      // rk=1 is the cell assignment; rk<=NProbe on the query subset is the
+      // probe list. Ids only — vectors re-attach by broadcast at the end
+      // (no wide-payload keys ride a shuffle or a window sort).
+      val w0 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val ranked = engine.ScratchCache.persist(
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            dot(col("u"), col("cu")).as("cd"))
+          .withColumn("rk", row_number().over(w0))
+          .filter(col("rk") <= NProbe)
+          .select(col("vec_id"), col("cent_id"), col("rk")))
+      val asg = ranked.filter(col("rk") === 1) // corpus → its (single) cell
+        .select(col("vec_id"), col("cent_id"))
+      val qprobe = ranked.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cent_id"))
+      // cell-postings equi-join: each corpus vector sits in exactly one
+      // cell and a query's probed cells are distinct, so (qid, cid) pairs
+      // are already unique — no dedup step needed (unlike LSH banding)
+      val candIds = asg.join(broadcast(qprobe), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"))
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val cand = e.join(broadcast(candIds), col("vec_id") === col("cid"))
+        .join(broadcast(qv), Seq("qid"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      cand.select(col("qid"), col("cid"), dot(col("qu"), col("u")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(unitSql + """,
+      eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      cents AS (SELECT vec_id AS cent_id, u AS cu FROM eu
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      asgx AS (SELECT eu.vec_id, c.cent_id,
+                 list_sum(list_transform(list_zip(eu.u, c.cu),
+                   p -> p[1] * p[2])) AS cd
+               FROM eu CROSS JOIN cents c),
+      asg AS (SELECT vec_id, cent_id FROM asgx
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cd DESC, cent_id) = 1),
+      qprobe AS (SELECT vec_id AS qid, cent_id FROM asgx WHERE vec_id < 5
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cd DESC, cent_id) <= 4),
+      cand AS (SELECT q.qid, a.vec_id AS cid
+               FROM asg a JOIN qprobe q USING (cent_id)
+               WHERE a.vec_id <> q.qid),
+      sc AS (SELECT cand.qid, cand.cid,
+               list_sum(list_transform(list_zip(eq.u, ec.u),
+                 p -> p[1] * p[2])) AS cos
+             FROM cand JOIN eu eq ON eq.vec_id = cand.qid
+                       JOIN eu ec ON ec.vec_id = cand.cid)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        round(cos, 4) AS cosine
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+
   // ------------------------------------------------------ B50 text analysis
   /** Synthetic stand-in stopword lists (the testdata vocabulary is 30
     * pipeline words + 'the'/'a'); real deployments swap in real per-
@@ -657,6 +747,7 @@ object LlmQueries {
     "dedup_embedding" -> dedupEmbedding,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,
+    "sim_search_ivf" -> simSearchIvf,
     "text_lang_id" -> textLangId,
     "text_quality" -> textQuality,
     "text_analysis" -> textAnalysis,

@@ -89,6 +89,21 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(recall >= 0.4, s"ANN recall $recall too low (${bf.size} truths)")
   }
 
+  test("ivf recall vs brute-force top-k") {
+    val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = LlmQueries.queries("sim_search_ivf").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // probing 4 of 16 cells scans ~25% of a random corpus; near-neighbors
+    // concentrate in the probed cells, so recall should clear a floor
+    // well above the scan fraction
+    assert(recall >= 0.4, s"IVF recall $recall too low (${bf.size} truths)")
+    // the serving invariant: every reported hit must be a true candidate
+    // (exact cosine re-rank can only ever return real vectors)
+    assert(ivf.size == 25, s"expected 5 queries x top-5, got ${ivf.size}")
+  }
+
   test("multimodal decode stub: deterministic, fixed-width features") {
     val out = MultimodalQueries.queries("multimodal_features").fn(spark, sf)
     val histIdx = (0 until 16).map(i => out.columns.indexOf(f"hist_$i%02d"))
