@@ -675,6 +675,41 @@ object LlmQueries {
           * 10000 + 0.5) / 10000.0 AS quality
       FROM q ORDER BY doc_id"""))
 
+  /** Token counting both ways a pretraining pipeline sizes its data:
+    * whitespace tokens (the cheap corpus estimate) and a BPE-ish regex
+    * tokenization — letter runs, SINGLE digits (modern BPE vocabularies
+    * split numbers per digit), punctuation runs — whose count tracks real
+    * tokenizer output closely enough for budget math. chars/token is the
+    * compression-ratio signal used to spot boilerplate and non-text.
+    * The alternatives match disjoint character classes, so Java-regex
+    * (Spark) and RE2 (DuckDB) agree on every match boundary. Pure
+    * column math: one codegen'd projection, no shuffle before the sort. */
+  private val textTokenStats = Q(
+    (s, d) => {
+      val BpePat = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+      val nBpe = size(regexp_extract_all(col("text"), lit(BpePat), lit(0)))
+      docs(s, d).select(
+        col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        nBpe.as("n_bpe_tokens"),
+        // floor-rounding (not round()): quotient of two small ints lands
+        // on .00005 boundaries where the engines' round() disagree
+        when(nBpe > 0,
+          floor(col("n_chars").cast("double") / nBpe * 10000 + lit(0.5))
+            / 10000.0).as("chars_per_bpe_token"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars,
+        len(string_split(text, ' ')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+'))
+          AS n_bpe_tokens,
+        CASE WHEN len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+')) > 0
+          THEN floor(CAST(n_chars AS DOUBLE)
+            / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+'))
+            * 10000 + 0.5) / 10000.0 END AS chars_per_bpe_token
+      FROM documents ORDER BY doc_id"""))
+
   /** Corpus-level TF-IDF term table: one explode + one agg (map-side
     * partial) + a broadcast of the single-row corpus count. */
   private val textAnalysis = Q(
@@ -750,6 +785,7 @@ object LlmQueries {
     "sim_search_ivf" -> simSearchIvf,
     "text_lang_id" -> textLangId,
     "text_quality" -> textQuality,
+    "text_token_stats" -> textTokenStats,
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
     "multimodal_cols" -> multimodalCols) ++ MultimodalQueries.queries
