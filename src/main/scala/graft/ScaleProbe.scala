@@ -26,7 +26,8 @@ object ScaleProbe {
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding", "sim_search_topk",
-        "sim_search_ann", "text_analysis", "text_fingerprint")) {
+        "sim_search_ann", "sim_search_ivf", "text_analysis",
+        "text_token_stats", "text_fingerprint")) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
       println(f"SCALE $q: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
