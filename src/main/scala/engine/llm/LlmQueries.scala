@@ -250,12 +250,19 @@ object LlmQueries {
         .select(col("da"), col("db"), r4(est).as("est_jaccard"))
         .orderBy("da", "db")
     },
-    Some {
-      val minCols = (0 until 32)
-        .map(i => s"min((h * ${mhA(i)} + ${mhB(i)}) % $MinhashP) AS g$i")
-        .mkString(", ")
-      val gArr = (0 until 32).map(i => s"g$i").mkString("[", ", ", "]")
-      shingleSql + s""",
+    Some(shingleSql + minhashSqlCtes + """
+      SELECT da, db, round(e, 4) AS est_jaccard FROM est
+      WHERE e >= 0.5 ORDER BY da, db"""))
+
+  /** The minhash signature→band→candidate→estimate CTE chain (everything
+    * after [[shingleSql]], ending in `est(da, db, e)`) — shared by the
+    * dedup_minhash oracle and the pipeline_curate composition oracle. */
+  private def minhashSqlCtes: String = {
+    val minCols = (0 until 32)
+      .map(i => s"min((h * ${mhA(i)} + ${mhB(i)}) % $MinhashP) AS g$i")
+      .mkString(", ")
+    val gArr = (0 until 32).map(i => s"g$i").mkString("[", ", ", "]")
+    s""",
       posts AS (SELECT doc_id, unnest(s) sh FROM sh),
       ph AS (SELECT doc_id,
                ('0x' || substr(md5(sh), 1, 8))::BIGINT & $MinhashP h FROM posts),
@@ -272,10 +279,8 @@ object LlmQueries {
                  p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 32.0 e
               FROM cand c
               JOIN sig sa ON sa.doc_id = c.da
-              JOIN sig sb ON sb.doc_id = c.db)
-      SELECT da, db, round(e, 4) AS est_jaccard FROM est
-      WHERE e >= 0.5 ORDER BY da, db"""
-    })
+              JOIN sig sb ON sb.doc_id = c.db)"""
+  }
 
   /** SimHash near-dup. 60-bit simhash per doc (bit j = sign of Σ±1 over
     * token hashes — computed as 60 parallel SUMs in ONE aggregation, no
@@ -774,6 +779,83 @@ object LlmQueries {
       FROM documents JOIN embeddings ON doc_id = vec_id
       ORDER BY doc_id"""))
 
+  /** Capstone composition: the end-to-end curation pass a pretraining
+    * pipeline runs over raw documents, built ENTIRELY from this engine's
+    * own operators — the point of the exercise being that they compose:
+    *
+    *  1. quality gate — textQuality's composite, floor-rounded, >= 0.3;
+    *  2. exact dedup — lowest doc_id per md5(lower(trim(text))) digest;
+    *     text itself is projected away before anything shuffles (only the
+    *     digest + metadata ride the exchange — the dedup_exact posture);
+    *  3. near-dup drop — dedup_minhash's banded LSH pairs restricted to
+    *     step-2 survivors (a signature depends only on its own document,
+    *     so all-docs pairs filtered to survivors ≡ survivors-only pairs),
+    *     greedy-by-id: the higher id of every surviving pair is dropped.
+    *     Deterministic and anti-join-expressible; transitive chains
+    *     collapse pairwise, the standard large-corpus approximation;
+    *  4. corpus accounting per (lang, source) with exact integer sums.
+    *
+    * Scale posture: steps 1-2 are one projection + one digest-keyed
+    * shuffle; step 3 is output-bound (LSH candidates), survivor
+    * filtering is two semi-joins and a distinct on bare ids; step 4 is
+    * a partial-agg groupBy on low-cardinality keys. */
+  private val pipelineCurate = Q(
+    (s, d) => {
+      val tok = tokens(col("text"))
+      val nTok = size(tok)
+      val avgLen = (length(col("text")) - (nTok - 1)) / nTok
+      val stopR = hits(tok, Seq("the", "a")) / nTok
+      val q = least(lit(1.0), nTok / lit(100.0)) * 0.6 + stopR * 0.2 +
+        (lit(1.0) - least(lit(1.0), abs(avgLen - 5.0) / 5.0)) * 0.2
+      val gated = docs(s, d).select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          nTok.as("nt"),
+          (floor(q * 10000 + lit(0.5)) / 10000.0).as("quality"),
+          md5(lower(trim(col("text")))).as("dg"))
+        .filter(col("quality") >= 0.3)
+      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+      val surv = gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("nt"))
+      val pairs = dedupMinhash.fn(s, d).select(col("da"), col("db"))
+      val ids = surv.select(col("doc_id"))
+      val dropIds = pairs
+        .join(ids.withColumnRenamed("doc_id", "da"), Seq("da"), "leftsemi")
+        .join(ids.withColumnRenamed("doc_id", "db"), Seq("db"), "leftsemi")
+        .select(col("db").as("doc_id")).distinct()
+      surv.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("nt").cast("long")).as("sum_ws_tokens"))
+        .orderBy("lang", "source")
+    },
+    Some(shingleSql + minhashSqlCtes + """,
+      mh AS (SELECT da, db FROM est WHERE e >= 0.5),
+      qx AS (SELECT doc_id, lang, source, n_chars,
+          len(string_split(text, ' ')) AS nt,
+          (length(text) - (len(string_split(text, ' ')) - 1))
+            / len(string_split(text, ' ')) AS al,
+          len(list_filter(string_split(text, ' '),
+            x -> list_contains(['the', 'a'], x)))
+            / len(string_split(text, ' ')) AS sr,
+          md5(lower(trim(text))) AS dg
+        FROM documents),
+      gate AS (SELECT doc_id, lang, source, n_chars, nt, dg FROM qx
+        WHERE floor((least(1.0, nt / 100.0) * 0.6 + sr * 0.2
+          + (1.0 - least(1.0, abs(al - 5.0) / 5.0)) * 0.2) * 10000 + 0.5)
+          / 10000.0 >= 0.3),
+      surv AS (SELECT doc_id, lang, source, n_chars, nt FROM gate
+        QUALIFY row_number() OVER (PARTITION BY dg ORDER BY doc_id) = 1),
+      dropids AS (SELECT DISTINCT p.db AS doc_id FROM mh p
+        JOIN surv a ON a.doc_id = p.da
+        JOIN surv b ON b.doc_id = p.db)
+      SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        sum(nt) AS sum_ws_tokens
+      FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+      GROUP BY lang, source ORDER BY lang, source"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -788,5 +870,6 @@ object LlmQueries {
     "text_token_stats" -> textTokenStats,
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
-    "multimodal_cols" -> multimodalCols) ++ MultimodalQueries.queries
+    "multimodal_cols" -> multimodalCols,
+    "pipeline_curate" -> pipelineCurate) ++ MultimodalQueries.queries
 }
