@@ -89,4 +89,45 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         s"exchange carries the document body: ${e.output.map(_.name)}")
     }
   }
+
+  test("sim_search_ivf: vectors never ride a shuffle; only the 16-row codebook nested-loops") {
+    val exec = graft.SparkEntry.queries("sim_search_ivf")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(!exec.toString.contains("CartesianProduct"))
+    // every shuffle exchange carries only narrow id/score/rank columns —
+    // the 64-dim vectors re-attach via broadcast, they never shuffle
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val wide = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(wide.isEmpty,
+        s"exchange ships vector payloads: ${wide.map(_.name)}")
+    }
+    assert(exec.toString.contains("double_array_dot"))
+  }
+
+  test("pipeline_curate: the exact-dedup exchange ships digests, not documents") {
+    val exec = graft.SparkEntry.queries("pipeline_curate")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(!exec.toString.contains("CartesianProduct"))
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"exchange carries the document body: ${e.output.map(_.name)}")
+    }
+  }
 }
