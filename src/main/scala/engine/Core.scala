@@ -55,7 +55,12 @@ object Core {
     * (r2 advisor TOCTOU; r3 review). A failed produce step deletes its
     * own temp dir instead of stranding it in /tmp. */
   def publishOnce(dir: String)(write: String => Unit): String =
-    publishMonitors.computeIfAbsent(dir, _ => new Object).synchronized {
+    // canonical key: aliased spellings ("/tmp//x", "/tmp/x/") must map to
+    // ONE monitor or same-dir publishes would race after all (r4 review).
+    // The map grows one entry per distinct dir ever published — bounded
+    // by the handful of scratch datasets a session uses.
+    publishMonitors.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath, _ => new Object).synchronized {
       val dest = new java.io.File(dir)
       val marker = new java.io.File(dest, "_SUCCESS")
       if (!marker.exists()) {

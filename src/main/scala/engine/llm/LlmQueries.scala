@@ -639,28 +639,39 @@ object LlmQueries {
   /** Document quality scoring: token stats, stopword ratio, dup-marker
     * flag, and a bounded composite score — the filter signal a pretraining
     * pipeline gates on. Pure arithmetic (identical IEEE in the oracle). */
+  /** The quality sub-expressions, shared by textQuality (which emits
+    * them) and pipelineCurate (which gates on the composite) so the two
+    * can never drift (r4 review). All over `col("text")`. */
+  private def avgTokenLen: Column = {
+    val nTok = size(tokens(col("text")))
+    (length(col("text")) - (nTok - 1)) / nTok
+  }
+  private def stopwordRatio: Column =
+    hits(tokens(col("text")), Seq("the", "a")) / size(tokens(col("text")))
+  /** The floor-rounded composite. floor-based rounding, NOT round(): the
+    * composite lands exactly on .00005 boundaries (e.g. 32 tokens ⇒
+    * 0.37825), where Spark's HALF_UP-on-binary and DuckDB's scaled-rint
+    * disagree by one ulp of output; floor(x*1e4 + 0.5)/1e4 is the
+    * identical IEEE op sequence in both engines, so the same input double
+    * always rounds the same way. */
+  private def qualityScore: Column = {
+    val nTok = size(tokens(col("text")))
+    val quality = least(lit(1.0), nTok / lit(100.0)) * 0.6 +
+      stopwordRatio * 0.2 +
+      (lit(1.0) - least(lit(1.0), abs(avgTokenLen - 5.0) / 5.0)) * 0.2
+    floor(quality * 10000 + lit(0.5)) / 10000.0
+  }
+
   private val textQuality = Q(
     (s, d) => {
       val tok = tokens(col("text"))
-      val nTok = size(tok)
-      val avgLen = (length(col("text")) - (nTok - 1)) / nTok
-      val stopR = hits(tok, Seq("the", "a")) / nTok
-      val quality = least(lit(1.0), nTok / lit(100.0)) * 0.6 +
-        stopR * 0.2 +
-        (lit(1.0) - least(lit(1.0), abs(avgLen - 5.0) / 5.0)) * 0.2
       docs(s, d).select(
-        col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        col("doc_id"), col("n_chars"), size(tok).as("n_tokens"),
         size(array_distinct(tok)).as("n_unique"),
-        r4(avgLen).as("avg_token_len"),
-        r4(stopR).as("stopword_ratio"),
+        r4(avgTokenLen).as("avg_token_len"),
+        r4(stopwordRatio).as("stopword_ratio"),
         array_contains(tok, "dup").as("has_dup_marker"),
-        // floor-based rounding, NOT round(): the composite lands exactly
-        // on .00005 boundaries (e.g. 32 tokens ⇒ 0.37825), where Spark's
-        // HALF_UP-on-binary and DuckDB's scaled-rint disagree by one ulp
-        // of output; floor(x*1e4 + 0.5)/1e4 is the identical IEEE op
-        // sequence in both engines, so the same input double always
-        // rounds the same way
-        (floor(quality * 10000 + lit(0.5)) / 10000.0).as("quality"))
+        qualityScore.as("quality"))
         .orderBy("doc_id")
     },
     Some("""WITH q AS (SELECT doc_id, n_chars,
@@ -801,16 +812,10 @@ object LlmQueries {
     * a partial-agg groupBy on low-cardinality keys. */
   private val pipelineCurate = Q(
     (s, d) => {
-      val tok = tokens(col("text"))
-      val nTok = size(tok)
-      val avgLen = (length(col("text")) - (nTok - 1)) / nTok
-      val stopR = hits(tok, Seq("the", "a")) / nTok
-      val q = least(lit(1.0), nTok / lit(100.0)) * 0.6 + stopR * 0.2 +
-        (lit(1.0) - least(lit(1.0), abs(avgLen - 5.0) / 5.0)) * 0.2
       val gated = docs(s, d).select(
           col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          nTok.as("nt"),
-          (floor(q * 10000 + lit(0.5)) / 10000.0).as("quality"),
+          size(tokens(col("text"))).as("nt"),
+          qualityScore.as("quality"),
           md5(lower(trim(col("text")))).as("dg"))
         .filter(col("quality") >= 0.3)
       val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))

@@ -21,7 +21,15 @@ object Explain {
       val df = SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"==== $n ====")
-      println("exchanges=" + "Exchange".r.findAllMatchIn(plan).length +
+      // shuffle vs broadcast vs reused counted separately: a ReusedExchange
+      // is not a new exchange, and broadcast/shuffle is exactly the
+      // distinction a plan audit cares about
+      println("shuffle_exchanges=" +
+        "(?m)^\\s*[:+-]*\\s*Exchange ".r.findAllMatchIn(plan).length +
+        " broadcast_exchanges=" +
+        "BroadcastExchange".r.findAllMatchIn(plan).length +
+        " reused_exchanges=" +
+        "ReusedExchange".r.findAllMatchIn(plan).length +
         " sorts=" + "\\bSort\\b".r.findAllMatchIn(plan).length +
         " codegen_spans=" + "WholeStageCodegen".r.findAllMatchIn(plan).length)
       df.explain("formatted")

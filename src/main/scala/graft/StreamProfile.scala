@@ -38,7 +38,7 @@ object StreamProfile {
           s"addBatchMs=${dur.get("addBatch")} " +
           s"getBatchMs=${dur.get("getBatch")} " +
           s"walMs=${dur.get("walCommit")} " +
-          s"stateCommitMs=${dur.get("commitOffsets")} :: $state")
+          s"offsetCommitMs=${dur.get("commitOffsets")} :: $state")
       }
     })
     names.foreach { n =>

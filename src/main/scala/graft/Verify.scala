@@ -16,11 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A query dump must never go stale: if `outDir` survives from an
-    // earlier run and a query fails here, the old parquet would silently
-    // hash-compare against the CURRENT oracle SQL (this produced round 3's
-    // phantom nmea_fix_pipeline red row). So: retry once on failure, and
-    // if the retry also fails, delete any prior dump so the gate reports
-    // the query as missing/err instead of comparing stale output.
+    // earlier run, old parquet would silently hash-compare against the
+    // CURRENT oracle SQL (this produced round 3's phantom
+    // nmea_fix_pipeline red row). So: delete a query's prior dump BEFORE
+    // its first attempt — covering process death mid-run, not just an
+    // in-process failure — retry once on failure, and if the retry also
+    // fails leave nothing behind, so the gate reports the query as
+    // missing/err instead of comparing stale output.
     def deleteRecursive(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
@@ -28,6 +30,7 @@ object Verify {
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       val dest = Paths.get(s"$outDir/$name")
+      deleteRecursive(dest)
       def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(dest.toString)
       try {

@@ -99,8 +99,9 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // concentrate in the probed cells, so recall should clear a floor
     // well above the scan fraction
     assert(recall >= 0.4, s"IVF recall $recall too low (${bf.size} truths)")
-    // the serving invariant: every reported hit must be a true candidate
-    // (exact cosine re-rank can only ever return real vectors)
+    // at THIS fixture scale every query's 4 probed cells hold >= 5 other
+    // vectors, so a full top-5 per query must come back; fewer rows means
+    // probing or re-rank dropped candidates it should have kept
     assert(ivf.size == 25, s"expected 5 queries x top-5, got ${ivf.size}")
   }
 

@@ -98,8 +98,12 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         case p => p
       }
     assert(!exec.toString.contains("CartesianProduct"))
-    // every shuffle exchange carries only narrow id/score/rank columns —
-    // the 64-dim vectors re-attach via broadcast, they never shuffle
+    // every shuffle exchange DOWNSTREAM of the persisted base carries only
+    // narrow id/score/rank columns — the 64-dim vectors re-attach via
+    // broadcast. (unitEmbeddings' one-time repartition spread lives inside
+    // the ScratchCache'd InMemoryRelation, a leaf this collect does not
+    // enter: that single corpus spread is the deliberate O(n) cost; what
+    // this pins is that the PAIRWISE path never ships vectors.)
     val exchanges = exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
@@ -121,6 +125,10 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         case p => p
       }
     assert(!exec.toString.contains("CartesianProduct"))
+    // scope as in the IVF pin: the minhash signature build persists its
+    // base (whose one-time corpus spread legitimately ships text to
+    // parallelize shingling); this pins that the dedup/join/agg path the
+    // pipeline adds never puts the document body on the wire
     val exchanges = exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
