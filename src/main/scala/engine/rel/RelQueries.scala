@@ -285,6 +285,38 @@ object RelQueries {
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** B19b: exact quantiles — the classic distribution summary. Portable
+    * determinism by construction: percentiles are computed over INTEGER
+    * cents at DYADIC probabilities (0.25/0.5/0.75), so the R-7 linear
+    * interpolation `lower + d*(upper-lower)` is EXACT in IEEE double in
+    * both engines (d ∈ {0, .25, .5, .75} and integer-valued endpoints ⇒
+    * every intermediate is representable) — no last-ulp divergence, no
+    * rounding needed on the output beyond the /100.0 both engines share.
+    * Exact percentile means a per-group sort: the oracle-checkable
+    * yardstick. The 100 TB deployment path is `approx_percentile`
+    * (t-digest-style sketch, no global sort), unit-tested against this
+    * exact form in ExprSpec — same posture as B21's HLL. */
+  private val aggPercentile = Q(
+    (s, d) => {
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          (percentile(cents, lit(0.25)) / 100.0).as("p25"),
+          (percentile(cents, lit(0.5)) / 100.0).as("p50"),
+          (percentile(cents, lit(0.75)) / 100.0).as("p75"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+      quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25)
+        / 100.0 AS p25,
+      quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)
+        / 100.0 AS p50,
+      quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75)
+        / 100.0 AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
   private val aggDistinct = Q(
     (s, d) => t(s, d, "orders")
@@ -497,6 +529,7 @@ object RelQueries {
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "agg_hash" -> aggHash,
+    "agg_percentile" -> aggPercentile,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_last_merge" -> aggLastMerge,

@@ -80,4 +80,22 @@ class ExprSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) <= math.max(1L, exact / 20),
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile tracks the exact percentile (B19b's 100 TB path)") {
+    // agg_percentile's oracle-checked surface is the exact per-group-sort
+    // form; approx_percentile (the sketch a 100 TB deployment runs, no
+    // global sort) is pinned against it here: with accuracy 10000 the
+    // rank error is <= n/10000, so the approx p50 must land between the
+    // exact p45 and p55
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val r = engine.Core.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .agg(
+        approx_percentile(cents, lit(0.5), lit(10000)).as("ap50"),
+        percentile(cents, lit(0.45)).as("p45"),
+        percentile(cents, lit(0.55)).as("p55"))
+      .head()
+    val ap50 = r.getLong(0).toDouble
+    assert(ap50 >= r.getDouble(1) && ap50 <= r.getDouble(2),
+      s"approx p50 $ap50 outside exact [p45, p55] = [${r.getDouble(1)}, ${r.getDouble(2)}]")
+  }
 }

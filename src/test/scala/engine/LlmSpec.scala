@@ -105,6 +105,23 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(ivf.size == 25, s"expected 5 queries x top-5, got ${ivf.size}")
   }
 
+  test("bpe-ish token counting: letter/digit/punct classes, empty-text guard") {
+    import org.apache.spark.sql.functions._
+    val pat = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+    val df = Seq("don't stop, world99!", "", "   ", "...").toDF("text")
+      .select(size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
+    // don|'|t|stop|,|world|9|9|! = 9; empty/whitespace = 0; ... = 1 run
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(9, 0, 0, 1))
+    // the chars_per_bpe_token guard: zero tokens must yield NULL, not a
+    // division blow-up (testdata has no empty docs; this pins the guard)
+    val guarded = Seq(("", 0L)).toDF("text", "n_chars")
+      .select(when(
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))) > 0,
+        col("n_chars") / size(regexp_extract_all(col("text"), lit(pat), lit(0))))
+        .as("r"))
+    assert(guarded.collect().head.isNullAt(0))
+  }
+
   test("multimodal decode stub: deterministic, fixed-width features") {
     val out = MultimodalQueries.queries("multimodal_features").fn(spark, sf)
     val histIdx = (0 until 16).map(i => out.columns.indexOf(f"hist_$i%02d"))
