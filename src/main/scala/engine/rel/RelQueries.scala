@@ -1,6 +1,6 @@
 package engine.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import engine.Core.{t, r4}
@@ -317,6 +317,54 @@ object RelQueries {
         / 100.0 AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** B19c: statistical aggregates — stddev and correlation, bit-exact
+    * across engines. The moment sums are computed over INTEGER cents as
+    * exact wide integers (Spark decimal(38,0) ≙ DuckDB HUGEINT — plain
+    * BIGINT Σx² would overflow: 1e14-cent² values × 6e5 rows > 2^63), so
+    * n·Σx² − (Σx)² is an exact integer on both sides; only then does each
+    * side convert that one integer to double (identical round-to-nearest)
+    * and run the same sqrt/divide sequence — bit-identical without any
+    * output rounding. The built-in stddev_samp/corr (what a user reaches
+    * for; numerically-stable merge form, not cross-engine-stable) are
+    * pinned against this exact form in ExprSpec. */
+  private val aggStats = Q(
+    (s, d) => {
+      val x = round(col("l_extendedprice") * 100, 0).cast("long")
+      val y = round(col("l_discount") * 100, 0).cast("long")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val g = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(x)).as("sx"), sum(dec(x * x)).as("sxx"),
+          sum(dec(y)).as("sy"), sum(dec(y * y)).as("syy"),
+          sum(dec(x * y)).as("sxy"))
+      val n0 = dec(col("n"))
+      val vnx = (n0 * col("sxx") - col("sx") * col("sx")).cast("double")
+      val vny = (n0 * col("syy") - col("sy") * col("sy")).cast("double")
+      val cnum = (n0 * col("sxy") - col("sx") * col("sy")).cast("double")
+      val nd = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+        (sqrt(vnx / nd / nd) / 100.0).as("stddev_price"),
+        (cnum / sqrt(vnx * vny)).as("corr_price_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH b AS (SELECT l_returnflag,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+        CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+      FROM lineitem),
+      g AS (SELECT l_returnflag, count(*) AS n,
+        sum(x) AS sx, sum(x*x) AS sxx,
+        sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM b GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n AS DOUBLE)
+          / CAST(n AS DOUBLE)) / 100.0 AS stddev_price,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+               * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_price_disc
+      FROM g ORDER BY l_returnflag"""))
+
   /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
   private val aggDistinct = Q(
     (s, d) => t(s, d, "orders")
@@ -530,6 +578,7 @@ object RelQueries {
     "join_cross" -> joinCross,
     "agg_hash" -> aggHash,
     "agg_percentile" -> aggPercentile,
+    "agg_stats" -> aggStats,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_last_merge" -> aggLastMerge,

@@ -98,4 +98,32 @@ class ExprSpec extends AnyFunSuite {
     assert(ap50 >= r.getDouble(1) && ap50 <= r.getDouble(2),
       s"approx p50 $ap50 outside exact [p45, p55] = [${r.getDouble(1)}, ${r.getDouble(2)}]")
   }
+
+  test("native stddev_pop/corr track agg_stats' exact integer-moment form (B19c)") {
+    // agg_stats' oracle-checked surface derives stddev/corr from exact
+    // wide-integer moment sums; Spark's built-in stddev_pop/corr (the
+    // numerically-stable merge form a user reaches for) must agree to
+    // float noise on the same data
+    val x = round(col("l_extendedprice") * 100, 0).cast("long")
+    val y = round(col("l_discount") * 100, 0).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val r = engine.Core.t(spark, "/root/testdata/sf0.01", "lineitem")
+      .agg(
+        stddev_pop(x).as("sd_native"), corr(x, y).as("corr_native"),
+        count(lit(1)).as("n"),
+        sum(dec(x)).as("sx"), sum(dec(x * x)).as("sxx"),
+        sum(dec(y)).as("sy"), sum(dec(y * y)).as("syy"),
+        sum(dec(x * y)).as("sxy"))
+      .selectExpr("sd_native", "corr_native",
+        "sqrt(cast(cast(n as decimal(38,0))*sxx - sx*sx as double)" +
+          " / cast(n as double) / cast(n as double)) as sd_exact",
+        "cast(cast(n as decimal(38,0))*sxy - sx*sy as double)" +
+          " / sqrt(cast(cast(n as decimal(38,0))*sxx - sx*sx as double)" +
+          " * cast(cast(n as decimal(38,0))*syy - sy*sy as double)) as corr_exact")
+      .head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(2)) / r.getDouble(2) < 1e-9,
+      s"stddev native=${r.getDouble(0)} exact=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9,
+      s"corr native=${r.getDouble(1)} exact=${r.getDouble(3)}")
+  }
 }
