@@ -23,13 +23,15 @@ object Explain {
       println(s"==== $n ====")
       // shuffle vs broadcast vs reused counted separately: a ReusedExchange
       // is not a new exchange, and broadcast/shuffle is exactly the
-      // distinction a plan audit cares about
-      println("shuffle_exchanges=" +
-        "(?m)^\\s*[:+-]*\\s*Exchange ".r.findAllMatchIn(plan).length +
-        " broadcast_exchanges=" +
-        "BroadcastExchange".r.findAllMatchIn(plan).length +
-        " reused_exchanges=" +
-        "ReusedExchange".r.findAllMatchIn(plan).length +
+      // distinction a plan audit cares about. A shuffle prints as bare
+      // "Exchange hashpartitioning..." at any tree depth, so count by
+      // subtraction rather than a line-prefix regex.
+      val nAll = "Exchange".r.findAllMatchIn(plan).length
+      val nBc = "BroadcastExchange".r.findAllMatchIn(plan).length
+      val nRe = "ReusedExchange".r.findAllMatchIn(plan).length
+      println("shuffle_exchanges=" + (nAll - nBc - nRe) +
+        " broadcast_exchanges=" + nBc +
+        " reused_exchanges=" + nRe +
         " sorts=" + "\\bSort\\b".r.findAllMatchIn(plan).length +
         " codegen_spans=" + "WholeStageCodegen".r.findAllMatchIn(plan).length)
       df.explain("formatted")
