@@ -365,6 +365,32 @@ object RelQueries {
                * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_price_disc
       FROM g ORDER BY l_returnflag"""))
 
+  /** B19d: salted two-phase aggregation — the skew playbook made
+    * explicit. Phase 1 groups by (key, pmod(rowkey, 32)): a hot key's
+    * rows spread over 32 reducers instead of one straggler; phase 2
+    * merges the 32 partials per key. Correct because the merged
+    * aggregates are associative — counts and exact integer-cent sums —
+    * so salting changes the execution shape, never the result (the
+    * oracle is the plain one-phase GROUP BY). At 100 TB this is the
+    * manual fallback when AQE's skew handling can't apply (e.g. a
+    * skewed groupBy rather than a skewed join side). */
+  private val aggSaltedSkew = Q(
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val salted = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(32)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents).as("pc"))
+      salted.groupBy(col("o_orderstatus"))
+        .agg(sum(col("pn")).as("n"),
+          r4(sum(col("pc")) / 100.0).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+      round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+        AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
   private val aggDistinct = Q(
     (s, d) => t(s, d, "orders")
@@ -427,6 +453,37 @@ object RelQueries {
 
   // ------------------------------------------------------------ B.5 windows
   /** B25: ranking window functions (sentence sequence within a fix). */
+  /** B25b: NTILE bucketing — equi-depth quartiles per group over a TOTAL
+    * order (cents, then unique orderkey: a tie in price must not make
+    * bucket assignment partition-order-dependent). Both engines assign
+    * ceil-sized leading buckets, so the summary per (group, quartile) is
+    * hash-exact. */
+  private val winNtile = Q(
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("pc"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("pc"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          r4(min(col("pc")) / 100.0).as("min_price"),
+          r4(max(col("pc")) / 100.0).as("max_price"))
+        .orderBy("o_orderstatus", "quartile")
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc FROM orders),
+      q AS (SELECT o_orderstatus, pc,
+        ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY pc, o_orderkey)
+          AS quartile
+        FROM t)
+      SELECT o_orderstatus, quartile, count(*) AS n,
+        round(min(pc) / 100.0, 4) AS min_price,
+        round(max(pc) / 100.0, 4) AS max_price
+      FROM q GROUP BY o_orderstatus, quartile
+      ORDER BY o_orderstatus, quartile"""))
+
   private val winRank = Q(
     (s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -579,11 +636,13 @@ object RelQueries {
     "agg_hash" -> aggHash,
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
+    "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_last_merge" -> aggLastMerge,
     "agg_collect" -> aggCollect,
     "win_rank" -> winRank,
+    "win_ntile" -> winNtile,
     "win_lag_lead" -> winLagLead,
     "win_frame_moving" -> winFrameMoving,
     "win_carry_forward" -> winCarryForward,
