@@ -35,6 +35,23 @@ object RelQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  /** B4b: ORC sink + source round-trip — the second columnar format a
+    * lakehouse ingests besides parquet. The engine writes supplier to ORC
+    * and reads it back; the oracle reads the SAME rows from parquet, so a
+    * hash match proves the ORC round-trip is lossless (doubles bit-
+    * preserved, strings/keys intact). */
+  private val sourceOrc = Q(
+    (s, d) => {
+      val out = s"/tmp/graft_sink_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, d, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey"""))
+
   // --------------------------------------------------- B.2 projection / filter
   /** B6: projection + computed columns (GGA field extraction :174-187). */
   private val projectSelect = Q(
@@ -620,6 +637,7 @@ object RelQueries {
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "sink_parquet" -> sinkParquet,
+    "source_orc" -> sourceOrc,
     "project_select" -> projectSelect,
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,
