@@ -326,22 +326,108 @@ object LlmQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
-  private val dedupSimhash = Q(
-    (s, d) => simhashPairs(docs(s, d), 8).orderBy("da", "db"),
-    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term
+  /** The simhash signature CTE chain (tokens → ±1 bit sums → 60-bit code,
+    * ending in `simh(doc_id, sim)`) — shared by the dedup_simhash oracle
+    * and the dedup_clusters oracle. No leading WITH so callers can prefix
+    * plain `WITH` or `WITH RECURSIVE`. */
+  private val simhashSqlCtes =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term
                FROM documents),
       th AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT h FROM tok),
       bits AS (SELECT doc_id, j,
                sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) sgn
                FROM th CROSS JOIN generate_series(0, 59) t(j) GROUP BY 1, 2),
-      sh AS (SELECT doc_id,
+      simh AS (SELECT doc_id,
                sum(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT sim
-             FROM bits GROUP BY 1)
+             FROM bits GROUP BY 1)"""
+
+  private val dedupSimhash = Q(
+    (s, d) => simhashPairs(docs(s, d), 8).orderBy("da", "db"),
+    Some("WITH " + simhashSqlCtes + """
       SELECT a.doc_id AS da, b.doc_id AS db,
         CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM simh a JOIN simh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sim, b.sim)) <= 8
       ORDER BY da, db"""))
+
+  /** Duplicate CLUSTERS: connected components over the near-dup pair
+    * graph — the stage a real dedup pipeline runs after pair generation
+    * (pairs only say "a~b"; keeping one doc per GROUP needs the
+    * transitive closure: a~b, b~c ⇒ {a,b,c} is one cluster with one
+    * canonical representative). Edges here are the exact banded simhash
+    * pairs (hamming ≤ 8); each component is labeled by its minimum
+    * doc_id and every member reports (rep_id, cluster_size).
+    *
+    * Algorithm: distributed min-label propagation with POINTER HALVING —
+    * per round each node takes the min of its own label, its neighbors'
+    * labels, and its label's label (`l(l(v))`, the pointer-jumping hop
+    * that collapses label chains geometrically, so rounds are
+    * O(log diameter) rather than O(diameter) — the same doubling idea as
+    * the large-star/small-star MapReduce CC algorithm). Every step is an
+    * equi-join + min-aggregate on (id, label) pairs — each round shuffles
+    * only 16-byte rows, never document bodies, and the loop's driver-side
+    * footprint is one `count()` per round for the fixpoint test. Exact:
+    * labels decrease monotonically and are bounded below by the true
+    * component minimum, and the loop runs to an unchanged fixpoint. */
+  /** Connected components over an undirected pair list `(da, db)`:
+    * returns one row per node appearing in any pair, labeled with its
+    * component's minimum id and the component size — the reusable core of
+    * dedup_clusters, exposed for LlmSpec's adversarial graphs (long
+    * chains, which the pointer-halving round bound must collapse).
+    *
+    * The pair frame is checkpointed FIRST: both union branches below
+    * consume it, and unmaterialized that runs the upstream candidate join
+    * twice. Each round's label frame is EAGERLY localCheckpoint'ed — an
+    * iterative dataflow that only persists still embeds round k-1's
+    * logical plan ~4x in round k's (union + the self-join), so the plan
+    * tree grows 4^k and ANALYSIS hangs long before the data is big;
+    * checkpointing cuts the plan to the materialized blocks each round.
+    * (On a real cluster this would be a reliable `checkpoint()` to the
+    * job's checkpoint dir; same shape.) */
+  def clusterPairs(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.toDF("da", "db").localCheckpoint()
+    // symmetric edge list: propagation must flow both ways
+    val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("v", "u")
+    var labels = edges.select(col("v")).distinct()
+      .select(col("v"), col("v").as("l")).localCheckpoint()
+    var moved = 1L; var rounds = 0
+    while (moved > 0 && rounds < 25) {
+      val viaEdge = edges.join(labels, "v").select(col("u").as("v"), col("l"))
+      val viaHop = labels.toDF("w", "wl")
+        .join(labels.toDF("x", "xl"), col("wl") === col("x"))
+        .select(col("w").as("v"), col("xl").as("l"))
+      val next = labels.union(viaEdge).union(viaHop)
+        .groupBy("v").agg(min(col("l")).as("l")).localCheckpoint()
+      moved = next.toDF("nv", "nl")
+        .join(labels.toDF("ov", "ol"),
+          col("nv") === col("ov") && col("nl") =!= col("ol")).count()
+      labels = next; rounds += 1
+    }
+    val sz = labels.groupBy("l").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, "l")
+      .select(col("v").as("doc_id"), col("l").as("rep_id"),
+        col("cluster_size"))
+  }
+
+  private val dedupClusters = Q(
+    (s, d) => clusterPairs(
+        simhashPairs(docs(s, d), 8).select(col("da"), col("db")))
+      .orderBy("doc_id"),
+    // oracle: transitive closure by recursive CTE (set-semantics UNION
+    // terminates it), then min reachable id per node = component label
+    Some("WITH RECURSIVE " + simhashSqlCtes + """,
+      prs AS (SELECT a.doc_id da, b.doc_id db
+              FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 8),
+      edges AS (SELECT da v, db u FROM prs
+                UNION ALL SELECT db, da FROM prs),
+      reach(v, u) AS (SELECT v, u FROM edges
+                      UNION
+                      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+      lbl AS (SELECT v, least(v, min(u)) rep FROM reach GROUP BY v)
+      SELECT v AS doc_id, rep AS rep_id,
+        count(*) OVER (PARTITION BY rep) AS cluster_size
+      FROM lbl ORDER BY doc_id"""))
 
   /** Embedding-cosine near-dup pairs (cos >= 0.45), mode-switched by
     * [[EmbeddingModeKey]]: `exact` (default) is the all-pairs enumeration
@@ -866,6 +952,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,

@@ -159,4 +159,20 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val fp = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
+
+  test("clusterPairs: chain + clique + transitive closure, singletons absent") {
+    // a 12-node CHAIN (diameter 11 — needs pointer halving, near-dup data
+    // never exercises it), a 3-clique with redundant edges, and a
+    // transitive 2-path; nodes 100+ appear in no pair and must be absent
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val vee = Seq((31L, 30L), (31L, 32L))
+    val out = LlmQueries.clusterPairs(
+        (chain ++ clique ++ vee).toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 18, s"12 + 3 + 3 member rows, got ${out.size}")
+    (0L to 11L).foreach(v => assert(out(v) == (0L, 12L), s"chain node $v"))
+    (20L to 22L).foreach(v => assert(out(v) == (20L, 3L), s"clique node $v"))
+    (30L to 32L).foreach(v => assert(out(v) == (30L, 3L), s"vee node $v"))
+  }
 }
