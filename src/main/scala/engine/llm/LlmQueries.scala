@@ -853,6 +853,32 @@ object LlmQueries {
         substr(list_min(list_transform(s, x -> md5(x))), 1, 8) AS fp8
       FROM sh ORDER BY doc_id"""))
 
+  /** Deterministic hash-bucket sampling — the only sampling that is
+    * reproducible at 100 TB: membership depends on md5(salt|id) alone, so
+    * the same 10% sample falls out on any cluster size, any partitioning,
+    * any re-run (rand()-based sampling is none of those), and a later
+    * pipeline stage can re-derive the SAME sample locally from the id. A
+    * different salt = an independent sample (held-out splits, A/B
+    * corpora). The predicate is a codegen'd scalar on a scanned column —
+    * no shuffle, full pushdown of everything else. */
+  private val sampleHash = Q(
+    (s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(concat_ws("|", lit("smp"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < 10)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, bucket FROM (
+        SELECT doc_id, lang, source, n_chars,
+          ('0x' || substr(md5('smp|' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents)
+      WHERE bucket < 10 ORDER BY doc_id"""))
+
   // --------------------------------------------------------- B51 multimodal
   /** B51: typed array/binary columns flowing through a join: documents ⋈
     * embeddings (1:1 on id, inner), vector norm computed in-place on the
@@ -962,6 +988,7 @@ object LlmQueries {
     "text_token_stats" -> textTokenStats,
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
+    "sample_hash" -> sampleHash,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++ MultimodalQueries.queries
 }

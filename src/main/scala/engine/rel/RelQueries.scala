@@ -266,6 +266,41 @@ object RelQueries {
     Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
       ORDER BY r_name, n_name"""))
 
+  /** B18b: bucketed co-located join — the 100 TB shape for a REPEATED
+    * big⋈big equi-join: both sides pre-bucketed on the join key into the
+    * SAME bucket count, so every subsequent join reads co-located buckets
+    * with ZERO shuffle exchange on either input (PlanSpec pins that the
+    * only exchange left in the plan is the final tiny group-by — the
+    * one-time bucketed write amortizes across every later join, exactly
+    * how a lakehouse lays out its fact tables). Bucket metadata lives in
+    * the session catalog (`bucketBy` needs `saveAsTable`; a bare path
+    * write cannot record it) — the data itself is plain parquet under
+    * /tmp, registered as external tables. */
+  private val joinBucketed = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val p = s"/tmp/graft_bucketed_$san"
+      t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet").bucketBy(8, "o_custkey")
+        .option("path", s"$p/orders").saveAsTable(s"graft_bk_orders_$san")
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet").bucketBy(8, "c_custkey")
+        .option("path", s"$p/customer").saveAsTable(s"graft_bk_customer_$san")
+      s.table(s"graft_bk_orders_$san")
+        .join(s.table(s"graft_bk_customer_$san"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          r4(sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+            .as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+        AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   // --------------------------------------------------------------- B.4 aggs
   /** B19: hash aggregate, partial+final (TPC-H Q1 shape) — the per-fix merge
     * (:173-187) as a degenerate group-by. */
@@ -435,6 +470,78 @@ object RelQueries {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation"""))
+
+  /** B22b: pivot → unpivot round trip. Pivot with an EXPLICIT value list
+    * (`pivot(col, values)`) — the two-pass distinct-discovery form is a
+    * full extra scan plus a driver collect of the key set, which at
+    * 100 TB is both a wasted pass and an unbounded driver list; a
+    * declared domain keeps it one scan. Unpivot uses the native melt
+    * (`unpivot`), and the null-combination drop makes the round trip
+    * exactly the long-form group-by the oracle states. */
+  private val pivotUnpivot = Q(
+    (s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("O"), col("F"), col("P")),
+          "o_orderstatus", "cents")
+        .filter(col("cents").isNotNull)
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          r4(col("cents") / 100.0).as("total_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus,
+      round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 4)
+        AS total_price
+      FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+      GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority, o_orderstatus"""))
+
+  /** B13b: subquery surface — correlated EXISTS / NOT EXISTS, a
+    * correlated scalar count, and an uncorrelated scalar aggregate, via
+    * `spark.sql` over temp views. Catalyst DECORRELATES all four into
+    * joins (semi/anti/aggregate-left-outer + a broadcast scalar) — no
+    * per-row re-execution, which is what makes subqueries usable at
+    * scale at all. The average is compared in exact integer cents: a
+    * double AVG differs between engines in the last ulp, and a knife-edge
+    * order could flip the EXISTS. */
+  private val subqueryExists = Q(
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_sq_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_sq_orders")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          (SELECT count(*) FROM graft_sq_orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM graft_sq_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM graft_sq_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND round(o.o_totalprice * 100, 0) >
+                (SELECT sum(cast(round(o_totalprice * 100, 0) as bigint))
+                   / count(*) FROM graft_sq_orders))
+          AND NOT EXISTS (
+            SELECT 1 FROM graft_sq_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name,
+        (SELECT count(*) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND round(o.o_totalprice * 100, 0) >
+              (SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 / count(*) FROM orders))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey"""))
 
   /** B23: last-writer-wins merge — the fix-assembly aggregate (:173-187).
     * Plain last() is shuffle-order-nondeterministic; the deterministic form
@@ -651,12 +758,15 @@ object RelQueries {
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
+    "join_bucketed" -> joinBucketed,
     "agg_hash" -> aggHash,
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
+    "pivot_unpivot" -> pivotUnpivot,
+    "subquery_exists" -> subqueryExists,
     "agg_last_merge" -> aggLastMerge,
     "agg_collect" -> aggCollect,
     "win_rank" -> winRank,

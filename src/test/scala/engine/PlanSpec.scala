@@ -138,4 +138,38 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         s"exchange carries the document body: ${e.output.map(_.name)}")
     }
   }
+
+  test("join_bucketed: the bucketed join reads co-located buckets, no input shuffle") {
+    // at sf0.001 the dim side is under the broadcast threshold, which
+    // makes "no input exchange" vacuous — force the shuffled-join path
+    // the operator exists for, and require bucketing to eliminate it
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedBody()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  private def bucketedBody(): Unit = {
+    val df = graft.SparkEntry.queries("join_bucketed")(spark, sf)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the only exchanges allowed are AT or ABOVE the group-by (the tiny
+    // 5-row aggregate/sort); neither join INPUT may reshuffle — that is
+    // the entire point of bucketing. Equivalently: no exchange whose
+    // output still carries the raw join payload columns.
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("o_custkey") && !names.contains("c_custkey"),
+        s"join input was shuffled — bucketing not honored: $names")
+    }
+    assert(exec.toString.contains("SortMergeJoin") ||
+      exec.toString.contains("ShuffledHashJoin"), exec.toString)
+    assert(exec.toString.contains("Bucketed: true"), "scan did not use buckets")
+  }
 }
