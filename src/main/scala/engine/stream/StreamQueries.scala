@@ -344,8 +344,66 @@ object StreamQueries {
       GROUP BY 1, 2
       ORDER BY device, hour"""))
 
+  /** B5b: stream-STATIC join — the enrich-with-dimension pattern: every
+    * micro-batch joins against a broadcast static profile table.
+    * Stateless (no watermark, no state store): the static side is fixed
+    * for the run, so this is the one streaming join that scales with
+    * ZERO state — at 100 TB the dimension broadcasts once per executor
+    * and the stream never shuffles. */
+  private val streamJoinStatic = Q(
+    (s, d) => {
+      val prof = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_n"))
+      val joined = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(prof), "user_id")
+        .select(col("event_id"), col("user_id"), col("user_n"),
+          r4(col("value")).as("value"))
+      runToMemory(s, joined, "graft_sjoin_sink").orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, p.user_n, round(e.value, 4) AS value
+      FROM events e
+      JOIN (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id) p
+        ON e.user_id = p.user_id
+      WHERE e.event_type = 'purchase'
+      ORDER BY e.event_id"""))
+
+  /** B5c: stream-STREAM interval join — click→purchase attribution: each
+    * purchase pairs with the same user's clicks in the preceding hour.
+    * Both sides carry a watermark and the join condition bounds event
+    * time BOTH ways, so Spark derives a state-eviction horizon for each
+    * side — the stream-stream join form whose state is bounded at scale
+    * (an unconstrained-time join would buffer both streams forever).
+    * Exact under AvailableNow: admission order cannot drop rows because
+    * the watermark only advances between triggers. */
+  private val streamJoinStream = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      def side(typ: String, as: String) = asFileStream(s,
+          t(s, d, "events").filter(col("event_type") === typ)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          s"sj_${typ}_$san")
+        .withWatermark("ts", "2 hours").alias(as)
+      val joined = side("click", "c").join(side("purchase", "p"),
+          expr("""c.user_id = p.user_id AND
+                  p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour"""))
+        .select(col("c.event_id").as("click_id"),
+          col("p.event_id").as("purchase_id"), col("c.user_id").as("user_id"))
+      runToMemory(s, joined, "graft_ssjoin_sink")
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        c.user_id AS user_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""))
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
+    "stream_join_static" -> streamJoinStatic,
+    "stream_join_stream" -> streamJoinStream,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_watermark_late" -> streamWatermarkLate,
