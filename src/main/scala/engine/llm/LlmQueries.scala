@@ -388,8 +388,13 @@ object LlmQueries {
     val pairs = pairsDf.toDF("da", "db").localCheckpoint()
     // symmetric edge list: propagation must flow both ways
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("v", "u")
-    var labels = edges.select(col("v")).distinct()
-      .select(col("v"), col("v").as("l")).localCheckpoint()
+    // seed = least(self, min neighbor): folds the first propagation round
+    // into initialization (the alternative `distinct()` seed costs the
+    // same shuffle and still labels everything with itself); near-clique
+    // components — the near-dup common case — then converge in ONE
+    // checked round
+    var labels = edges.groupBy(col("v"))
+      .agg(least(col("v"), min(col("u"))).as("l")).localCheckpoint()
     var moved = 1L; var rounds = 0
     while (moved > 0 && rounds < 25) {
       val viaEdge = edges.join(labels, "v").select(col("u").as("v"), col("l"))

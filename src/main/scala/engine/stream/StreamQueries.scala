@@ -78,7 +78,8 @@ object StreamQueries {
     * deployment with a durable sink needs a durable checkpoint instead —
     * that's a recovery requirement, not a throughput choice. */
   private def runToMemory(spark: SparkSession, sdf: DataFrame, name: String,
-      mode: String = "append", noDataBatches: Boolean = true): DataFrame = {
+      mode: String = "append", noDataBatches: Boolean = true,
+      statePartitions: Option[Int] = None): DataFrame = {
     spark.catalog.dropTempView(name) // tolerate re-runs within a session
     val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
@@ -86,6 +87,17 @@ object StreamQueries {
       s"$ckRoot/graft_ckpt_${name}_${java.util.UUID.randomUUID}")
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val noDataPrev = spark.conf.getOption(noDataKey)
+    // stateful streams pin shuffle partitions at first start (AQE is off
+    // for stateful workloads): every stateful operator then runs ONE
+    // state-store instance per partition, each paying WAL+commit IO per
+    // trigger. statePartitions sizes that to the stream's actual key
+    // cardinality/throughput — a per-JOB deployment decision a real
+    // cluster makes in the job conf (it must stay fixed for the life of a
+    // checkpoint; our checkpoints are one-shot). Low-cardinality state
+    // at 32 partitions is 32x the commit overhead for zero parallelism
+    // gain.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val shufPrev = spark.conf.get(shufKey)
     // start() is inside the try: it can throw after creating checkpoint
     // dirs, and a stranded dir on tmpfs is leaked RAM
     try {
@@ -96,11 +108,13 @@ object StreamQueries {
       // whose OUTPUT needs a watermark sweep — timeout-evicted fixes,
       // append-mode window finalization — must keep it true.
       spark.conf.set(noDataKey, noDataBatches.toString)
+      statePartitions.foreach(n => spark.conf.set(shufKey, n.toString))
       sdf.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ck.getPath)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
     } finally {
+      spark.conf.set(shufKey, shufPrev)
       noDataPrev match {
         case Some(v) => spark.conf.set(noDataKey, v)
         case None    => spark.conf.unset(noDataKey)
@@ -298,7 +312,11 @@ object StreamQueries {
         orderedBy = Some("line_no"), maxFilesPerTrigger = Some(16))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
-      val out = runToMemory(s, fixes.toDF(), "graft_merge_sink")
+      // ~150 devices ⇒ 16 state partitions: assembly parallelism is
+      // capped by device count anyway, and halving the store count
+      // halves per-trigger commit IO across the multi-trigger run
+      val out = runToMemory(s, fixes.toDF(), "graft_merge_sink",
+        statePartitions = Some(16))
       out.filter(col("device") =!= "__wm__")
         .filter(col("complete"))
         .filter(col("numsat") >= 5 && col("hdop") <= 8.0)
@@ -389,7 +407,9 @@ object StreamQueries {
                   p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour"""))
         .select(col("c.event_id").as("click_id"),
           col("p.event_id").as("purchase_id"), col("c.user_id").as("user_id"))
-      runToMemory(s, joined, "graft_ssjoin_sink")
+      // few hundred active users ⇒ 8 state partitions; 32 would mean 4x
+      // the per-trigger store commits for no extra parallelism
+      runToMemory(s, joined, "graft_ssjoin_sink", statePartitions = Some(8))
         .orderBy("click_id", "purchase_id")
     },
     Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
