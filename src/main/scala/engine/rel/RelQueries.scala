@@ -683,6 +683,109 @@ object RelQueries {
         FROM events)
       WHERE last_purchase IS NOT NULL ORDER BY event_id"""))
 
+  /** B27b: value-RANGE window frame — the trailing-hour running sum per
+    * user, framed by EVENT TIME (micros), not row count: a rows-frame is
+    * wrong whenever arrival density varies (the 100 TB norm). Value in
+    * exact integer cents so the frame sum is order-free. */
+  private val winRangeFrame = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0) // trailing hour in microseconds
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("hour_sum", r4(sum(col("cents")).over(w) / 100.0))
+        .select(col("event_id"), col("user_id"), col("hour_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      round(sum(CAST(round(value * 100, 0) AS BIGINT))
+        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 100.0, 4)
+        AS hour_sum
+      FROM events ORDER BY event_id"""))
+
+  /** B19b: per-group MODE as ONE aggregation — `min(struct(-cnt, key))`
+    * picks the most frequent key with a deterministic smallest-key tie
+    * break, in a single partial+final agg over the (group, key) counts;
+    * no window, no second shuffle of the base table. (The window-rank
+    * formulation re-sorts every group; this shape's state per group is
+    * one pair.) */
+  private val aggMode = Q(
+    (s, d) => t(s, d, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("source"))).as("m"),
+        sum(col("cnt")).as("n_docs"))
+      .select(col("lang"), col("m.source").as("mode_source"),
+        (-col("m.neg")).as("mode_count"), col("n_docs"))
+      .orderBy("lang"),
+    Some("""WITH c AS (SELECT lang, source, count(*) AS cnt
+              FROM documents GROUP BY lang, source),
+      tot AS (SELECT lang, sum(cnt) AS n_docs FROM c GROUP BY lang)
+      SELECT c.lang, c.source AS mode_source, c.cnt AS mode_count, tot.n_docs
+      FROM c JOIN tot ON c.lang = tot.lang
+      QUALIFY row_number() OVER (PARTITION BY c.lang
+        ORDER BY c.cnt DESC, c.source) = 1
+      ORDER BY c.lang"""))
+
+  /** B28b: type-2 slowly-changing dimension build — collapse each user's
+    * event-type runs into versioned validity intervals
+    * (valid_from/valid_to half-open, NULL-open current row): the
+    * warehouse pattern for "what was true when". Island detection =
+    * lag-compare + running sum, all window ops over ONE
+    * (user_id, ts, event_id) sort; no self-join. */
+  private val scd2Build = Q(
+    (s, d) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      t(s, d, "events")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byTime) === col("event_type"), 0)
+            .otherwise(1))
+        .withColumn("version", sum(col("chg")).over(runs))
+        .groupBy(col("user_id"), col("version"))
+        .agg(first(col("event_type")).as("state"), // constant within a run
+          min(struct(col("ts"), col("event_id"))).as("fst"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_from", unix_micros(col("fst.ts")))
+        .withColumn("valid_to",
+          unix_micros(lead(col("fst.ts"), 1).over(byVer)))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+               THEN 0 ELSE 1 END AS chg
+        FROM events),
+      runs AS (
+        SELECT user_id, ts, event_id, event_type,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        FROM marked),
+      vers AS (
+        SELECT user_id, version, min(event_type) AS state,
+          min(ts) AS fst, count(*) AS n_events
+        FROM runs GROUP BY user_id, version)
+      SELECT user_id, version, state, epoch_us(fst) AS valid_from,
+        epoch_us(lead(fst) OVER (PARTITION BY user_id ORDER BY version))
+          AS valid_to,
+        lead(fst) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+          AS is_current,
+        n_events
+      FROM vers ORDER BY user_id, version"""))
+
   // ------------------------------------------- B.6 sort / top-k / set ops
   /** B29: global sort + limit (the ordered fix map). Total order via
     * unique-key tiebreaks. */
@@ -760,6 +863,7 @@ object RelQueries {
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "agg_hash" -> aggHash,
+    "agg_mode" -> aggMode,
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
     "agg_salted_skew" -> aggSaltedSkew,
@@ -773,7 +877,9 @@ object RelQueries {
     "win_ntile" -> winNtile,
     "win_lag_lead" -> winLagLead,
     "win_frame_moving" -> winFrameMoving,
+    "win_range_frame" -> winRangeFrame,
     "win_carry_forward" -> winCarryForward,
+    "scd2_build" -> scd2Build,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
     "set_ops" -> setOps)
