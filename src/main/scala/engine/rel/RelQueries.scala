@@ -471,6 +471,23 @@ object RelQueries {
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation"""))
 
+  /** B22c: CUBE — all 2^k grouping sets (rollup's B22 sibling covers the
+    * hierarchical prefix sets); NULL markers coalesced so sort order is
+    * engine-independent. */
+  private val aggCube = Q(
+    (s, d) => t(s, d, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n"), col("sum_chars"))
+      .orderBy("lang", "source"),
+    Some("""SELECT COALESCE(lang, '<all>') AS lang,
+        COALESCE(source, '<all>') AS source,
+        count(*) AS n, sum(n_chars) AS sum_chars
+      FROM documents GROUP BY CUBE (lang, source)
+      ORDER BY lang, source"""))
+
   /** B22b: pivot → unpivot round trip. Pivot with an EXPLICIT value list
     * (`pivot(col, values)`) — the two-pass distinct-discovery form is a
     * full extra scan plus a driver collect of the key set, which at
@@ -869,6 +886,7 @@ object RelQueries {
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_cube" -> aggCube,
     "pivot_unpivot" -> pivotUnpivot,
     "subquery_exists" -> subqueryExists,
     "agg_last_merge" -> aggLastMerge,

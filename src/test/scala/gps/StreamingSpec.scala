@@ -141,4 +141,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(utcs.count(_ == "120000") == 1)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: cross-trigger pairs join, watermark drops late") {
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def side(m: MemoryStream[(Long, Long, java.sql.Timestamp)], as: String) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+        .withWatermark("ts", "10 minutes").alias(as)
+    val joined = side(clicks, "c").join(side(purchases, "p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour"""))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_spec")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    try {
+      // click buffered in trigger 1, its purchase arrives in trigger 2:
+      // the join must pair ACROSS triggers from buffered state
+      clicks.addData((1L, 7L, ts(0)))
+      q.processAllAvailable()
+      purchases.addData((100L, 7L, ts(30)))
+      q.processAllAvailable()
+      // advance both watermarks past click 1's join horizon (+1h +10m)
+      clicks.addData((2L, 7L, ts(300)))
+      purchases.addData((101L, 7L, ts(300)))
+      q.processAllAvailable()
+      // in-window for click 1 but behind the watermark: state is evicted
+      // and the row is dropped — NO pair may appear
+      purchases.addData((102L, 7L, ts(40)))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L), (2L, 101L)), pairs.toString)
+    } finally q.stop()
+  }
 }
