@@ -858,6 +858,36 @@ object LlmQueries {
         substr(list_min(list_transform(s, x -> md5(x))), 1, 8) AS fp8
       FROM sh ORDER BY doc_id"""))
 
+  /** Bounded edit-distance verification over banded candidates: simhash
+    * band collisions propose pairs, `levenshtein(a, b, k)` verifies. The
+    * THRESHOLD form is the scale-right verify — it runs the banded DP in
+    * O(k·n) and bails with -1 past k, vs O(n²) for the unbounded
+    * distance; the verify step runs on candidates only, never all pairs.
+    * (The oracle's unbounded levenshtein + `<= k` filter is equivalent by
+    * definition of the bail-out.) */
+  private val dedupEditDistance = Q(
+    (s, d) => {
+      val k = 200
+      val txt = docs(s, d).select(col("doc_id"), col("text"))
+      simhashPairs(docs(s, d), 8)
+        .select(col("da"), col("db"))
+        .join(txt.toDF("da", "ta"), "da")
+        .join(txt.toDF("db", "tb"), "db")
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("tb"), k).as("lev"))
+        .filter(col("lev") >= 0) // -1 = distance exceeded the bound
+        .orderBy("da", "db")
+    },
+    Some("WITH " + simhashSqlCtes + """,
+      prs AS (SELECT a.doc_id da, b.doc_id db
+              FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 8)
+      SELECT p.da, p.db, levenshtein(ta.text, tb.text) AS lev
+      FROM prs p JOIN documents ta ON ta.doc_id = p.da
+                 JOIN documents tb ON tb.doc_id = p.db
+      WHERE levenshtein(ta.text, tb.text) <= 200
+      ORDER BY da, db"""))
+
   /** Deterministic hash-bucket sampling — the only sampling that is
     * reproducible at 100 TB: membership depends on md5(salt|id) alone, so
     * the same 10% sample falls out on any cluster size, any partitioning,
@@ -984,6 +1014,7 @@ object LlmQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_embedding" -> dedupEmbedding,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,

@@ -443,6 +443,38 @@ object RelQueries {
         AS sum_price
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** B10b: SALTED fact⋈dim join — the skew-join fix when one key owns a
+    * disproportionate share of the fact rows: replicate each dim row
+    * across all 32 salt buckets, salt each fact row deterministically,
+    * join on (key, salt) — the hot key's rows now land on 32 reducers
+    * instead of one straggler. `shuffle_hash` hints keep it a shuffled
+    * join (broadcast would hide the point at this SF; at 100 TB the dim
+    * may be too big to broadcast and AQE skew-split only handles
+    * sort-merge cases). Result provably identical to the unsalted join —
+    * the oracle IS the unsalted join. */
+  private val joinSkewSalted = Q(
+    (s, d) => {
+      val salts = 32
+      val dimRep = t(s, d, "part").select(col("p_partkey"), col("p_brand"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val fact = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(salts))
+            .as("salt"))
+      fact.hint("shuffle_hash")
+        .join(dimRep.hint("shuffle_hash"),
+          fact("l_partkey") === dimRep("p_partkey") &&
+            fact("salt") === dimRep("salt"))
+        .groupBy(col("p_brand"))
+        .agg(r4(sum(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty,
+      count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
   private val aggDistinct = Q(
     (s, d) => t(s, d, "orders")
@@ -879,6 +911,7 @@ object RelQueries {
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
+    "join_skew_salted" -> joinSkewSalted,
     "agg_hash" -> aggHash,
     "agg_mode" -> aggMode,
     "agg_percentile" -> aggPercentile,
