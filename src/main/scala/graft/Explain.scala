@@ -19,7 +19,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      // EXECUTE THIS df first: under AQE the pre-execution plan is
+      // provisional (isFinalPlan=false) with no codegen spans — and
+      // count() would finalize a DIFFERENT QueryExecution, not this one
+      df.collect()
+      // the post-exec render shows "== Final Plan ==" then the initial
+      // plan again — count only the final section or everything doubles
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       println(s"==== $n ====")
       // shuffle vs broadcast vs reused counted separately: a ReusedExchange
       // is not a new exchange, and broadcast/shuffle is exactly the
@@ -33,7 +40,10 @@ object Explain {
         " broadcast_exchanges=" + nBc +
         " reused_exchanges=" + nRe +
         " sorts=" + "\\bSort\\b".r.findAllMatchIn(plan).length +
-        " codegen_spans=" + "WholeStageCodegen".r.findAllMatchIn(plan).length)
+        // post-execution the final plan renders codegen as "*(id)"
+        // prefixes; distinct ids = spans
+        " codegen_spans=" +
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size)
       df.explain("formatted")
       engine.ScratchCache.drain()
     }
