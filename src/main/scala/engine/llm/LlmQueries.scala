@@ -873,6 +873,10 @@ object LlmQueries {
         .select(col("da"), col("db"))
         .join(txt.toDF("da", "ta"), "da")
         .join(txt.toDF("db", "tb"), "db")
+        // free pre-filter: |len(a)-len(b)| > k already implies dist > k,
+        // so the DP never runs for length-mismatched pairs (same result,
+        // the oracle's unbounded filter subsumes it)
+        .filter(abs(length(col("ta")) - length(col("tb"))) <= k)
         .select(col("da"), col("db"),
           levenshtein(col("ta"), col("tb"), k).as("lev"))
         .filter(col("lev") >= 0) // -1 = distance exceeded the bound
