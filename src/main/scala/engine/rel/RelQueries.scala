@@ -52,6 +52,25 @@ object RelQueries {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey"""))
 
+  /** B4c: hive-layout partitioned sink + partition-PRUNED source — the
+    * 100 TB table layout: data physically split by a low-cardinality
+    * column, so a filter on it prunes whole directories at PLANNING time
+    * (the scan lists only lang=en/; PlanSpec pins `PartitionFilters` and
+    * that the other partitions' files never appear). Column order changes
+    * on write-out (partition cols move last) — re-selected explicitly. */
+  private val sourcePartitioned = Q(
+    (s, d) => {
+      val out = s"/tmp/graft_part_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, d, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang = 'en' ORDER BY doc_id"""))
+
   // --------------------------------------------------- B.2 projection / filter
   /** B6: projection + computed columns (GGA field extraction :174-187). */
   private val projectSelect = Q(
@@ -897,6 +916,7 @@ object RelQueries {
     "scan_parquet" -> scanParquet,
     "sink_parquet" -> sinkParquet,
     "source_orc" -> sourceOrc,
+    "source_partitioned" -> sourcePartitioned,
     "project_select" -> projectSelect,
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,

@@ -139,6 +139,15 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("source_partitioned: partition filter prunes directories at planning time") {
+    val p = plan("source_partitioned")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("PartitionFilters: ["), p)
+    assert(scan.contains("= en"), scan)
+    // pruned data filters must NOT degrade to a post-scan filter on lang
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), p)
+  }
+
   test("join_bucketed: the bucketed join reads co-located buckets, no input shuffle") {
     // at sf0.001 the dim side is under the broadcast threshold, which
     // makes "no input exchange" vacuous — force the shuffled-join path
