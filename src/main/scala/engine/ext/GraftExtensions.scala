@@ -56,6 +56,35 @@ object AccelerateDotProduct extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: bound a compared Levenshtein distance.
+  *
+  *   levenshtein(a, b) <= k   ⇒   levenshtein(a, b, k) >= 0
+  *
+  * The unbounded form fills the full O(|a|·|b|) DP matrix; the threshold
+  * form runs a (2k+1)-wide banded DP and bails out early, returning -1
+  * past k — so `dist <= k` and `bounded dist != -1` are equivalent by
+  * construction, and strict `< k` is `<= k-1`. Users write the natural
+  * predicate; candidate-verification filters (the dedup hot path) get
+  * the O(k·n) DP for free. Null semantics unchanged: both forms are
+  * null-in/null-out and a NULL predicate drops the row either way. */
+object BoundLevenshtein extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.IntegerType
+
+  private def bounded(l: Expression, r: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+        if k >= 0 => bounded(l, r, k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+        if k >= 0 => bounded(l, r, k)
+    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType))
+        if k >= 1 => bounded(l, r, k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None))
+        if k >= 1 => bounded(l, r, k - 1)
+  }
+}
+
 /** Session extension (SURVEY.md §4.2 extension-point wiring): registers
   * the engine's custom expressions as SQL functions and installs
   * [[AccelerateDotProduct]]. Activate with
@@ -66,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.nmeaChecksumFn)
     e.injectFunction(GraftExtensions.doubleArrayDotFn)
     e.injectOptimizerRule(_ => AccelerateDotProduct)
+    e.injectOptimizerRule(_ => BoundLevenshtein)
   }
 }
 
@@ -97,5 +127,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(AccelerateDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AccelerateDotProduct
+    if (!spark.experimental.extraOptimizations.contains(BoundLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundLevenshtein
   }
 }

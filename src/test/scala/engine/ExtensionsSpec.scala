@@ -96,4 +96,35 @@ class ExtensionsSpec extends AnyFunSuite {
     })
     assert(found.isEmpty)
   }
+
+  test("BoundLevenshtein rewrites compared distances to the banded form") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    GraftExtensions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def thresholds(df: org.apache.spark.sql.DataFrame): Seq[Boolean] =
+      df.queryExecution.optimizedPlan.collect { case node =>
+        node.expressions.flatMap(_.collect {
+          case Levenshtein(_, _, t) => t.isDefined
+        })
+      }.flatten
+    // <= k and < k both become threshold forms...
+    val le = docs.as("a").join(docs.as("b"),
+      expr("a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 5"))
+    assert(thresholds(le.toDF()).contains(true), "<= not rewritten")
+    val lt = docs.filter(expr("levenshtein(text, 'probe') < 3"))
+    assert(thresholds(lt).contains(true), "< not rewritten")
+    // ...and agree with the unbounded evaluation on real rows
+    val naive = docs.select(col("doc_id"))
+      .filter(expr("levenshtein(text, repeat('a b c ', 30)) <= 150"))
+      .collect().map(_.getLong(0)).toSet
+    val m = docs.select(col("doc_id"),
+        expr("levenshtein(text, repeat('a b c ', 30))").as("d"))
+      .collect().filter(_.getInt(1) <= 150).map(_.getLong(0)).toSet
+    assert(naive == m, s"rewrite changed results: ${naive.size} vs ${m.size}")
+    // a bare projection of the distance (no comparison) is left alone
+    val bare = docs.select(expr("levenshtein(text, 'x')").as("d"))
+    assert(!thresholds(bare).contains(true), "projection must not be bounded")
+  }
 }
