@@ -109,6 +109,67 @@ object MultimodalQueries {
       ORDER BY b.doc_id"""
     })
 
+  /** One sampled "video frame": index, byte extent, and a cheap frame
+    * signature (byte sum + head bytes) — a real decoder would emit the
+    * decoded frame tensor here; extents and flow are what scale. */
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, offset: Int, frame_bytes: Int,
+      byte_sum: Long, head_hex: String)
+
+  /** FRAME-SAMPLE STUB — every `every`-th fixed-size frame of the
+    * payload, partition-local, one output row per sampled frame (the
+    * 1→N `flatMap` shape of real frame extraction: output cardinality is
+    * data-dependent, unlike the 1→1 feature map). */
+  def frameSampleStub(m: MediaRow, frameBytes: Int = 64,
+      every: Int = 4): Iterator[FrameSample] = {
+    val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+    (0 until nFrames by every).iterator.map { f =>
+      val off = f * frameBytes
+      val end = math.min(off + frameBytes, m.payload.length)
+      val bytes = m.payload.slice(off, end)
+      FrameSample(m.doc_id, f, off, end - off,
+        bytes.foldLeft(0L)((a, b) => a + (b & 0xff)),
+        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
+    }
+  }
+
+  /** B51c: frame sampling over opaque media payloads. Same synthetic
+    * payload as multimodal_features; the oracle replays frame extents
+    * and byte sums over `hex(payload)`, so the flatMap plumbing is
+    * hash-checked end to end. */
+  private val multimodalFramesample = Q(
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("channels"))
+        .as[MediaRow]
+      media.mapPartitions(_.flatMap(m => frameSampleStub(m))).toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH m AS (SELECT doc_id, encode(text) AS payload FROM documents),
+      b AS (SELECT doc_id, octet_length(payload) AS nb, hex(payload) AS hx
+            FROM m),
+      fr AS (SELECT doc_id, nb, hx,
+               unnest(range(0, (nb + 63) // 64, 4)) AS f FROM b),
+      frx AS (SELECT doc_id, nb, hx, f, (f * 64)::INT AS off,
+               least(f * 64 + 64, nb)::INT AS fin FROM fr),
+      pos AS (SELECT doc_id, f, unnest(range(off, fin)) AS i FROM frx),
+      sums AS (SELECT p.doc_id, p.f,
+                 sum(('0x' || substr(x.hx, (2 * p.i + 1)::INT, 2))::BIGINT)
+                   ::BIGINT AS byte_sum
+               FROM pos p JOIN b x ON p.doc_id = x.doc_id
+               GROUP BY p.doc_id, p.f)
+      SELECT frx.doc_id AS doc_id, frx.f::INT AS frame_idx, frx.off AS offset,
+        (frx.fin - frx.off) AS frame_bytes,
+        sums.byte_sum,
+        lower(substr(frx.hx, 2 * frx.off + 1,
+          least(8, 2 * (frx.fin - frx.off)))) AS head_hex
+      FROM frx JOIN sums ON frx.doc_id = sums.doc_id AND frx.f = sums.f
+      ORDER BY frx.doc_id, frame_idx"""))
+
   val queries: Map[String, Q] = Map(
-    "multimodal_features" -> multimodalFeatures)
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_framesample" -> multimodalFramesample)
 }

@@ -160,6 +160,23 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("frame sampling: extents, stride, and short-payload edge cases") {
+    import engine.llm.MultimodalQueries.{MediaRow, frameSampleStub}
+    def mk(n: Int) = MediaRow(1L, Array.tabulate(n)(_.toByte), 0, 0, 1)
+    // shorter than one frame: exactly one partial frame
+    val one = frameSampleStub(mk(10)).toList
+    assert(one.map(f => (f.frame_idx, f.offset, f.frame_bytes)) ==
+      List((0, 0, 10)))
+    // 64*9 bytes = 9 frames, every 4th => frames 0,4,8 all full
+    val nine = frameSampleStub(mk(64 * 9)).toList
+    assert(nine.map(_.frame_idx) == List(0, 4, 8))
+    assert(nine.forall(_.frame_bytes == 64))
+    // 64*8+5 bytes = 9 frames, frame 8 is the 5-byte tail
+    val tail = frameSampleStub(mk(64 * 8 + 5)).toList
+    assert(tail.last.frame_bytes == 5 && tail.last.offset == 512)
+    assert(frameSampleStub(mk(0)).isEmpty)
+  }
+
   test("clusterPairs: chain + clique + transitive closure, singletons absent") {
     // a 12-node CHAIN (diameter 11 — needs pointer halving, near-dup data
     // never exercises it), a 3-clique with redundant edges, and a
