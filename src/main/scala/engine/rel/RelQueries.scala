@@ -71,6 +71,37 @@ object RelQueries {
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' ORDER BY doc_id"""))
 
+  /** B4d: small-file COMPACTION — the lakehouse maintenance pass for the
+    * streaming-ingest pathology (thousands of tiny files kill scan
+    * planning and per-file overhead at 100 TB). A fragmented copy of
+    * events (64 tiny files, published once per sf) is rewritten as 4
+    * range-clustered, internally-sorted files
+    * (`repartitionByRange` + `sortWithinPartitions` — the explicit
+    * partition count is exempt from AQE coalescing, and range clustering
+    * gives later scans min/max-pruned row groups). The oracle checks
+    * LOSSLESSNESS (same rows out); StreamSourceSpec pins the 64→4 file
+    * collapse itself. */
+  private val maintenanceCompact = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val frag = engine.Core.publishOnce(s"/tmp/graft_frag_v1_$san") { tmp =>
+        t(s, d, "events").select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(64).write.parquet(tmp)
+      }
+      val compact = s"/tmp/graft_compacted_$san"
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("user_id"), col("event_id"))
+        .sortWithinPartitions(col("user_id"), col("event_id"))
+        .write.mode("overwrite").parquet(compact)
+      s.read.parquet(compact)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          r4(col("value")).as("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
+      FROM events ORDER BY event_id"""))
+
   // --------------------------------------------------- B.2 projection / filter
   /** B6: projection + computed columns (GGA field extraction :174-187). */
   private val projectSelect = Q(
@@ -917,6 +948,7 @@ object RelQueries {
     "sink_parquet" -> sinkParquet,
     "source_orc" -> sourceOrc,
     "source_partitioned" -> sourcePartitioned,
+    "maintenance_compact" -> maintenanceCompact,
     "project_select" -> projectSelect,
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,

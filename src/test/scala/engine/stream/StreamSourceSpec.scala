@@ -44,4 +44,13 @@ class StreamSourceSpec extends AnyFunSuite {
       rm(new java.io.File(dir + ".lock"))
     }
   }
+
+  test("maintenance_compact collapses the fragmented layout 64 -> 4 files") {
+    graft.SparkEntry.queries("maintenance_compact")(
+      spark, "/root/testdata/sf0.001").collect()
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts("/tmp/graft_frag_v1__root_testdata_sf0_001") == 64)
+    assert(parts("/tmp/graft_compacted__root_testdata_sf0_001") == 4)
+  }
 }
