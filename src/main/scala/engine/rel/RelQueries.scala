@@ -171,6 +171,75 @@ object RelQueries {
             FROM events) WHERE kind IS NOT NULL
       GROUP BY kind ORDER BY kind"""))
 
+  /** B9b: null-handling scalar surface — nullif / coalesce / greatest /
+    * least / null-safe equality, the idioms that stand in for the
+    * reference's pervasive empty-string sentinels (GSA's positional
+    * satellite holes :229-240, empty() guards). Null-safe equality
+    * (`<=>`) is the form a dedup/merge key comparison must use — plain
+    * `=` silently drops NULL-keyed rows. */
+  private val fnConditional = Q(
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+        .as("status_or_open"),
+      greatest(r4(col("o_totalprice")), lit(150000.0)).as("floor_price"),
+      least(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_capped"),
+      nullif(col("o_orderstatus"), lit("O")).eqNullSafe(lit(null))
+        .as("is_open"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+      greatest(round(o_totalprice, 4), 150000.0) AS floor_price,
+      least(o_orderpriority, '3-MEDIUM') AS prio_capped,
+      (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** B19c: FILTERed aggregates — per-group conditional counts/sums in
+    * ONE pass (`count_if` / `sum(x) FILTER`): the alternative
+    * (self-join per condition, or N scans) multiplies the 100 TB scan
+    * cost by the number of conditions. */
+  private val aggFiltered = Q(
+    (s, d) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("o_orderstatus") === "F").as("n_filled"),
+          sum(when(col("o_orderstatus") === "F", cents).otherwise(0L))
+            .as("filled_cents"),
+          r4(avg(when(col("o_orderstatus") =!= "P", col("o_totalprice"))))
+            .as("avg_not_pending"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        FILTER (WHERE o_orderstatus = 'F'), 0) AS filled_cents,
+      round(avg(o_totalprice) FILTER (WHERE o_orderstatus <> 'P'), 4)
+        AS avg_not_pending
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** B25b: distribution window functions — percent_rank / cume_dist over
+    * a per-group price order (ties broken by key for hash determinism
+    * of the emitted doubles). */
+  private val winDistribution = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        r4(percent_rank().over(w)).as("pr"),
+        r4(cume_dist().over(w)).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+      round(percent_rank() OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey), 4) AS pr,
+      round(cume_dist() OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey), 4) AS cd
+      FROM orders ORDER BY o_orderkey"""))
+
   // ------------------------------------------------------------------ B.3 joins
   /** B10: broadcast-hash inner equi-join — small dim broadcast explicitly
     * (the fix merge :173 generalized to a keyed join). */
@@ -953,6 +1022,7 @@ object RelQueries {
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,
     "dispatch_case" -> dispatchCase,
+    "fn_conditional" -> fnConditional,
     "join_inner_hash" -> joinInnerHash,
     "join_sortmerge" -> joinSortmerge,
     "join_outer" -> joinOuter,
@@ -966,6 +1036,7 @@ object RelQueries {
     "join_skew_salted" -> joinSkewSalted,
     "agg_hash" -> aggHash,
     "agg_mode" -> aggMode,
+    "agg_filtered" -> aggFiltered,
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
     "agg_salted_skew" -> aggSaltedSkew,
@@ -981,6 +1052,7 @@ object RelQueries {
     "win_lag_lead" -> winLagLead,
     "win_frame_moving" -> winFrameMoving,
     "win_range_frame" -> winRangeFrame,
+    "win_distribution" -> winDistribution,
     "win_carry_forward" -> winCarryForward,
     "scd2_build" -> scd2Build,
     "sort_limit" -> sortLimit,
