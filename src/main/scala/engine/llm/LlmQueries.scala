@@ -188,6 +188,67 @@ object LlmQueries {
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
       ORDER BY da, db"""))
 
+  /** Jaccard CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) ≥ t: catches
+    * the doc-inside-doc pathology (boilerplate wrapping, quoted reposts,
+    * prefix/suffix duplication) that symmetric Jaccard MISSES (a 10x
+    * length ratio caps plain Jaccard at 0.1 even for full containment).
+    * Candidates come from a df-CAPPED posting self-join: only shingles
+    * appearing in ≤ [[ContainDfCap]] docs propose pairs — the cap bounds
+    * the posting join quadratically in df (a df=10⁶ stop-shingle
+    * proposes 10¹² pairs uncapped) and is REPLAYED IDENTICALLY in the
+    * oracle, so the operator's contract (a high-recall screen: pairs
+    * sharing at least one rare shingle) is hash-exact. Verification is
+    * the exact containment over full shingle sets, candidates only. */
+  private val ContainDfCap = 20
+
+  private val dedupContainment = Q(
+    (s, d) => {
+      val thr = 0.9
+      val sh = engine.ScratchCache.persist(
+        shingled(s, d)
+          .select(col("doc_id"),
+            transform(col("s"), x => tokenHash60(x)).as("s"))
+          .withColumn("sz", size(col("s"))))
+      val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"))
+      val rare = posts.join(
+        posts.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+        .filter(col("df") <= ContainDfCap)
+        .select(col("doc_id"), col("sh"))
+      val candIds = rare.as("a")
+        .join(rare.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val cont = inter / least(col("sza"), col("szb"))
+      candIds
+        .join(sh.select(col("doc_id").as("da"), col("s").as("sa"),
+          col("sz").as("sza")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("s").as("sb"),
+          col("sz").as("szb")), "db")
+        .filter(cont >= thr)
+        .select(col("da"), col("db"), r4(cont).as("containment"))
+        .orderBy("da", "db")
+    },
+    Some(shingleSql + s""",
+      shh AS (SELECT doc_id, list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) s FROM sh),
+      posts AS (SELECT doc_id, unnest(s) sh FROM shh),
+      dfs AS (SELECT sh, count(*) df FROM posts GROUP BY sh),
+      rare AS (SELECT p.doc_id, p.sh FROM posts p JOIN dfs USING (sh)
+               WHERE dfs.df <= $ContainDfCap),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM rare a JOIN rare b
+               ON a.sh = b.sh AND a.doc_id < b.doc_id)
+      SELECT c.da, c.db,
+        round(len(list_intersect(x.s, y.s))::DOUBLE
+          / least(len(x.s), len(y.s)), 4) AS containment
+      FROM cand c JOIN shh x ON x.doc_id = c.da
+                  JOIN shh y ON y.doc_id = c.db
+      WHERE len(list_intersect(x.s, y.s))::DOUBLE
+          / least(len(x.s), len(y.s)) >= 0.9
+      ORDER BY da, db"""))
+
   /** B48: MinHash + LSH near-dup. k=32 min-wise hashes per doc (one
     * projection, no shuffle), banded 8×4; candidates = pairs sharing a
     * band bucket (equi-join on the band digest — the scale path), then
@@ -1019,6 +1080,7 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_edit_distance" -> dedupEditDistance,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,
