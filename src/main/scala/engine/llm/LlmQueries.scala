@@ -447,8 +447,13 @@ object LlmQueries {
     * job's checkpoint dir; same shape.) */
   def clusterPairs(pairsDf: DataFrame): DataFrame = {
     val pairs = pairsDf.toDF("da", "db").localCheckpoint()
-    // symmetric edge list: propagation must flow both ways
+    // symmetric edge list: propagation must flow both ways. Hash-
+    // partitioned on v BEFORE its checkpoint (localCheckpoint preserves
+    // partitioning into the LogicalRDD): every round joins edges on v,
+    // and an unpartitioned checkpoint re-shuffles the whole edge list
+    // once per round — the static frame should shuffle ONCE, ever.
     val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("v", "u")
+      .repartition(col("v")).localCheckpoint()
     // seed = least(self, min neighbor): folds the first propagation round
     // into initialization (the alternative `distinct()` seed costs the
     // same shuffle and still labels everything with itself); near-clique
