@@ -958,6 +958,42 @@ object LlmQueries {
       WHERE levenshtein(ta.text, tb.text) <= 200
       ORDER BY da, db"""))
 
+  /** Unigram log-probability quality score — the cheap statistical-LM
+    * proxy (avg per-token surprisal under the corpus unigram model):
+    * gibberish and boilerplate-free rare text scores HIGH surprisal,
+    * template spam LOW. Two aggregations over one token explode; the
+    * term-count table joins back by term (at 100 TB the vocab is
+    * millions of rows — an equi-join, broadcast-able after df cutoff).
+    * Per-token surprisal is snapped to an integer MICRONAT grid before
+    * the per-doc sum: double sums are order-dependent in the last ulp
+    * under parallel aggregation, integer sums are not (the agg_stats
+    * discipline applied to logs). */
+  private val textUnigramLogprob = Q(
+    (s, d) => {
+      val th = engine.ScratchCache.persist(explodeNonNull(
+        docs(s, d).select(col("doc_id"), tokens(col("text")).as("w")),
+        col("w"), "term", col("doc_id")))
+      val cnts = th.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val micronats = round(-log(col("cnt").cast("double") / col("n_total"))
+        * 1e6, 0).cast("long")
+      th.join(cnts, "term")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r4(sum(micronats) / 1e6 / count(lit(1))).as("avg_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH th AS (SELECT doc_id, unnest(string_split(text, ' ')) term
+               FROM documents),
+      cnts AS (SELECT term, count(*) AS cnt FROM th GROUP BY term),
+      tot AS (SELECT sum(cnt)::DOUBLE AS n_total FROM cnts)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(sum(round(-ln(cnt::DOUBLE / n_total) * 1e6, 0)::BIGINT)::DOUBLE
+          / 1e6 / count(*), 4) AS avg_surprisal
+      FROM th JOIN cnts USING (term) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Deterministic hash-bucket sampling — the only sampling that is
     * reproducible at 100 TB: membership depends on md5(salt|id) alone, so
     * the same 10% sample falls out on any cluster size, any partitioning,
@@ -1096,6 +1132,7 @@ object LlmQueries {
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
+    "text_unigram_logprob" -> textUnigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++ MultimodalQueries.queries
 }
