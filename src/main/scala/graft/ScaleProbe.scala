@@ -25,9 +25,11 @@ object ScaleProbe {
       spark.read.parquet(s"$out/documents.parquet").count() + " docs")
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_embedding", "sim_search_topk",
+        "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
+        "dedup_containment", "dedup_edit_distance", "sim_search_topk",
         "sim_search_ann", "sim_search_ivf", "text_analysis",
-        "text_token_stats", "text_fingerprint")) {
+        "text_token_stats", "text_fingerprint", "text_unigram_logprob",
+        "sample_hash")) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
       println(f"SCALE $q: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
