@@ -988,6 +988,58 @@ object RelQueries {
 
   /** B31: set operations — the 6-branch sentence-type union (A6 dispatch)
     * generalized to UNION ALL / INTERSECT / EXCEPT over key sets. */
+  /** B31b: BAG-semantics set ops — intersectAll / exceptAll keep
+    * per-row multiplicity (INTERSECT ALL / EXCEPT ALL), the form
+    * dedup-accounting needs ("how many copies survive") where the
+    * DISTINCT variants silently collapse counts. */
+  private val setOpsAll = Q(
+    (s, d) => {
+      val hi = t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+        .select(col("o_custkey").as("k"))
+      val ur = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      val both = hi.intersectAll(ur).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("inter_all"))
+      val only = hi.exceptAll(ur).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("except_all"))
+      both.unionByName(only).orderBy("src", "k")
+    },
+    Some("""SELECT k, count(*) AS n, 'inter_all' AS src FROM (
+        (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
+        INTERSECT ALL
+        (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'))
+      GROUP BY k
+      UNION ALL
+      SELECT k, count(*) AS n, 'except_all' AS src FROM (
+        (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0)
+        EXCEPT ALL
+        (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'))
+      GROUP BY k
+      ORDER BY src, k"""))
+
+  /** B13c: LATERAL correlated join — per-customer top-2 orders via a
+    * correlated LIMIT subquery, the "top-N per key as a join" surface
+    * Catalyst decorrelates (DomainJoin → window under the hood); the
+    * declarative form a user migrating SQL expects to just work. */
+  private val joinLateral = Q(
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+      t(s, d, "orders").createOrReplaceTempView("graft_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+        FROM graft_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, price DESC, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, price DESC, o_orderkey"""))
+
   private val setOps = Q(
     (s, d) => {
       val buyers = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
@@ -1057,5 +1109,7 @@ object RelQueries {
     "scd2_build" -> scd2Build,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
-    "set_ops" -> setOps)
+    "set_ops" -> setOps,
+    "set_ops_all" -> setOpsAll,
+    "join_lateral" -> joinLateral)
 }
