@@ -1109,8 +1109,9 @@ object LlmQueries {
       dropids AS (SELECT DISTINCT p.db AS doc_id FROM mh p
         JOIN surv a ON a.doc_id = p.da
         JOIN surv b ON b.doc_id = p.db)
-      SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        sum(nt) AS sum_ws_tokens
+      SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(nt) AS BIGINT) AS sum_ws_tokens
       FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
       GROUP BY lang, source ORDER BY lang, source"""))
 

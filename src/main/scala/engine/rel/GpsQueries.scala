@@ -101,7 +101,7 @@ object GpsQueries {
         round(avg(lon), 6) AS avg_lon,
         round(max(knots), 4) AS max_knots,
         round(avg(hdop), 4) AS avg_hdop,
-        8 * sum(n_ev) AS n_sats_seen
+        CAST(8 * sum(n_ev) AS BIGINT) AS n_sats_seen
       FROM p
       WHERE hdop <= 8.0 AND numsat >= 5
       GROUP BY 1, 2

@@ -208,15 +208,18 @@ object RelQueries {
           count_if(col("o_orderstatus") === "F").as("n_filled"),
           sum(when(col("o_orderstatus") === "F", cents).otherwise(0L))
             .as("filled_cents"),
-          r4(avg(when(col("o_orderstatus") =!= "P", col("o_totalprice"))))
+          r4(sum(when(col("o_orderstatus") =!= "P", cents))
+              / count_if(col("o_orderstatus") =!= "P") / 100.0)
             .as("avg_not_pending"))
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority, count(*) AS n,
       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
-      coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-        FILTER (WHERE o_orderstatus = 'F'), 0) AS filled_cents,
-      round(avg(o_totalprice) FILTER (WHERE o_orderstatus <> 'P'), 4)
+      CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS filled_cents,
+      round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+          FILTER (WHERE o_orderstatus <> 'P') AS BIGINT)
+        / count(*) FILTER (WHERE o_orderstatus <> 'P') / 100.0, 4)
         AS avg_not_pending
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
@@ -635,7 +638,7 @@ object RelQueries {
       .orderBy("lang", "source"),
     Some("""SELECT COALESCE(lang, '<all>') AS lang,
         COALESCE(source, '<all>') AS source,
-        count(*) AS n, sum(n_chars) AS sum_chars
+        count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY CUBE (lang, source)
       ORDER BY lang, source"""))
 
@@ -892,7 +895,8 @@ object RelQueries {
       .orderBy("lang"),
     Some("""WITH c AS (SELECT lang, source, count(*) AS cnt
               FROM documents GROUP BY lang, source),
-      tot AS (SELECT lang, sum(cnt) AS n_docs FROM c GROUP BY lang)
+      tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs
+              FROM c GROUP BY lang)
       SELECT c.lang, c.source AS mode_source, c.cnt AS mode_count, tot.n_docs
       FROM c JOIN tot ON c.lang = tot.lang
       QUALIFY row_number() OVER (PARTITION BY c.lang
@@ -946,7 +950,8 @@ object RelQueries {
         SELECT user_id, version, min(event_type) AS state,
           min(ts) AS fst, count(*) AS n_events
         FROM runs GROUP BY user_id, version)
-      SELECT user_id, version, state, epoch_us(fst) AS valid_from,
+      SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        epoch_us(fst) AS valid_from,
         epoch_us(lead(fst) OVER (PARTITION BY user_id ORDER BY version))
           AS valid_to,
         lead(fst) OVER (PARTITION BY user_id ORDER BY version) IS NULL

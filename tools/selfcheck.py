@@ -29,6 +29,18 @@ def norm(v):
         return v.isoformat()
     return v
 
+def tclass(t):
+    """Type equivalence class for the hash-compat check. Int widths up to
+    64 bits hash identically in the driver; HUGEINT (int128) does NOT —
+    it surfaces as decimal/float and tags the hash differently."""
+    u = str(t).upper()
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    if u in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    return u
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -45,9 +57,11 @@ def main():
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = spark_rel.columns
+            stypes = [str(t) for t in spark_rel.types]
             sdf = spark_rel.fetchall()
             duck_rel = con.sql(sql)
             dcols = duck_rel.columns
+            dtypes = [str(t) for t in duck_rel.types]
             ddf = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -55,6 +69,19 @@ def main():
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-TAGGED at the Python-object level: int
+        # widths <=64 bit all surface as equal Python ints (the 16 historic
+        # INTEGER-vs-BIGINT queries are hash-green), but DuckDB's bare sum()
+        # is HUGEINT -> arrow decimal128 -> hash-red despite equal values
+        # (the r4 lesson: agg_cube et al). Compare type EQUIVALENCE CLASSES.
+        smap = dict(zip(scols, [tclass(t) for t in stypes]))
+        dmap = dict(zip(dcols, [tclass(t) for t in dtypes]))
+        tbad = [(c, smap[c], dmap[c]) for c in sorted(scols) if smap[c] != dmap[c]]
+        if tbad:
+            print(f"FAIL {name}: column TYPES differ (cast the oracle): " +
+                  ", ".join(f"{c} spark={a} duck={b}" for c, a, b in tbad))
             n_fail += 1
             continue
         sidx = [scols.index(c) for c in sorted(scols)]
