@@ -500,6 +500,56 @@ object LlmQueries {
         count(*) OVER (PARTITION BY rep) AS cluster_size
       FROM lbl ORDER BY doc_id"""))
 
+  /** SRP-LSH band-collision candidate pairs over unit vectors
+    * `e(vec_id, u)`: 16-bit code, 4 bands × 4 bits; candidate ids are
+    * deduped bare (a pair surfacing in several bands dedups on the id
+    * pair, never by shuffling the vectors), then both vectors re-attach
+    * for exact-cosine verification under the `a`/`b` aliases. Shared by
+    * dedup_embedding's `banded` mode and dedup_embedding_banded. */
+  private def srpCandidatePairs(e: DataFrame): DataFrame = {
+    val banded = e
+      .withColumn("code", srpCode(col("u"), 16, 64))
+      .select(col("vec_id"),
+        explode(codeBands(col("code"), 4, 4)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val candIds = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ai"), col("y.vec_id").as("bi"))
+      .distinct() // id-pair dedup only — vectors re-attached below
+    candIds.join(e.as("a"), col("ai") === col("a.vec_id"))
+      .join(e.as("b"), col("bi") === col("b.vec_id"))
+  }
+
+  /** SRP plane/code/band CTE chain over `e(vec_id, u)` — 16 md5-derived
+    * ±1 hyperplanes × 64 dims, 4 bands of 4 bits, ending in
+    * `bands(vec_id, band, bv)` — the SQL replay of [[VectorFunctions
+    * .srpCode]] + [[VectorFunctions.codeBands]], shared by the
+    * sim_search_ann and dedup_embedding_banded oracles. Same ±1 planes
+    * (sign of md5("j:d")'s first bit), same left-to-right plane dots
+    * (list_sum order = DoubleArrayDot order ⇒ bit-identical signs). The
+    * `u IS NOT NULL` filter mirrors srpCode's NULL-vector guard (NULL
+    * code ⇒ excluded from banding); without it the SQL CASE would fold a
+    * NULL vector to code 0 and admit it as a candidate. */
+  private val srpSqlCtes = """,
+      planes AS (
+        SELECT j, list(CASE WHEN ('0x' || substr(
+                 md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
+               THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+        FROM generate_series(0, 15) s(j)
+        CROSS JOIN generate_series(0, 63) t(d) GROUP BY j),
+      codes AS (
+        SELECT vec_id,
+          sum(CASE WHEN list_sum(list_transform(list_zip(u, pl),
+                p -> p[1] * p[2])) >= 0
+              THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
+        FROM e CROSS JOIN planes WHERE u IS NOT NULL GROUP BY vec_id),
+      bands AS (
+        SELECT vec_id, j AS band, (code >> (j * 4)) & 15 AS bv
+        FROM codes CROSS JOIN generate_series(0, 3) g(j))"""
+
   /** Embedding-cosine near-dup pairs (cos >= 0.45), mode-switched by
     * [[EmbeddingModeKey]]: `exact` (default) is the all-pairs enumeration
     * — the correctness yardstick, bit-identical to DuckDB; `banded` draws
@@ -510,30 +560,16 @@ object LlmQueries {
     * SRP band-collision probability ≈ 0.54 there), which is the semantics
     * a dedup pipeline wants from this operator at scale; LlmSpec runs it
     * explicitly and asserts it returns exactly a subset of the exact
-    * pairs, complete at cosine ≥ 0.9. */
+    * pairs, complete at cosine ≥ 0.9, and dedup_embedding_banded verifies
+    * the banded shape against its own SQL-replayed oracle. */
   private val dedupEmbedding = Q(
     (s, d) => {
-      val e = unitEmbeddings(s, d)
+      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
       val c = dot(col("a.u"), col("b.u"))
       val pairs =
         if (s.conf.get(EmbeddingModeKey, "exact") != "banded")
           e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        else {
-          val banded = e
-            .withColumn("code", srpCode(col("u"), 16, 64))
-            .select(col("vec_id"),
-              explode(codeBands(col("code"), 4, 4)).as("bb"))
-            .select(col("vec_id"), col("bb.band").as("band"),
-              col("bb.bv").as("bv"))
-          val candIds = banded.as("x")
-            .join(banded.as("y"),
-              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-                col("x.vec_id") < col("y.vec_id"))
-            .select(col("x.vec_id").as("ai"), col("y.vec_id").as("bi"))
-            .distinct() // id-pair dedup only — vectors re-attached below
-          candIds.join(e.as("a"), col("ai") === col("a.vec_id"))
-            .join(e.as("b"), col("bi") === col("b.vec_id"))
-        }
+        else srpCandidatePairs(e)
       pairs
         .filter(c >= 0.45)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -547,6 +583,37 @@ object LlmQueries {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= 0.45
       ORDER BY va, vb"""))
+
+  /** The banded DEPLOYMENT shape of dedup_embedding as its own verified
+    * id: SRP-LSH band collisions propose candidate pairs (equi-join on
+    * band keys — the only pair enumeration that runs at 100 TB), exact
+    * cosine verifies candidates only, and the oracle replays the
+    * identical plane/code/band pipeline in SQL ([[srpSqlCtes]]) — so the
+    * gate pins the approximate operator's EXACT deterministic output,
+    * not merely a recall bound. The corpus never self-joins: the band
+    * posting join's fan-out is collision-bound, and the vectors
+    * re-attach to bare id pairs by equi-join. */
+  private val dedupEmbeddingBanded = Q(
+    (s, d) => {
+      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
+      val c = dot(col("a.u"), col("b.u"))
+      srpCandidatePairs(e)
+        .filter(c >= 0.45)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          r4(c).as("cosine"))
+        .orderBy("va", "vb")
+    },
+    Some(unitSql + srpSqlCtes + """,
+      cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
+               FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      pr AS (SELECT cand.ai, cand.bi,
+               list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+                 AS cos
+             FROM cand JOIN e a ON a.vec_id = cand.ai
+                       JOIN e b ON b.vec_id = cand.bi)
+      SELECT ai AS va, bi AS vb, round(cos, 4) AS cosine
+      FROM pr WHERE cos >= 0.45 ORDER BY va, vb"""))
 
   // -------------------------------------------------- B49 similarity search
   /** B49: brute-force cosine top-k. The (tiny) query set is broadcast, so
@@ -624,22 +691,7 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
     },
-    Some(unitSql + """,
-      planes AS (
-        SELECT j, list(CASE WHEN ('0x' || substr(
-                 md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
-               THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
-        FROM generate_series(0, 15) s(j)
-        CROSS JOIN generate_series(0, 63) t(d) GROUP BY j),
-      codes AS (
-        SELECT vec_id,
-          sum(CASE WHEN list_sum(list_transform(list_zip(u, pl),
-                p -> p[1] * p[2])) >= 0
-              THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
-        FROM e CROSS JOIN planes WHERE u IS NOT NULL GROUP BY vec_id),
-      bands AS (
-        SELECT vec_id, j AS band, (code >> (j * 4)) & 15 AS bv
-        FROM codes CROSS JOIN generate_series(0, 3) g(j)),
+    Some(unitSql + srpSqlCtes + """,
       cand AS (
         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
         FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
@@ -1124,6 +1176,7 @@ object LlmQueries {
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,

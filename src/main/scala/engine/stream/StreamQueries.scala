@@ -423,34 +423,33 @@ object StreamQueries {
   /** B5d: streaming UPSERT sink via `foreachBatch` — the merge pattern
     * for sinks with no native upsert (plain parquet here; the same shape
     * drives JDBC/key-value merges): each micro-batch folds into a keyed
-    * state table as `arg_max` by event seq over (previous state ∪ batch),
-    * written to a temp dir and atomically swapped in. Correct under ANY
-    * batch split because last-writer-wins by a total sequence is
-    * associative — the multi-trigger run (maxFilesPerTrigger) and the
-    * DuckDB whole-table oracle agree by construction. State carries ONE
-    * row per key (not history), so the merge read+rewrite is
-    * O(keys + batch) per trigger. */
+    * state table as `arg_max` by event seq over (previous state ∪ batch).
+    * Correct under ANY batch split because last-writer-wins by a total
+    * sequence is associative — the multi-trigger run (maxFilesPerTrigger)
+    * and the DuckDB whole-table oracle agree by construction. State
+    * carries ONE row per key (not history), so the merge read+rewrite is
+    * O(keys + batch) per trigger.
+    *
+    * Each version is written to a FRESH dir and the [[VersionedTable]]
+    * CURRENT pointer is swapped atomically — a crash anywhere leaves the
+    * previous version readable (the delete-then-move it replaces had a
+    * window where no state table existed at all). */
   private val streamUpsertSink = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       val state = new java.io.File(s"/tmp/graft_upsert_state_$san")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(state) // fresh fold per run — the run IS the full-log replay
+      VersionedTable.destroy(state) // fresh fold — the run IS the replay
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id"), col("user_id"),
           col("event_type"), col("value")),
         s"upsert_${san}", orderedBy = Some("event_id"),
         maxFilesPerTrigger = Some(8))
-      val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
-        val prev =
-          if (new java.io.File(state, "_SUCCESS").exists())
-            sp.read.parquet(state.getPath)
-          else sp.emptyDataFrame.select(lit(0L).as("user_id"),
+        val prev = VersionedTable.read(sp, state).getOrElse(
+          sp.emptyDataFrame.select(lit(0L).as("user_id"),
             lit(0L).as("last_event_id"), lit("").as("last_type"),
-            lit(0.0).as("last_value")).limit(0)
+            lit(0.0).as("last_value")).limit(0))
         val up = batch.select(col("user_id"), col("event_id"),
             col("event_type"), col("value"))
           .unionByName(prev.select(col("user_id"),
@@ -461,20 +460,21 @@ object StreamQueries {
           .agg(max(col("event_id")).as("last_event_id"),
             expr("max_by(event_type, event_id)").as("last_type"),
             expr("max_by(value, event_id)").as("last_value"))
-        val tmp = new java.io.File(state.getPath + ".next")
-        up.write.mode("overwrite").parquet(tmp.getPath)
-        rm(state)
-        java.nio.file.Files.move(tmp.toPath, state.toPath)
+        VersionedTable.commit(up, state, batchId)
       }
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_upsert_${java.util.UUID.randomUUID}")
+      def rmCk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
+      }
       try {
         src.writeStream.foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally rm(ck)
-      s.read.parquet(state.getPath)
+      } finally rmCk(ck)
+      VersionedTable.read(s, state)
+        .getOrElse(sys.error(s"upsert state missing at $state"))
         .select(col("user_id"), col("last_event_id"), col("last_type"),
           r4(col("last_value")).as("last_value"))
         .orderBy("user_id")

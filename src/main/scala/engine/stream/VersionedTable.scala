@@ -1,0 +1,56 @@
+package engine.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A crash-safe parquet state table for foreachBatch merge sinks: every
+  * commit writes a FRESH version directory (`v<id>/`) and then atomically
+  * repoints the `CURRENT` file at it (tmp file + POSIX rename — readers
+  * see the old version or the new one, never a missing or half-written
+  * table). This replaces the delete-then-move swap, whose window between
+  * `rm(state)` and `move(tmp, state)` left NO state table if the process
+  * died in between. Superseded version dirs are pruned after the pointer
+  * lands; a crash before the prune leaves only orphan dirs the next
+  * commit removes. The same shape at cluster scale is a manifest pointer
+  * in object storage (or a transactional table format doing precisely
+  * this under the hood).
+  */
+object VersionedTable {
+
+  private def currentName(root: java.io.File): Option[String] = {
+    val cur = new java.io.File(root, "CURRENT")
+    if (cur.isFile) Some(java.nio.file.Files.readString(cur.toPath).trim)
+    else None
+  }
+
+  /** The current version of the table, if any commit has landed. */
+  def read(spark: SparkSession, root: java.io.File): Option[DataFrame] =
+    currentName(root).map(v =>
+      spark.read.parquet(new java.io.File(root, v).getPath))
+
+  /** Publish `df` as version `id` and swap the pointer. `id` must be
+    * strictly increasing across commits (a micro-batch id is). */
+  def commit(df: DataFrame, root: java.io.File, id: Long): Unit = {
+    root.mkdirs()
+    val vname = s"v$id"
+    df.write.mode("overwrite")
+      .parquet(new java.io.File(root, vname).getPath)
+    val tmp = new java.io.File(root, s"CURRENT.tmp.$id")
+    java.nio.file.Files.writeString(tmp.toPath, vname)
+    // POSIX rename: replaces CURRENT atomically — the only mutation a
+    // concurrent reader can observe is old-pointer -> new-pointer
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
+      .foreach(deleteRecursively)
+  }
+
+  /** Remove the table entirely (fresh-run reset). */
+  def destroy(root: java.io.File): Unit = deleteRecursively(root)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

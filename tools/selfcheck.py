@@ -31,14 +31,19 @@ def norm(v):
 
 def tclass(t):
     """Type equivalence class for the hash-compat check. Int widths up to
-    64 bits hash identically in the driver; HUGEINT (int128) does NOT —
-    it surfaces as decimal/float and tags the hash differently."""
+    64 bits (signed or unsigned — equal values surface as equal Python
+    ints) hash identically in the driver; HUGEINT (int128) does NOT —
+    it surfaces as decimal/float and tags the hash differently. DECIMAL
+    precision is erased (equal Decimals hash identically at any p) but
+    scale is kept: it changes the quantum and thus the value repr."""
     u = str(t).upper()
     if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER"):
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "INT64"
     if u in ("FLOAT", "DOUBLE"):
         return "FLOAT"
+    if u.startswith("DECIMAL(") and "," in u:
+        return "DECIMAL_s" + u.split(",")[1].strip(") ")
     return u
 
 def main():
