@@ -1,0 +1,122 @@
+package engine.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import engine.Core.t
+import engine.Q
+import LlmQueries.{minhashSignatures, lshBands, estJaccard}
+
+/** Cross-RUN deduplication against a persisted signature store — the
+  * operator a 100 TB training-data pipeline actually runs nightly: each
+  * new crawl batch is near-dup-checked against everything ever ingested,
+  * survivors are published, and the batch's signatures are appended to
+  * the store so the NEXT run sees them. Generalizes the reference's
+  * accumulate-across-lines state (class.nmea.parser.php:18,25 — `$Nmea`
+  * persists across `ParseLine` calls) to persistent cross-run state.
+  *
+  * Shape: `documents` is served as a doc_id-ordered file stream admitted
+  * a few files per trigger — each trigger IS one "nightly batch" — and a
+  * `foreachBatch` merge (the stream_upsert_sink pattern) does, per batch:
+  *
+  *  1. minhash signatures of the batch docs ([[LlmQueries
+  *     .minhashSignatures]] — k=32, identical to dedup_minhash);
+  *  2. LSH band candidates = batch×store ∪ batch×batch(a<b) — both
+  *     equi-joins on the band digest, O(collisions), never O(n²);
+  *  3. a batch doc is DROPPED iff some candidate partner with a smaller
+  *     doc_id estimates Jaccard ≥ 0.5 — the partner's own survival is
+  *     irrelevant (the store archives EVERY ingested signature, kept or
+  *     dropped: b~a must drop b even when a was itself dropped for a~a'
+  *     that b does not collide with);
+  *  4. survivors append to the result table, ALL batch signatures append
+  *     to the store — O(batch) written per trigger, never O(store).
+  *
+  * Because batches are admitted in doc_id order (publishSource range-
+  * partitions by doc_id and staggers mtimes — "each nightly batch is
+  * newer than every prior one"), rule 3's "smaller doc_id" is exactly
+  * "previously ingested or earlier in this batch", so the multi-batch
+  * run is decomposition-invariant and hash-matches the whole-corpus
+  * batch oracle: drop every db that appears in dedup_minhash's est≥0.5
+  * pair list. LlmSpec additionally pins the decomposition-invariance in
+  * Spark alone (streamed result == single-pass result).
+  *
+  * The store is APPEND-ONLY parquet — the right posture for a signature
+  * archive (a signature is immutable once computed; appends are
+  * O(batch)); a real deployment appends through a transactional table
+  * format so a dying writer can't leave torn files, which plain parquet
+  * dirs don't guarantee (this harness rebuilds per run, so the window is
+  * moot here). The keyed-merge state (stream_upsert_sink) shows the
+  * rewrite+pointer-swap alternative for state that must be REPLACED.
+  */
+object IncrementalDedup {
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+  }
+
+  private val dedupIncremental = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(s"/tmp/graft_sig_store_$san")
+      val survOut = new java.io.File(s"/tmp/graft_incr_surv_$san")
+      rm(store); rm(survOut) // fresh replay — this run IS the full history
+      val src = engine.stream.StreamQueries.asFileStream(s,
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        s"incrdocs_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(8))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        val sp = batch.sparkSession
+        // local persist (not ScratchCache): lifetime is one micro-batch,
+        // and the harness drain only runs after the whole query
+        val sig = minhashSignatures(batch).persist()
+        try {
+          val bands = lshBands(sig)
+          val prevSig =
+            if (new java.io.File(store, "_SUCCESS").exists())
+              sp.read.parquet(store.getPath)
+            else sp.createDataFrame(new java.util.ArrayList[Row](), sig.schema)
+          // store partners are older ⇒ smaller ids under ordered
+          // admission; the predicate makes that explicit (and would keep
+          // the pair orientation right even for out-of-order backfills)
+          val candStore = bands.as("n").join(lshBands(prevSig).as("o"),
+              col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
+                col("o.doc_id") < col("n.doc_id"))
+            .select(col("o.doc_id").as("da"), col("n.doc_id").as("db"))
+          val candBatch = bands.as("a").join(bands.as("b"),
+              col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          val dropped = candStore.unionByName(candBatch).distinct()
+            .join(prevSig.unionByName(sig).toDF("da", "ga"), "da")
+            .join(sig.toDF("db", "gb"), "db")
+            .filter(estJaccard(col("ga"), col("gb")) >= 0.5)
+            .select(col("db").as("doc_id")).distinct()
+          batch.select(col("doc_id"))
+            .join(dropped, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(survOut.getPath)
+          sig.write.mode("append").parquet(store.getPath)
+        } finally { sig.unpersist(); () }
+      }
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_incr_${java.util.UUID.randomUUID}")
+      try {
+        src.writeStream.foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally rm(ck)
+      t(s, d, "documents")
+        .join(s.read.parquet(survOut.getPath), Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // whole-corpus batch oracle: a doc is dropped iff it is the higher id
+    // of any minhash est>=0.5 pair — the est CTE is dedup_minhash's own
+    Some(LlmQueries.shingleSql + LlmQueries.minhashSqlCtes + """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT db FROM est WHERE e >= 0.5)
+      ORDER BY doc_id"""))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_incremental" -> dedupIncremental)
+}

@@ -80,7 +80,7 @@ object LlmQueries {
     * whole-doc shingle (generate_series alone would yield an empty list
     * for short docs — a latent divergence if the testdata ever grows
     * short documents). */
-  private val shingleSql =
+  private[llm] val shingleSql =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
       sh AS (SELECT doc_id,
                CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
@@ -258,52 +258,71 @@ object LlmQueries {
   /** Universal-hash constants for minhash slot i (small enough that
     * a*h+b stays < 2^37: no overflow divergence between JVM wraparound
     * and DuckDB's checked BIGINT). */
-  private val MinhashP = 2147483647L
+  private[llm] val MinhashP = 2147483647L
+  private[llm] val MinhashK = 32
+  private[llm] val MinhashBands = 8
+  private[llm] val MinhashR = 4
   private def mhA(i: Int): Long = 2L * i + 1
   private def mhB(i: Int): Long = 40503L * i + 1231L
 
+  /** k=32 min-wise signature per doc over `(doc_id, text)` rows: one md5
+    * per shingle (codegen'd projection after explode), then k min-wise
+    * slots as k MIN aggregates over (a_i*h + b_i) mod p — all whole-stage
+    * codegen, ONE shuffle of (doc_id, h) postings. The earlier nested-HOF
+    * formulation (min over transform(md5...) inside transform(seq(k)))
+    * ran interpreted: 48M lambda evals, 226 s at sf0.1; this shape is
+    * ~100x cheaper and scale-linear. A signature depends only on its own
+    * document, which is what lets dedup_incremental reuse this per-batch
+    * against a persisted store. Callers persist the result (referenced
+    * several times downstream). */
+  private[llm] def minhashSignatures(docsDf: DataFrame): DataFrame = {
+    val posts = explodeNonNull(
+      docsDf.repartition(col("doc_id"))
+        .select(col("doc_id"), shingles3(tokens(col("text"))).as("s")),
+      col("s"), "sh", col("doc_id"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(MinhashP)).as("h"))
+    val mins = (0 until MinhashK).map(i =>
+      min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
+    posts.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"g$i")): _*).as("g"))
+  }
+
+  /** LSH band postings `(doc_id, j, bk)` of a signature table: band j's
+    * key is the md5 of its r signature slots — docs sharing any (j, bk)
+    * are near-dup candidates via equi-join. */
+  private[llm] def lshBands(sig: DataFrame): DataFrame = sig
+    .select(col("doc_id"), col("g"),
+      explode(sequence(lit(0), lit(MinhashBands - 1))).as("j"))
+    .select(col("doc_id"), col("j"),
+      md5(concat_ws(",",
+        transform(slice(col("g"), col("j") * MinhashR + 1, lit(MinhashR)),
+          x => x.cast("string")))).as("bk"))
+
+  /** Estimated Jaccard from two k-slot signatures: matching positions / k. */
+  private[llm] def estJaccard(ga: Column, gb: Column): Column =
+    aggregate(zip_with(ga, gb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) / lit(MinhashK.toDouble)
+
   private val dedupMinhash = Q(
     (s, d) => {
-      val k = 32; val bands = 8; val r = 4
-      // One md5 per shingle (codegen'd projection after explode), then
-      // k min-wise slots as k MIN aggregates over (a_i*h + b_i) mod p —
-      // all whole-stage codegen, ONE shuffle of (doc_id, h) postings.
-      // The earlier nested-HOF formulation (min over transform(md5...)
-      // inside transform(seq(k))) ran interpreted: 48M lambda evals,
-      // 226 s at sf0.1; this shape is ~100x cheaper and scale-linear.
-      val posts = explodeNonNull(shingled(s, d), col("s"), "sh", col("doc_id"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-            .bitwiseAND(lit(MinhashP)).as("h"))
-      val mins = (0 until k).map(i =>
-        min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
       // persist: the signature table is referenced 4x downstream (band
       // self-join + two est joins) and would otherwise re-run the whole
       // shingle+hash pipeline each time; it is tiny (one row per doc).
       // Registered with ScratchCache so the harness unpersists it after
       // this query materializes (not at session end).
-      val sig = engine.ScratchCache.persist(
-        posts.groupBy(col("doc_id"))
-          .agg(mins.head, mins.tail: _*)
-          .select(col("doc_id"),
-            array((0 until k).map(i => col(s"g$i")): _*).as("g")))
-      val banded = sig
-        .select(col("doc_id"), col("g"),
-          explode(sequence(lit(0), lit(bands - 1))).as("j"))
-        .select(col("doc_id"), col("j"),
-          md5(concat_ws(",",
-            transform(slice(col("g"), col("j") * r + 1, lit(r)),
-              x => x.cast("string")))).as("bk"))
+      val sig = engine.ScratchCache.persist(minhashSignatures(docs(s, d)))
+      val banded = lshBands(sig)
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val est = aggregate(
-        zip_with(col("sa.g"), col("sb.g"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x) / lit(k.toDouble)
+      val est = estJaccard(col("sa.g"), col("sb.g"))
       cand
         .join(sig.as("sa"), col("da") === col("sa.doc_id"))
         .join(sig.as("sb"), col("db") === col("sb.doc_id"))
@@ -317,8 +336,9 @@ object LlmQueries {
 
   /** The minhash signature→band→candidate→estimate CTE chain (everything
     * after [[shingleSql]], ending in `est(da, db, e)`) — shared by the
-    * dedup_minhash oracle and the pipeline_curate composition oracle. */
-  private def minhashSqlCtes: String = {
+    * dedup_minhash oracle, the pipeline_curate composition oracle, and
+    * the dedup_incremental whole-corpus oracle. */
+  private[llm] def minhashSqlCtes: String = {
     val minCols = (0 until 32)
       .map(i => s"min((h * ${mhA(i)} + ${mhB(i)}) % $MinhashP) AS g$i")
       .mkString(", ")
@@ -1188,5 +1208,6 @@ object LlmQueries {
     "sample_hash" -> sampleHash,
     "text_unigram_logprob" -> textUnigramLogprob,
     "multimodal_cols" -> multimodalCols,
-    "pipeline_curate" -> pipelineCurate) ++ MultimodalQueries.queries
+    "pipeline_curate" -> pipelineCurate) ++
+    MultimodalQueries.queries ++ IncrementalDedup.queries
 }

@@ -22,7 +22,7 @@ object StreamQueries {
     * existing complete dir (_SUCCESS) is reused instead of rewritten —
     * the merge source is 600k rows and rebuilding it dominated the
     * streaming flagship's bench time. */
-  private def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
+  private[engine] def asFileStream(spark: SparkSession, df: DataFrame, tag: String,
       singleFile: Boolean = false, orderedBy: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val dir = publishSource(df, tag, singleFile, orderedBy)

@@ -78,6 +78,21 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
   }
 
+  test("dedup_incremental: multi-batch streamed result == single-pass batch") {
+    // decomposition invariance in Spark alone (the oracle pins it vs
+    // DuckDB): survivors of the batched run against the growing signature
+    // store must equal "docs minus every higher id of an est>=0.5 pair"
+    // computed in one pass over the whole corpus
+    val streamed = LlmQueries.queries("dedup_incremental").fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = LlmQueries.queries("dedup_minhash").fn(spark, sf)
+      .select("db").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == (all -- dropped))
+    assert(dropped.nonEmpty, "testdata should contain planted near-dups")
+  }
+
   test("ann recall vs brute-force top-k") {
     val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
