@@ -111,9 +111,12 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     // probing 4 of 16 cells scans ~25% of a random corpus; near-neighbors
-    // concentrate in the probed cells, so recall should clear a floor
-    // well above the scan fraction
-    assert(recall >= 0.4, s"IVF recall $recall too low (${bf.size} truths)")
+    // concentrate in the probed cells, so recall clears a floor well above
+    // the scan fraction. The 2-round Lloyd-trained codebook holds 0.52
+    // here and 0.60 at sf0.1 (deterministic given the fixture; on uniform-
+    // random synthetic vectors training is worth little — its value is on
+    // real, clustered embedding distributions) — bound tightened 0.4→0.5
+    assert(recall >= 0.5, s"IVF recall $recall too low (${bf.size} truths)")
     // at THIS fixture scale every query's 4 probed cells hold >= 5 other
     // vectors, so a full top-5 per query must come back; fewer rows means
     // probing or re-rank dropped candidates it should have kept
