@@ -98,9 +98,21 @@ object StreamQueries {
     // gain.
     val shufKey = "spark.sql.shuffle.partitions"
     val shufPrev = spark.conf.get(shufKey)
+    // State-store PROVIDER is the other per-job deployment knob: the
+    // default HDFS-backed store keeps every key in executor heap — the
+    // first casualty when key cardinality grows 100x. Setting
+    // `spark.graft.stateStore=rocksdb` swaps in Spark's RocksDB provider
+    // (off-heap, disk-spillable, incremental snapshot) for this run;
+    // results are provider-independent by contract, and StreamingSpec
+    // pins that identity for the flagship merge and both stateful joins.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerPrev = spark.conf.getOption(providerKey)
     // start() is inside the try: it can throw after creating checkpoint
     // dirs, and a stranded dir on tmpfs is leaked RAM
     try {
+      if (spark.conf.get("spark.graft.stateStore", "") == "rocksdb")
+        spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
       // noDataBatches=false skips the trailing empty microbatch that only
       // advances the watermark and evicts state. Callers may opt out ONLY
       // when the sink result cannot depend on it (e.g. a complete-mode agg
@@ -118,6 +130,10 @@ object StreamQueries {
       noDataPrev match {
         case Some(v) => spark.conf.set(noDataKey, v)
         case None    => spark.conf.unset(noDataKey)
+      }
+      providerPrev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
       }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

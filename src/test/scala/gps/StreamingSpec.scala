@@ -142,6 +142,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state store: flagship merge + stateful joins result-identical") {
+    // spark.graft.stateStore=rocksdb swaps the per-run provider inside
+    // runToMemory; every stateful query must produce byte-identical
+    // results under either store — the deployment knob for 100x key
+    // cardinality must never be a semantics knob
+    val sf = "/root/testdata/sf0.001"
+    val qs = engine.stream.StreamQueries.queries
+    Seq("stream_stateful_merge", "stream_join_stream", "stream_dedup")
+      .foreach { id =>
+        val base = qs(id).fn(spark, sf).collect().map(_.toString).sorted.toSeq
+        spark.conf.set("spark.graft.stateStore", "rocksdb")
+        try {
+          val rocks = qs(id).fn(spark, sf).collect().map(_.toString).sorted.toSeq
+          assert(rocks == base, s"$id differs under RocksDB")
+          assert(rocks.nonEmpty, s"$id returned no rows")
+        } finally spark.conf.unset("spark.graft.stateStore")
+      }
+  }
+
   test("stream-stream interval join: cross-trigger pairs join, watermark drops late") {
     import org.apache.spark.sql.functions.{col, expr}
     implicit val sc = spark.sqlContext
