@@ -100,8 +100,21 @@ object Core {
   * session — persist lifetime is one query, not one SparkSession. */
 object ScratchCache {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val keyed = scala.collection.mutable.HashMap.empty[String, DataFrame]
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(); frames += p; p
+  }
+  /** Persist shared ACROSS queries within one session, keyed by a content
+    * id that must pin everything the frame depends on (sf dir included).
+    * For derived tables several operators share — minhash signatures,
+    * simhash near-dup pairs, hashed shingle sets — the first query to
+    * need one computes it and the rest reuse it, exactly as a 100 TB
+    * pipeline materializes a signature table once and feeds every
+    * downstream dedup stage from it. Exempt from [[drain]] (lifetime =
+    * session); the frames are id+hash tables, orders of magnitude
+    * smaller than their source text. */
+  def persistKeyed(key: String)(df: => DataFrame): DataFrame = synchronized {
+    keyed.getOrElseUpdate(key, df.persist())
   }
   /** Blocking by default: a lazy unpersist leaks block-eviction work into
     * whatever runs next (r2's bench drifted 2-4x on untouched queries with

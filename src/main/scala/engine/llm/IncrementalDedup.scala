@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import engine.Core.t
 import engine.Q
-import LlmQueries.{minhashSignatures, lshBands, estJaccard}
+import LlmQueries.{minhashSignatures, estJaccard}
 
 /** Cross-RUN deduplication against a persisted signature store — the
   * operator a 100 TB training-data pipeline actually runs nightly: each
@@ -66,19 +66,27 @@ object IncrementalDedup {
         maxFilesPerTrigger = Some(8))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, _) => {
         val sp = batch.sparkSession
+        // the store row is signature + PRECOMPUTED band keys — the LSH
+        // index a real store serves probes from (each doc's banding is
+        // md5'd once ever; a probe of the store never recomputes it; at
+        // scale the store is additionally bucketed by band key so a
+        // probe prunes to matching buckets instead of scanning)
         // local persist (not ScratchCache): lifetime is one micro-batch,
         // and the harness drain only runs after the whole query
-        val sig = minhashSignatures(batch).persist()
+        val sig = minhashSignatures(batch, spread = false)
+          .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
         try {
-          val bands = lshBands(sig)
+          def bandsOf(t: DataFrame) = t.select(col("doc_id"),
+            posexplode(col("bks")).as(Seq("j", "bk")))
+          val bands = bandsOf(sig)
           val prevSig =
             if (new java.io.File(store, "_SUCCESS").exists())
-              sp.read.parquet(store.getPath)
+              sp.read.schema(sig.schema).parquet(store.getPath)
             else sp.createDataFrame(new java.util.ArrayList[Row](), sig.schema)
           // store partners are older ⇒ smaller ids under ordered
           // admission; the predicate makes that explicit (and would keep
           // the pair orientation right even for out-of-order backfills)
-          val candStore = bands.as("n").join(lshBands(prevSig).as("o"),
+          val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
               col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
                 col("o.doc_id") < col("n.doc_id"))
             .select(col("o.doc_id").as("da"), col("n.doc_id").as("db"))
@@ -86,9 +94,11 @@ object IncrementalDedup {
               col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
                 col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          val sigOnly = (t: DataFrame) => t.select(col("doc_id"), col("g"))
           val dropped = candStore.unionByName(candBatch).distinct()
-            .join(prevSig.unionByName(sig).toDF("da", "ga"), "da")
-            .join(sig.toDF("db", "gb"), "db")
+            .join(sigOnly(prevSig).unionByName(sigOnly(sig)).toDF("da", "ga"),
+              "da")
+            .join(sigOnly(sig).toDF("db", "gb"), "db")
             .filter(estJaccard(col("ga"), col("gb")) >= 0.5)
             .select(col("db").as("doc_id")).distinct()
           batch.select(col("doc_id"))
@@ -100,11 +110,17 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_incr_${java.util.UUID.randomUUID}")
+      // a trigger's frames are batch-sized (corpus/4); 8-way exchanges
+      // inside the merge cut per-batch task overhead 4x vs the session's
+      // 32 — the per-JOB sizing a deployment sets to its batch volume
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
       try {
+        s.conf.set(shufKey, "8")
         src.writeStream.foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally rm(ck)
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
       t(s, d, "documents")
         .join(s.read.parquet(survOut.getPath), Seq("doc_id"), "leftsemi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
