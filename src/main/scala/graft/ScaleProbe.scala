@@ -25,8 +25,9 @@ object ScaleProbe {
       spark.read.parquet(s"$out/documents.parquet").count() + " docs")
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
     for (q <- Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
-        "dedup_containment", "dedup_edit_distance", "sim_search_topk",
+        "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_banded",
+        "dedup_clusters", "dedup_containment", "dedup_edit_distance",
+        "dedup_incremental", "sim_search_topk",
         "sim_search_ann", "sim_search_ivf", "text_analysis",
         "text_token_stats", "text_fingerprint", "text_unigram_logprob",
         "sample_hash")) {
