@@ -1072,6 +1072,71 @@ object LlmQueries {
             * 10000 + 0.5) / 10000.0 END AS chars_per_bpe_token
       FROM documents ORDER BY doc_id"""))
 
+  /** Within-document REPETITION signals — the Gopher/C4-style quality
+    * family (template spam and boilerplate loops repeat n-grams far more
+    * than natural text; pretraining pipelines gate on exactly these):
+    * duplicate-3-gram fraction (1 − distinct/total), most-frequent-token
+    * fraction, most-frequent-2-gram fraction. Shapes: the 3-gram signal
+    * is a pure codegen'd projection (array sizes, no shuffle); the
+    * top-frequency signals explode n-grams and aggregate per (doc,
+    * gram) then per doc — two partial-agg shuffles keyed by doc_id,
+    * never a per-row interpreted frequency loop (the minhash HOF
+    * lesson). All ratios floor-grid rounded (.00005-boundary rule). */
+  private val textRepetition = Q(
+    (s, d) => {
+      val w = tokens(col("text"))
+      val grams2 = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val base = docs(s, d).select(col("doc_id"), w.as("w"))
+      val s1 = explodeNonNull(base, col("w"), "t", col("doc_id"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("m1"), sum(col("c")).as("t1"))
+      val s2 = explodeNonNull(
+          docs(s, d).select(col("doc_id"), grams2.as("g2")),
+          col("g2"), "g", col("doc_id"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("m2"), sum(col("c")).as("t2"))
+      def grid(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
+      val dist3 = size(shingles3(col("w")))
+      val tot3 = greatest(size(col("w")) - 2, lit(1))
+      base
+        .join(s1, Seq("doc_id"), "left")
+        .join(s2, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          grid(lit(1.0) - dist3 / tot3).as("dup_3gram_frac"),
+          grid(col("m1") / col("t1")).as("top_token_frac"),
+          grid(col("m2") / col("t2")).as("top_2gram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') w,
+               len(string_split(text, ' ')) n FROM documents),
+      g2 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) g
+             FROM tok WHERE len(w) >= 2),
+      c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+      s2 AS (SELECT doc_id, max(c) m2, sum(c) t2 FROM c2 GROUP BY 1),
+      t1x AS (SELECT doc_id, unnest(w) t FROM tok),
+      c1 AS (SELECT doc_id, t, count(*) c FROM t1x GROUP BY 1, 2),
+      s1 AS (SELECT doc_id, max(c) m1, sum(c) t1 FROM c1 GROUP BY 1),
+      d3 AS (SELECT doc_id, n,
+               CASE WHEN n >= 3 THEN len(list_distinct(list_transform(
+                 generate_series(1, n - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+               ELSE 1 END dist3,
+               greatest(n - 2, 1) tot3
+             FROM tok)
+      SELECT d3.doc_id, d3.n AS n_tokens,
+        floor((1.0 - dist3 / tot3) * 10000 + 0.5) / 10000.0
+          AS dup_3gram_frac,
+        floor((m1 / t1) * 10000 + 0.5) / 10000.0 AS top_token_frac,
+        floor((m2 / t2) * 10000 + 0.5) / 10000.0 AS top_2gram_frac
+      FROM d3 LEFT JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** Corpus-level TF-IDF term table: one explode + one agg (map-side
     * partial) + a broadcast of the single-row corpus count. */
   private val textAnalysis = Q(
@@ -1319,6 +1384,7 @@ object LlmQueries {
     "sim_search_ivf" -> simSearchIvf,
     "text_lang_id" -> textLangId,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "text_token_stats" -> textTokenStats,
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
