@@ -248,6 +248,64 @@ object LlmQueries {
           / least(len(x.s), len(y.s)) >= 0.9
       ORDER BY da, db"""))
 
+  /** Benchmark DECONTAMINATION — the train×eval overlap screen every
+    * pretraining pipeline runs before training (a training doc that
+    * contains a benchmark item poisons the eval): a held-out eval set is
+    * carved out deterministically (md5 hash bucket, the sample_hash
+    * discipline — reproducible on any cluster, re-derivable from the id
+    * alone), and a TRAINING doc is flagged when its shingle set covers
+    * ≥ 80% of some eval doc's shingles. Candidates come from the same
+    * df-capped rare-shingle postings as dedup_containment, restricted to
+    * train×eval — an equi-join whose skew is bounded by the cap; exact
+    * coverage verifies candidates only. Output: (train doc, eval doc,
+    * coverage) — the drop list plus its evidence. */
+  private val decontaminate = Q(
+    (s, d) => {
+      val thr = 0.8
+      def isEval(c: Column): Column = pmod(
+        conv(substring(md5(concat_ws("|", lit("evl"), c.cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100)) < 5
+      val sh = hashedShingles(s, d)
+      val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"))
+      val rare = posts.join(
+        posts.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+        .filter(col("df") <= ContainDfCap)
+        .select(col("doc_id"), col("sh"))
+      val candIds = rare.filter(!isEval(col("doc_id"))).toDF("tid", "sh")
+        .join(rare.filter(isEval(col("doc_id"))).toDF("eid", "sh2"),
+          col("sh") === col("sh2"))
+        .select(col("tid"), col("eid")).distinct()
+      val cov = size(array_intersect(col("ts"), col("es"))) / col("esz")
+      candIds
+        .join(sh.select(col("doc_id").as("tid"), col("s").as("ts")), "tid")
+        .join(sh.select(col("doc_id").as("eid"), col("s").as("es"),
+          col("sz").as("esz")), "eid")
+        .filter(cov >= thr)
+        .select(col("tid").as("doc_id"), col("eid").as("eval_id"),
+          r4(cov).as("coverage"))
+        .orderBy("doc_id", "eval_id")
+    },
+    Some(shingleSql + s""",
+      shh AS (SELECT doc_id, list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) s FROM sh),
+      posts AS (SELECT doc_id, unnest(s) sh FROM shh),
+      dfs AS (SELECT sh, count(*) df FROM posts GROUP BY sh),
+      rare AS (SELECT p.doc_id, p.sh FROM posts p JOIN dfs USING (sh)
+               WHERE dfs.df <= $ContainDfCap),
+      cand AS (SELECT DISTINCT t.doc_id tid, e.doc_id eid
+               FROM rare t JOIN rare e ON t.sh = e.sh
+               WHERE ('0x' || substr(md5('evl|' || t.doc_id), 1, 8))::BIGINT
+                       % 100 >= 5
+                 AND ('0x' || substr(md5('evl|' || e.doc_id), 1, 8))::BIGINT
+                       % 100 < 5)
+      SELECT c.tid AS doc_id, c.eid AS eval_id,
+        round(len(list_intersect(x.s, y.s))::DOUBLE / len(y.s), 4)
+          AS coverage
+      FROM cand c JOIN shh x ON x.doc_id = c.tid
+                  JOIN shh y ON y.doc_id = c.eid
+      WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(y.s) >= 0.8
+      ORDER BY doc_id, eval_id"""))
+
   /** B48: MinHash + LSH near-dup. k=32 min-wise hashes per doc (one
     * projection, no shuffle), banded 8×4; candidates = pairs sharing a
     * band bucket (equi-join on the band digest — the scale path), then
@@ -1377,6 +1435,7 @@ object LlmQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_containment" -> dedupContainment,
+    "decontaminate" -> decontaminate,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "sim_search_topk" -> simSearchTopk,
