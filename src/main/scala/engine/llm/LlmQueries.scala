@@ -1332,6 +1332,47 @@ object LlmQueries {
         FROM documents)
       WHERE bucket < 10 ORDER BY doc_id"""))
 
+  /** Deterministic MIXTURE sampling — rebalance a corpus to target
+    * per-domain rates (the "mix corpora to proportions" step after
+    * quality filtering: downweight over-represented languages/sources
+    * before training): keep a doc iff its salted md5 bucket falls under
+    * its group's target rate. Same reproducibility contract as
+    * sample_hash (membership = f(id) alone — any cluster size, any
+    * partitioning, re-derivable downstream), with the rate a pure CASE
+    * on the stratum column; emits per-language accounting. Scan-local
+    * predicate + one low-cardinality partial agg — no extra shuffle at
+    * any corpus size. */
+  private val sampleMixture = Q(
+    (s, d) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "es", 100)
+        .when(col("lang") === "fr", 25)
+        .when(col("lang") === "de", 100)
+        .otherwise(10)
+      val bucket = pmod(
+        conv(substring(md5(concat_ws("|", lit("mix"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100))
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_total"), col("n_kept"),
+          (floor(col("n_kept") / col("n_total") * 10000 + lit(0.5)) / 10000.0)
+            .as("rate_achieved"))
+        .orderBy("lang")
+    },
+    Some("""WITH k AS (SELECT lang, count(*) AS n_total,
+        CAST(sum(CASE WHEN ('0x' || substr(md5('mix|' || doc_id), 1, 8))::BIGINT
+            % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 100 WHEN 'fr' THEN 25
+                    WHEN 'de' THEN 100 ELSE 10 END
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang)
+      SELECT lang, n_total, n_kept,
+        floor(n_kept / n_total * 10000 + 0.5) / 10000.0 AS rate_achieved
+      FROM k ORDER BY lang"""))
+
   // --------------------------------------------------------- B51 multimodal
   /** B51: typed array/binary columns flowing through a join: documents ⋈
     * embeddings (1:1 on id, inner), vector norm computed in-place on the
@@ -1448,6 +1489,7 @@ object LlmQueries {
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
+    "sample_mixture" -> sampleMixture,
     "text_unigram_logprob" -> textUnigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++

@@ -44,7 +44,8 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   }
 
   test("near-dup candidate generation is equi-join, not cartesian") {
-    for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard")) {
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding_banded", "decontaminate", "text_repetition")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a BNLJ")
