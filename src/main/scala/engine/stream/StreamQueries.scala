@@ -325,14 +325,16 @@ object StreamQueries {
       // keeps FixAssembler's per-device it.toSeq slice bounded at scale
       val src = asFileStream(s, lines.unionByName(heartbeat),
         s"mergev3_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
-        orderedBy = Some("line_no"), maxFilesPerTrigger = Some(16))
+        orderedBy = Some("line_no"), maxFilesPerTrigger =
+          Some(s.conf.get("spark.graft.merge.filesPerTrigger", "16").toInt))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
       // ~150 devices ⇒ 16 state partitions: assembly parallelism is
       // capped by device count anyway, and halving the store count
       // halves per-trigger commit IO across the multi-trigger run
       val out = runToMemory(s, fixes.toDF(), "graft_merge_sink",
-        statePartitions = Some(16))
+        statePartitions =
+          Some(s.conf.get("spark.graft.merge.statePartitions", "16").toInt))
       out.filter(col("device") =!= "__wm__")
         .filter(col("complete"))
         .filter(col("numsat") >= 5 && col("hdop") <= 8.0)

@@ -78,51 +78,88 @@ case class FixBuffer(current: Option[ParsedSentence], maxLineNo: Long,
   */
 object FixAssembler {
 
-  /** Last-writer-wins field merge of sentence `s` into open fix `b`
-    * (`$Nmea[$CurrentUTC][field] = value`, :173-187 etc.). */
-  private[stream] def merge(b: ParsedSentence, s: ParsedSentence): ParsedSentence =
-    ParsedSentence(
-      device = b.device,
-      line_no = s.line_no,
-      stype = s.stype,
-      utc = b.utc, // fix key — constant within the open fix
-      date = s.date.orElse(b.date),
-      lat = s.lat.orElse(b.lat),
-      lon = s.lon.orElse(b.lon),
-      ns = s.ns.orElse(b.ns),
-      ew = s.ew.orElse(b.ew),
-      quality = s.quality.orElse(b.quality),
-      numsat = s.numsat.orElse(b.numsat),
-      hdop = s.hdop.orElse(b.hdop),
-      vdop = s.vdop.orElse(b.vdop),
-      pdop = s.pdop.orElse(b.pdop),
-      alt = s.alt.orElse(b.alt),
-      geoidal = s.geoidal.orElse(b.geoidal),
-      dgps_age = s.dgps_age.orElse(b.dgps_age),
-      dgps_station = s.dgps_station.orElse(b.dgps_station),
-      status = s.status.orElse(b.status),
-      select_mode = s.select_mode.orElse(b.select_mode),
-      fix_mode = s.fix_mode.orElse(b.fix_mode),
-      sats = s.sats.orElse(b.sats),
-      gsv_messages = s.gsv_messages.orElse(b.gsv_messages),
-      gsv_msgnum = s.gsv_msgnum.orElse(b.gsv_msgnum),
-      satview = s.satview.orElse(b.satview),
-      // GSV groups accumulate (:261 intended semantics), others overwrite
-      sats_in_view = (b.sats_in_view, s.sats_in_view) match {
-        case (Some(a), Some(c)) => Some(a ++ c)
-        case (a, c) => c.orElse(a)
-      },
-      speed_knots = s.speed_knots.orElse(b.speed_knots),
-      speed_kmph = s.speed_kmph.orElse(b.speed_kmph),
-      track_deg = s.track_deg.orElse(b.track_deg),
-      track_mag_deg = s.track_mag_deg.orElse(b.track_mag_deg),
-      magvar = s.magvar.orElse(b.magvar),
-      magvar_ew = s.magvar_ew.orElse(b.magvar_ew),
-      fix_time = s.fix_time.orElse(b.fix_time))
-
   /** GoodEnough (:126-129). */
   private def goodEnough(p: ParsedSentence): Boolean =
     p.date.isDefined && p.utc.isDefined && p.lat.isDefined && p.lon.isDefined
+
+  /** Mutable working copy of the open fix for one trigger's fold — the
+    * last-writer-wins field merge of `$Nmea[$CurrentUTC][field] = value`
+    * (class.nmea.parser.php:173-187 etc.). An earlier immutable
+    * formulation allocated a fresh 33-field ParsedSentence (plus a
+    * FixBuffer and a types copy) per SENTENCE — ~600k short-lived objects
+    * per bench run, whose GC pressure was the main run-to-run variance of
+    * the flagship under a loaded heap. Folding into vars allocates only
+    * per fix OPEN/CLOSE (~6x less): last writer wins, GSV satellite lists
+    * accumulate, `utc` pinned at open. `types` prepends (order-free:
+    * types_seen is distinct+sorted at emit). */
+  private final class OpenFix(p: ParsedSentence, var types: List[String]) {
+    val utc = p.utc // fix key — constant within the open fix
+    var line_no = p.line_no; var stype = p.stype
+    var date = p.date; var lat = p.lat; var lon = p.lon
+    var ns = p.ns; var ew = p.ew; var quality = p.quality
+    var numsat = p.numsat; var hdop = p.hdop; var vdop = p.vdop
+    var pdop = p.pdop; var alt = p.alt; var geoidal = p.geoidal
+    var dgps_age = p.dgps_age; var dgps_station = p.dgps_station
+    var status = p.status; var select_mode = p.select_mode
+    var fix_mode = p.fix_mode; var sats = p.sats
+    var gsv_messages = p.gsv_messages; var gsv_msgnum = p.gsv_msgnum
+    var satview = p.satview; var sats_in_view = p.sats_in_view
+    var speed_knots = p.speed_knots; var speed_kmph = p.speed_kmph
+    var track_deg = p.track_deg; var track_mag_deg = p.track_mag_deg
+    var magvar = p.magvar; var magvar_ew = p.magvar_ew
+    var fix_time = p.fix_time
+
+    def add(s: ParsedSentence): Unit = {
+      line_no = s.line_no; stype = s.stype
+      if (s.date.isDefined) date = s.date
+      if (s.lat.isDefined) lat = s.lat
+      if (s.lon.isDefined) lon = s.lon
+      if (s.ns.isDefined) ns = s.ns
+      if (s.ew.isDefined) ew = s.ew
+      if (s.quality.isDefined) quality = s.quality
+      if (s.numsat.isDefined) numsat = s.numsat
+      if (s.hdop.isDefined) hdop = s.hdop
+      if (s.vdop.isDefined) vdop = s.vdop
+      if (s.pdop.isDefined) pdop = s.pdop
+      if (s.alt.isDefined) alt = s.alt
+      if (s.geoidal.isDefined) geoidal = s.geoidal
+      if (s.dgps_age.isDefined) dgps_age = s.dgps_age
+      if (s.dgps_station.isDefined) dgps_station = s.dgps_station
+      if (s.status.isDefined) status = s.status
+      if (s.select_mode.isDefined) select_mode = s.select_mode
+      if (s.fix_mode.isDefined) fix_mode = s.fix_mode
+      if (s.sats.isDefined) sats = s.sats
+      if (s.gsv_messages.isDefined) gsv_messages = s.gsv_messages
+      if (s.gsv_msgnum.isDefined) gsv_msgnum = s.gsv_msgnum
+      if (s.satview.isDefined) satview = s.satview
+      // GSV groups accumulate (:261 intended semantics), others overwrite
+      sats_in_view = (sats_in_view, s.sats_in_view) match {
+        case (Some(a), Some(c)) => Some(a ++ c)
+        case (a, c) => c.orElse(a)
+      }
+      if (s.speed_knots.isDefined) speed_knots = s.speed_knots
+      if (s.speed_kmph.isDefined) speed_kmph = s.speed_kmph
+      if (s.track_deg.isDefined) track_deg = s.track_deg
+      if (s.track_mag_deg.isDefined) track_mag_deg = s.track_mag_deg
+      if (s.magvar.isDefined) magvar = s.magvar
+      if (s.magvar_ew.isDefined) magvar_ew = s.magvar_ew
+      if (s.fix_time.isDefined) fix_time = s.fix_time
+      types ::= s.stype
+    }
+
+    def toSentence(device: String): ParsedSentence = ParsedSentence(
+      device = device, line_no = line_no, stype = stype, utc = utc,
+      date = date, lat = lat, lon = lon, ns = ns, ew = ew,
+      quality = quality, numsat = numsat, hdop = hdop, vdop = vdop,
+      pdop = pdop, alt = alt, geoidal = geoidal, dgps_age = dgps_age,
+      dgps_station = dgps_station, status = status,
+      select_mode = select_mode, fix_mode = fix_mode, sats = sats,
+      gsv_messages = gsv_messages, gsv_msgnum = gsv_msgnum,
+      satview = satview, sats_in_view = sats_in_view,
+      speed_knots = speed_knots, speed_kmph = speed_kmph,
+      track_deg = track_deg, track_mag_deg = track_mag_deg,
+      magvar = magvar, magvar_ew = magvar_ew, fix_time = fix_time)
+  }
 
   private[stream] def toFix(p: ParsedSentence, types: Seq[String]): StreamFix =
     StreamFix(
@@ -172,28 +209,35 @@ object FixAssembler {
       return out.iterator
     }
     val sorted = it.toSeq.sortBy(_.line_no)
-    var buf = state.getOption.getOrElse(FixBuffer(None, -1L, Nil))
+    val prior = state.getOption.getOrElse(FixBuffer(None, -1L, Nil))
+    var maxLineNo = prior.maxLineNo
+    var open: OpenFix =
+      prior.current.map(new OpenFix(_, prior.types.toList)).orNull
     val out = Seq.newBuilder[StreamFix]
     sorted.foreach { s =>
       // replayed/duplicate lines at or before the high-water mark are
       // ignored (exactly-once against source replays)
-      if (s.line_no > buf.maxLineNo) {
+      if (s.line_no > maxLineNo) {
+        maxLineNo = s.line_no
         val opensNew = s.utc.isDefined &&
-          !buf.current.exists(_.utc == s.utc)
+          (open == null || open.utc != s.utc)
         if (opensNew) {
-          buf.current.filter(goodEnough)
-            .foreach(p => out += toFix(p, buf.types))
-          buf = FixBuffer(Some(s), s.line_no, Seq(s.stype))
-        } else if (buf.current.isDefined) {
-          buf = FixBuffer(Some(merge(buf.current.get, s)), s.line_no,
-            buf.types :+ s.stype)
-        } else {
-          // pre-fix, timestamp-less sentence: the reference piles these
-          // under key 0 (:29); we drop them (they can never GoodEnough)
-          buf = buf.copy(maxLineNo = s.line_no)
+          if (open != null) {
+            val p = open.toSentence(device)
+            if (goodEnough(p)) out += toFix(p, open.types)
+          }
+          open = new OpenFix(s, s.stype :: Nil)
+        } else if (open != null) {
+          open.add(s)
         }
+        // else: pre-fix, timestamp-less sentence — the reference piles
+        // these under key 0 (:29); we drop them (never GoodEnough), the
+        // high-water mark above still advances
       }
     }
+    val buf =
+      if (open == null) FixBuffer(None, maxLineNo, Nil)
+      else FixBuffer(Some(open.toSentence(device)), maxLineNo, open.types)
     state.update(buf)
     if (evict) {
       // Timeouts must be re-armed on every invocation. The open fix's own

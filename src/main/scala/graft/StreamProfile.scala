@@ -33,12 +33,9 @@ object StreamProfile {
             s"removed=${so.numRowsRemoved} commitMs=${so.commitTimeMs} " +
             s"memUsed=${so.memoryUsedBytes}"
         }.mkString(" | ")
+        val durAll = dur.entrySet().toArray.mkString(" ")
         println(s"[profile] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"triggerMs=${dur.get("triggerExecution")} " +
-          s"addBatchMs=${dur.get("addBatch")} " +
-          s"getBatchMs=${dur.get("getBatch")} " +
-          s"walMs=${dur.get("walCommit")} " +
-          s"offsetCommitMs=${dur.get("commitOffsets")} :: $state")
+          s"$durAll :: $state")
       }
     })
     names.foreach { n =>
