@@ -50,7 +50,7 @@ object LlmQueries {
     * (InferFiltersFromGenerate fires only for inner explode; our arrays
     * are never null, and empty arrays yield a null row we drop). ~2.6x
     * on the shingle-posting fan-outs at sf0.1. */
-  private def explodeNonNull(df: DataFrame, arr: Column, as: String,
+  private[llm] def explodeNonNull(df: DataFrame, arr: Column, as: String,
       keep: Column*): DataFrame =
     df.select(keep :+ explode_outer(arr).as(as): _*)
       .filter(col(as).isNotNull)
@@ -1493,5 +1493,6 @@ object LlmQueries {
     "text_unigram_logprob" -> textUnigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++
-    MultimodalQueries.queries ++ IncrementalDedup.queries
+    MultimodalQueries.queries ++ IncrementalDedup.queries ++
+    CurateQueries.queries
 }

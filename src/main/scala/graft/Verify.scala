@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: run only these queries (builder iteration;
+    // the driver always passes exactly two args = the full sweep)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +31,9 @@ object Verify {
         import scala.jdk.CollectionConverters._
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val dest = Paths.get(s"$outDir/$name")
       deleteRecursive(dest)
       def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,87 @@
+package engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+import engine.llm.CurateQueries
+
+/** Behavior tests for the curation operators (dedup_lines, pii_scrub,
+  * pack_sequences) — edge cases the sf fixtures don't exercise; the
+  * oracle gate pins exact output on the fixtures themselves. */
+class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = engine.ScratchCache.drain()
+
+  test("dedup_lines drops cross-doc duplicated chunks, keeps unique ones") {
+    val out = CurateQueries.queries("dedup_lines").fn(spark, sf).collect()
+    assert(out.length == 500)
+    val removed = out.map(r => r.getAs[Int]("n_removed")).sum
+    assert(removed > 0, "fixture plants near-dup docs; some lines must drop")
+    // reassembly: texts with nothing removed survive verbatim
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_.getAs[Int]("n_removed") == 0).take(20).foreach { r =>
+      assert(r.getAs[String]("text_clean") == docs(r.getAs[Long]("doc_id")))
+    }
+    // and removal is cross-doc: every document's removed count is bounded
+    // by its line count
+    out.foreach(r =>
+      assert(r.getAs[Int]("n_removed") <= r.getAs[Int]("n_lines")))
+  }
+
+  test("pii_scrub redacts every planted span and nothing else") {
+    val out = CurateQueries.queries("pii_scrub").fn(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = r.getAs[String]("text_scrubbed")
+      assert(r.getAs[Int]("n_emails") == (if (id % 7 == 0) 1 else 0), s"doc $id")
+      assert(r.getAs[Int]("n_phones") == (if (id % 11 == 0) 1 else 0), s"doc $id")
+      assert(r.getAs[Int]("n_ips") == (if (id % 13 == 0) 1 else 0), s"doc $id")
+      // no PII survives the scrub
+      assert(!t.contains("@") && !t.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"),
+        s"doc $id leaked PII: $t")
+      if (id % 7 == 0) assert(t.contains("<EMAIL>"))
+      if (id % 11 == 0) assert(t.contains("<PHONE>"))
+      if (id % 13 == 0) assert(t.contains("<IP>"))
+    }
+  }
+
+  test("pack_sequences: contiguous stream, correct straddling arithmetic") {
+    val out = CurateQueries.queries("pack_sequences").fn(spark, sf)
+      .orderBy("doc_id").collect()
+    var expectedStart = 0L
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_tokens").toLong
+      val seqId = r.getAs[Long]("seq_id")
+      val off = r.getAs[Long]("seq_offset")
+      // each doc starts exactly where the previous one ended (the
+      // concatenated token stream has no gaps and no overlaps)
+      assert(seqId * 256 + off == expectedStart,
+        s"doc ${r.getAs[Long]("doc_id")} starts at ${seqId * 256 + off}, " +
+          s"expected $expectedStart")
+      // span arithmetic: last token's sequence minus first's, plus one
+      assert(r.getAs[Long]("n_seqs") ==
+        (expectedStart + n - 1) / 256 - expectedStart / 256 + 1)
+      expectedStart += n
+    }
+  }
+
+  test("dedup_lines chunking: last short chunk, single-chunk doc") {
+    // 25 tokens -> chunks of 10/10/5; a 3-token doc -> one 3-token chunk
+    val df = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = df.select($"doc_id",
+        CurateQueries.lineChunks(split($"text", " ")).as("ls"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks(1L).map(_.split(" ").length).toList == List(10, 10, 5))
+    assert(chunks(1L).flatMap(_.split(" ")).toList ==
+      (1 to 25).map(i => s"t$i").toList, "chunks concatenate to the doc")
+    assert(chunks(2L).toList == List("a b c"))
+  }
+}

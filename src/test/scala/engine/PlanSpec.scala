@@ -64,6 +64,59 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
   }
 
+  test("dedup_lines: frequency exchanges ship line hashes, never line text") {
+    val exec = graft.SparkEntry.queries("dedup_lines")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(!exec.toString.contains("CartesianProduct"))
+    // the df-count path must shuffle only (doc_id, h); the one exchange
+    // allowed to carry strings is the final determinism sort (range
+    // partitioning on doc_id). The cached base's one-time spread lives
+    // inside the InMemoryRelation leaf, as in the IVF pin.
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val stringy = e.output.filter(a =>
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        a.dataType == org.apache.spark.sql.types.StringType)
+      assert(e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+        stringy.isEmpty,
+        s"df-count exchange carries line text: ${stringy.map(_.name)}")
+    }
+  }
+
+  test("pii_scrub: pure projection — only the determinism sort exchanges") {
+    val exec = graft.SparkEntry.queries("pii_scrub")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach(e => assert(e.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "pii_scrub shuffled data before the final sort"))
+  }
+
+  test("pack_sequences: cumsum is per-shard, no global corpus sort window") {
+    val p = plan("pack_sequences")
+    // the corpus-sized window must partition by shard; the only
+    // unpartitioned window runs over the one-row-per-shard offsets frame
+    assert(p.contains("hashpartitioning(shard"),
+      "per-shard cumsum window missing — corpus funnels through one sort")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      "shard-offset table should broadcast back")
+  }
+
   test("sim_search_topk broadcasts the query set and uses the codegen'd dot") {
     val p = plan("sim_search_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
