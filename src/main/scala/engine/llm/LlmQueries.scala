@@ -27,13 +27,15 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
 
-  /** dedup_embedding mode switch (session conf). `exact` (the default) is
-    * the oracle-matched all-pairs enumeration — the correctness yardstick,
-    * and what the driver's DuckDB compare must always see. `banded` is the
-    * 100 TB deployment shape: SRP-LSH band-collision candidates, exact-
-    * cosine verified. An EXPLICIT flag, not a data-size gate: the r2
-    * advisor showed a row-count gate flips the plan under the oracle's
-    * feet the moment an sf crosses the threshold. */
+  /** dedup_embedding mode switch (session conf). `banded` (the default —
+    * flipped in r7 per the r6 verdict: the id a user reaches for first
+    * must run the plan that survives 100 TB) draws candidates from
+    * SRP-LSH band collisions and exact-cosine-verifies them; its oracle
+    * replays the identical plane/code/band pipeline in SQL. `exact` is
+    * the conf-gated all-pairs yardstick (LlmSpec verifies banded ⊆ exact
+    * with identical cosines). An EXPLICIT flag, not a data-size gate:
+    * the r2 advisor showed a row-count gate flips the plan under the
+    * oracle's feet the moment an sf crosses the threshold. */
   private val EmbeddingModeKey = "spark.graft.dedupEmbedding.mode"
 
   /** documents with tokens + distinct 3-shingles attached, hash-spread
@@ -663,23 +665,24 @@ object LlmQueries {
         FROM codes CROSS JOIN generate_series(0, 3) g(j))"""
 
   /** Embedding-cosine near-dup pairs (cos >= 0.45), mode-switched by
-    * [[EmbeddingModeKey]]: `exact` (default) is the all-pairs enumeration
-    * — the correctness yardstick, bit-identical to DuckDB; `banded` draws
-    * candidate pairs from SRP-LSH band collisions and exact-cosine
-    * verifies only those — the 100 TB shape, where the O(n²) pair loop
-    * must never run. The banded path is a high-recall near-dup *screen*
-    * (recall → 1 as cosine → 1; pairs at the 0.45 margin can be missed —
-    * SRP band-collision probability ≈ 0.54 there), which is the semantics
-    * a dedup pipeline wants from this operator at scale; LlmSpec runs it
-    * explicitly and asserts it returns exactly a subset of the exact
-    * pairs, complete at cosine ≥ 0.9, and dedup_embedding_banded verifies
-    * the banded shape against its own SQL-replayed oracle. */
+    * [[EmbeddingModeKey]]: `banded` (DEFAULT) draws candidate pairs from
+    * SRP-LSH band collisions and exact-cosine verifies only those — the
+    * 100 TB shape, where the O(n²) pair loop must never run; `exact` is
+    * the conf-gated all-pairs yardstick (its BNLJ enumeration exists for
+    * verification, never deployment). The banded path is a high-recall
+    * near-dup *screen* (recall → 1 as cosine → 1; pairs at the 0.45
+    * margin can be missed — SRP band-collision probability ≈ 0.54
+    * there), which is the semantics a dedup pipeline wants from this
+    * operator at scale; the oracle replays the identical deterministic
+    * plane/code/band pipeline in SQL, so the gate pins the banded
+    * operator's exact output, and LlmSpec asserts banded ⊆ exact with
+    * identical cosines and full recall at cosine ≥ 0.9. */
   private val dedupEmbedding = Q(
     (s, d) => {
       val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
       val c = dot(col("a.u"), col("b.u"))
       val pairs =
-        if (s.conf.get(EmbeddingModeKey, "exact") != "banded")
+        if (s.conf.get(EmbeddingModeKey, "banded") == "exact")
           e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         else srpCandidatePairs(e)
       pairs
@@ -688,13 +691,17 @@ object LlmQueries {
           r4(c).as("cosine"))
         .orderBy("va", "vb")
     },
-    Some(unitSql + """
-      SELECT a.vec_id AS va, b.vec_id AS vb,
-        round(list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])), 4)
-          AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(list_zip(a.u, b.u), p -> p[1]*p[2])) >= 0.45
-      ORDER BY va, vb"""))
+    Some(unitSql + srpSqlCtes + """,
+      cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
+               FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      pr AS (SELECT cand.ai, cand.bi,
+               list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+                 AS cos
+             FROM cand JOIN e a ON a.vec_id = cand.ai
+                       JOIN e b ON b.vec_id = cand.bi)
+      SELECT ai AS va, bi AS vb, round(cos, 4) AS cosine
+      FROM pr WHERE cos >= 0.45 ORDER BY va, vb"""))
 
   /** The banded DEPLOYMENT shape of dedup_embedding as its own verified
     * id: SRP-LSH band collisions propose candidate pairs (equi-join on
@@ -704,7 +711,12 @@ object LlmQueries {
     * gate pins the approximate operator's EXACT deterministic output,
     * not merely a recall bound. The corpus never self-joins: the band
     * posting join's fan-out is collision-bound, and the vectors
-    * re-attach to bare id pairs by equi-join. */
+    * re-attach to bare id pairs by equi-join.
+    *
+    * Since r7 flipped dedup_embedding's DEFAULT to banded the two ids
+    * coincide under default conf — deliberately kept distinct: this id
+    * ignores [[EmbeddingModeKey]], so the banded plan stays oracle-pinned
+    * even in a session that conf-gates dedup_embedding to `exact`. */
   private val dedupEmbeddingBanded = Q(
     (s, d) => {
       val e = engine.ScratchCache.persist(unitEmbeddings(s, d))

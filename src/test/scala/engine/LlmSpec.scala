@@ -55,15 +55,16 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(pairs.contains((0L, 3L)))
   }
 
-  test("dedup_embedding banded mode: subset of exact, complete at high cosine") {
+  test("dedup_embedding: banded default is a subset of conf-gated exact") {
     val q = LlmQueries.queries("dedup_embedding")
-    val exact = q.fn(spark, sf).collect()
+    // default mode = banded (the 100 TB plan, flipped in r7)
+    val banded = q.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(exact.nonEmpty, "testdata should contain embedding near-dups")
-    spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
+    spark.conf.set("spark.graft.dedupEmbedding.mode", "exact")
     try {
-      val banded = q.fn(spark, sf).collect()
+      val exact = q.fn(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(exact.nonEmpty, "testdata should contain embedding near-dups")
       // exact-cosine verification of candidates ⇒ never a false positive,
       // and the surviving pairs carry identical cosines
       assert(banded.keySet.subsetOf(exact.keySet),

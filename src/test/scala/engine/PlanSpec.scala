@@ -45,22 +45,23 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   test("near-dup candidate generation is equi-join, not cartesian") {
     for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding_banded", "decontaminate", "text_repetition")) {
+        "dedup_embedding", "dedup_embedding_banded", "decontaminate",
+        "text_repetition")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a BNLJ")
     }
   }
 
-  test("dedup_embedding's banded mode never nested-loops (the 100 TB path)") {
-    // the exact default is all-pairs by design (a BNLJ on vec_id<vec_id);
-    // the deployment path must be pure equi-joins on band keys
-    spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
+  test("dedup_embedding: exact yardstick stays conf-gated behind the default") {
+    // the DEFAULT plan is the banded equi-join (pinned with the near-dup
+    // group above); `exact` must remain reachable for verification — its
+    // all-pairs BNLJ on vec_id<vec_id is the deliberate yardstick shape
+    spark.conf.set("spark.graft.dedupEmbedding.mode", "exact")
     try {
       val p = plan("dedup_embedding")
-      assert(!p.contains("CartesianProduct"), p.linesIterator.take(8).mkString("\n"))
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        "banded dedup_embedding degenerated to a nested-loop join")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+        "exact mode should be the all-pairs enumeration")
     } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
   }
 
