@@ -94,6 +94,39 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(dropped.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("AppendTable: torn writer leaves the previous version readable") {
+    import engine.stream.AppendTable
+    val root = new java.io.File(
+      s"/tmp/graft_append_tbl_test_${java.util.UUID.randomUUID}")
+    try {
+      val schema = Seq((1L, "a")).toDF("id", "v").schema
+      // nothing committed yet: read is empty, not an error
+      assert(AppendTable.read(spark, root, schema).count() == 0)
+      AppendTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, 0L)
+      assert(AppendTable.read(spark, root, schema).count() == 2)
+      // simulate a writer dying mid-batch: a half-written segment dir
+      // (torn part-file, no _SUCCESS) and a stray manifest tmp exist,
+      // but the manifest was never swapped
+      val torn = new java.io.File(root, "seg-1")
+      torn.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(torn, "part-00000.parquet").toPath, "NOT PARQUET")
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "MANIFEST.tmp.1").toPath, "seg-0\nseg-1\n")
+      // the store still reads at the previous version — the torn segment
+      // is invisible (plain mode("append") dirs would throw here)
+      val rows = AppendTable.read(spark, root, schema)
+        .collect().map(_.getLong(0)).toSet
+      assert(rows == Set(1L, 2L))
+      // the retried batch id overwrites its torn segment and commits
+      AppendTable.append(Seq((3L, "c")).toDF("id", "v"), root, 1L)
+      assert(AppendTable.read(spark, root, schema).count() == 3)
+      // re-commit of an already-committed id is idempotent (no dup entry)
+      AppendTable.append(Seq((3L, "c")).toDF("id", "v"), root, 1L)
+      assert(AppendTable.read(spark, root, schema).count() == 3)
+    } finally AppendTable.destroy(root)
+  }
+
   test("ann recall vs brute-force top-k") {
     val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
