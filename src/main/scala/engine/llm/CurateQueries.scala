@@ -232,8 +232,157 @@ object CurateQueries {
         (st + n - 1) // $SeqBudget - st // $SeqBudget + 1 AS n_seqs
       FROM c ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------ dedup_spans
+  /** Stride-1 window width for duplicated-span detection. */
+  private val SpanW = 15
+
+  /** Duplicated-SPAN detection — the substring-granularity dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022), at fixed-window resolution: every [[SpanW]]-token
+    * window (stride 1) is hashed, a window occurring in >= 2 distinct
+    * docs marks a duplicated span, and each doc reports how much of it
+    * is span-duplicated plus the first duplicated position. Catches
+    * SHIFTED duplication that chunk-aligned dedup_lines misses (a copied
+    * paragraph at a different offset never aligns to chunk boundaries;
+    * some stride-1 window always matches). Docs shorter than the window
+    * hash whole (the shingles3 fallback discipline).
+    *
+    * Shape: posexplode windows → (doc_id, pos, 60-bit hash) postings —
+    * ~n_tokens rows, 20 bytes each, window TEXT never shuffles; df
+    * count + posting re-join + per-doc partial agg. Linear in corpus
+    * token count at any scale. */
+  private val dedupSpans = Q(
+    (s, d) => {
+      // Measured shapes at sf0.1 (the HOF-cost tradeoff is NOT obvious):
+      // building the hash array inside the doc row — two nested
+      // interpreted transforms — runs 1.5 s persisted / 4.7 s recomputed;
+      // exploding the string windows and hashing per row re-evaluates
+      // the generator tree and runs 24 s; exploding bare start positions
+      // and slicing the token array per exploded row copies the array
+      // through GenerateExec and runs 50 s. The in-row nested-transform
+      // shape wins: the fan-out stays one array per DOC until the
+      // (doc_id, p, h) explode, and the exchange downstream carries
+      // 20-byte posting rows only.
+      val w = tokens(col("text"))
+      val wins = when(size(w) >= SpanW,
+        transform(sequence(lit(0), size(w) - SpanW),
+          i => concat_ws(" ", slice(w, i + 1, lit(SpanW)))))
+        .otherwise(array(concat_ws(" ", w)))
+      // persisted: the posting frame feeds BOTH the df count and the
+      // flag join below — uncached, the window transform runs twice
+      val wh = engine.ScratchCache.persist(
+        docs(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(transform(wins, x => tokenHash60(x)))
+              .as(Seq("p", "h"))))
+      val dfs = wh.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      wh.join(dfs, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
+          min(when(col("df") >= 2, col("p"))).as("fp"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          (floor(col("n_dup_windows") / col("n_windows") * 10000 + lit(0.5))
+            / 10000.0).as("dup_frac"),
+          coalesce(col("fp"), lit(-1)).as("first_dup_pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+      wins AS (SELECT doc_id,
+          unnest(CASE WHEN len(w) >= $SpanW
+                 THEN generate_series(0, len(w) - $SpanW) ELSE [0] END) AS p,
+          unnest(CASE WHEN len(w) >= $SpanW
+                 THEN list_transform(generate_series(0, len(w) - $SpanW),
+                   i -> array_to_string(w[i+1 : i+$SpanW], ' '))
+                 ELSE [array_to_string(w, ' ')] END) AS win
+        FROM tok),
+      wh AS (SELECT doc_id, p,
+              ('0x' || substr(md5(win), 1, 15))::BIGINT AS h FROM wins),
+      dfs AS (SELECT h, count(DISTINCT doc_id) AS df FROM wh GROUP BY h)
+      SELECT doc_id, count(*) AS n_windows,
+        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_windows,
+        floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+          / count(*) * 10000 + 0.5) / 10000.0 AS dup_frac,
+        COALESCE(min(CASE WHEN df >= 2 THEN p END), -1) AS first_dup_pos
+      FROM wh JOIN dfs USING (h) GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------- sample_stratified
+  /** Docs kept per stratum. */
+  private val StratK = 20
+
+  /** Deterministic EXACT-K per-stratum carve-out — the eval-split /
+    * per-domain-probe builder (sample_hash keeps a fixed RATE; eval sets
+    * need a fixed COUNT per language): rank each stratum's docs by
+    * salted md5 and keep the first [[StratK]]. Reproducible on any
+    * cluster (rank = f(salt, ids of the stratum) only) and re-derivable
+    * downstream. The per-stratum rank<=k is Spark's WindowGroupLimit
+    * push-down (each partition keeps a k-row heap before the shuffle —
+    * never a full per-stratum sort at scale; pinned in PlanSpec). */
+  private val sampleStratified = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat_ws("|", lit("strat"),
+          col("doc_id").cast("string"))), col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= StratK)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, lang, source, n_chars, CAST(rk AS INT) AS rk
+      FROM (SELECT doc_id, lang, source, n_chars,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5('strat|' || doc_id), doc_id) AS rk
+            FROM documents)
+      WHERE rk <= $StratK ORDER BY doc_id"""))
+
+  // ------------------------------------------------------- tokenize_ids
+  /** Token-id materialization — the final pre-training transform after
+    * curation and before packing: build the corpus vocabulary (term →
+    * dense id by (frequency desc, term) — deterministic), then map every
+    * document to its id sequence. The vocabulary is a MODEL ARTIFACT
+    * (its global rank-sort is over vocab-size rows, not corpus rows) and
+    * broadcasts back against the token postings; documents reassemble
+    * their id arrays in position order. With [[packSequences]] this is
+    * the full doc→token-id→sequence path a training job consumes. */
+  private val tokenizeIds = Q(
+    (s, d) => {
+      val th = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p", "term")))
+      val vocab = th.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("term"), row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))).cast("long").as("tid"))
+      th.join(broadcast(vocab), "term")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          transform(array_sort(collect_list(struct(col("p"), col("tid")))),
+            x => x.getField("tid")).as("ids"))
+        .select(col("doc_id"), col("n_tokens"), col("ids"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH th AS (SELECT doc_id,
+              unnest(string_split(text, ' ')) AS term,
+              unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+            FROM documents),
+      vocab AS (SELECT term,
+              CAST(row_number() OVER (ORDER BY count(*) DESC, term) AS BIGINT)
+                AS tid
+            FROM th GROUP BY term)
+      SELECT doc_id, count(*) AS n_tokens,
+        list(tid ORDER BY p) AS ids
+      FROM th JOIN vocab USING (term)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_lines" -> dedupLines,
     "pii_scrub" -> piiScrub,
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "dedup_spans" -> dedupSpans,
+    "sample_stratified" -> sampleStratified,
+    "tokenize_ids" -> tokenizeIds)
 }

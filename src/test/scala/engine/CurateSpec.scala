@@ -71,6 +71,52 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_spans: shifted duplication is caught, clean docs are clean") {
+    val out = CurateQueries.queries("dedup_spans").fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 500)
+    val dupDocs = out.values.filter(_.getAs[Long]("n_dup_windows") > 0)
+    assert(dupDocs.nonEmpty, "planted near-dups must share 15-token spans")
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
+      val fp = r.getAs[Int]("first_dup_pos")
+      if (r.getAs[Long]("n_dup_windows") == 0) assert(fp == -1)
+      else assert(fp >= 0 && fp < r.getAs[Long]("n_windows"))
+    }
+  }
+
+  test("sample_stratified: exactly k per stratum, deterministic") {
+    val q = CurateQueries.queries("sample_stratified")
+    val a = q.fn(spark, sf).collect()
+    val perLang = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(perLang.values.forall(_ == 20), s"per-stratum counts: $perLang")
+    // membership is a pure function of ids: a re-run selects the same docs
+    val b = q.fn(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("doc_id")).toSet ==
+      b.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("tokenize_ids: rank-dense vocab, round-trippable id sequences") {
+    val out = CurateQueries.queries("tokenize_ids").fn(spark, sf).collect()
+    assert(out.length == 500)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id sequence length == token count, ids are positive and dense-ish
+    out.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      assert(ids.length == r.getAs[Long]("n_tokens").toInt)
+      assert(ids.length == docs(r.getAs[Long]("doc_id")).split(" ").length)
+      assert(ids.forall(_ >= 1))
+    }
+    // same token -> same id everywhere: doc-wise ids of equal texts match
+    val byText = out.map(r =>
+      docs(r.getAs[Long]("doc_id")) -> r.getSeq[Long](r.fieldIndex("ids")))
+    byText.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).distinct.size == 1)
+    }
+  }
+
   test("dedup_lines chunking: last short chunk, single-chunk doc") {
     // 25 tokens -> chunks of 10/10/5; a 3-token doc -> one 3-token chunk
     val df = Seq(

@@ -107,6 +107,34 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "pii_scrub shuffled data before the final sort"))
   }
 
+  test("dedup_spans: posting exchanges ship (doc_id, pos, hash), never text") {
+    val exec = graft.SparkEntry.queries("dedup_spans")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(!exec.toString.contains("CartesianProduct"))
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(a =>
+        a.dataType == org.apache.spark.sql.types.StringType ||
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"span posting exchange carries text: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("sample_stratified: per-stratum rank<=k pushes a window group limit") {
+    val p = plan("sample_stratified")
+    // Spark's WindowGroupLimit keeps a k-row heap per partition BEFORE
+    // the stratum shuffle — the difference between "sort each stratum"
+    // and "keep 20 rows per stratum" at corpus scale
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("pack_sequences: cumsum is per-shard, no global corpus sort window") {
     val p = plan("pack_sequences")
     // the corpus-sized window must partition by shard; the only
