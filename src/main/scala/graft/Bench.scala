@@ -32,7 +32,18 @@ object Bench {
     // runs reproduces a query's standalone cost (and the second run reuses
     // the deterministic /tmp stream-source caches, so one-time scratch
     // builds don't masquerade as query cost).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // FIXED run order (was: immutable-Map hash order, which reshuffled
+    // whenever the id set changed — round-over-round per-query deltas
+    // then compared different heap states). Stateful streaming queries
+    // run FIRST on a fresh heap: they are the most allocation-sensitive
+    // (state stores + per-trigger sinks), and the drain+GC between
+    // queries cannot undo fragmentation from 90 earlier queries. The
+    // rest run alphabetically.
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (name.startsWith("stream_") || name == "dedup_incremental") 0
+       else 1, name)
+    }
+    val results = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // a crash records -1, never a flatteringly-fast time-to-failure
@@ -62,7 +73,7 @@ object Bench {
       .mkString("{", ",", "}")
     // hard failures (-1) are visible per-query but must not subtract
     // from the reported total
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
