@@ -60,14 +60,19 @@ object CurateQueries {
     * so the gate pins exact output. */
   private val dedupLines = Q(
     (s, d) => {
-      // hash-spread first: the source parquet is one split and chunking +
-      // per-line md5 is the heavy per-row work (the shingled() posture);
-      // persisted because both the count side and the filter side read it
-      val base = engine.ScratchCache.persist(
-        docs(s, d).repartition(col("doc_id"))
-          .select(col("doc_id"), lineChunks(tokens(col("text"))).as("ls")))
-      val lh = LlmQueries.explodeNonNull(base,
-        transform(col("ls"), l => tokenHash60(l)), "h", col("doc_id"))
+      // Both sides project straight off the scan — no spread repartition:
+      // the count side hashes chunks via the codegen'd TokenWindowHash
+      // (byte-identical to hashing the chunk strings — ExprSpec), cheap
+      // enough that scan-split parallelism suffices (at 100 TB the source
+      // arrives in thousands of splits anyway), and the document body
+      // never rides ANY exchange (PlanSpec pins it).
+      val base = docs(s, d)
+        .select(col("doc_id"), lineChunks(tokens(col("text"))).as("ls"))
+      val lh = LlmQueries.explodeNonNull(
+        docs(s, d).select(col("doc_id"),
+          TokenWindowHash(tokens(col("text")), LineW, LineW,
+            tail = true, 15).as("hs")),
+        col("hs"), "h", col("doc_id"))
       val dup = lh.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
@@ -253,28 +258,19 @@ object CurateQueries {
     * token count at any scale. */
   private val dedupSpans = Q(
     (s, d) => {
-      // Measured shapes at sf0.1 (the HOF-cost tradeoff is NOT obvious):
-      // building the hash array inside the doc row — two nested
-      // interpreted transforms — runs 1.5 s persisted / 4.7 s recomputed;
-      // exploding the string windows and hashing per row re-evaluates
-      // the generator tree and runs 24 s; exploding bare start positions
-      // and slicing the token array per exploded row copies the array
-      // through GenerateExec and runs 50 s. The in-row nested-transform
-      // shape wins: the fan-out stays one array per DOC until the
-      // (doc_id, p, h) explode, and the exchange downstream carries
-      // 20-byte posting rows only.
-      val w = tokens(col("text"))
-      val wins = when(size(w) >= SpanW,
-        transform(sequence(lit(0), size(w) - SpanW),
-          i => concat_ws(" ", slice(w, i + 1, lit(SpanW)))))
-        .otherwise(array(concat_ws(" ", w)))
-      // persisted: the posting frame feeds BOTH the df count and the
-      // flag join below — uncached, the window transform runs twice
+      // Window hashing runs in the codegen'd TokenWindowHash (byte-
+      // identical to transform-built window strings + tokenHash60 —
+      // ExprSpec; the HOF forms measured 4.7-50 s at sf0.1 depending on
+      // shape, the expression ~0.5 s). The fan-out stays one array per
+      // DOC until the (doc_id, p, h) explode, and the exchange
+      // downstream carries 20-byte posting rows only. Persisted: the
+      // posting frame feeds BOTH the df count and the flag join below —
+      // uncached, the hash pass runs twice.
       val wh = engine.ScratchCache.persist(
         docs(s, d).repartition(col("doc_id"))
           .select(col("doc_id"),
-            posexplode(transform(wins, x => tokenHash60(x)))
-              .as(Seq("p", "h"))))
+            posexplode(TokenWindowHash(tokens(col("text")),
+              SpanW, 1, tail = false, 15)).as(Seq("p", "h"))))
       val dfs = wh.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("df"))
       wh.join(dfs, "h")

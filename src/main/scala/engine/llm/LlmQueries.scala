@@ -141,12 +141,18 @@ object LlmQueries {
     * columnar-cache ~3x faster than string arrays and array_intersect
     * compares longs, not strings, in the verify step; the oracle hashes
     * with the same md5 prefix, so results stay provably identical (any
-    * collision happens identically in both engines). */
+    * collision happens identically in both engines — the oracle's shh
+    * CTEs apply list_distinct AFTER hashing, mirroring the
+    * distinct-after-hash below). Hashing runs in the codegen'd
+    * [[TokenWindowHash]] (r7): the transform+tokenHash60 HOF form
+    * evaluated interpreted — 3.5 s per rebuild of this frame at sf0.1
+    * vs ~0.3 s; ExprSpec pins byte-identity of the two forms. */
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     engine.ScratchCache.persistKeyed(s"shingle60:$d")(
-      shingled(s, d)
+      docs(s, d).repartition(col("doc_id"))
         .select(col("doc_id"),
-          transform(col("s"), x => tokenHash60(x)).as("s"))
+          array_distinct(TokenWindowHash(
+            tokens(col("text")), 3, 1, tail = false, 15)).as("s"))
         .withColumn("sz", size(col("s"))))
 
   private val dedupNgramJaccard = Q(
@@ -183,8 +189,8 @@ object LlmQueries {
         .orderBy("da", "db")
     },
     Some(shingleSql + """,
-      shh AS (SELECT doc_id, list_transform(s,
-                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) s FROM sh)
+      shh AS (SELECT doc_id, list_distinct(list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) s FROM sh)
       SELECT a.doc_id AS da, b.doc_id AS db,
         round(len(list_intersect(a.s, b.s))::DOUBLE
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
@@ -232,8 +238,8 @@ object LlmQueries {
         .orderBy("da", "db")
     },
     Some(shingleSql + s""",
-      shh AS (SELECT doc_id, list_transform(s,
-                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) s FROM sh),
+      shh AS (SELECT doc_id, list_distinct(list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) s FROM sh),
       posts AS (SELECT doc_id, unnest(s) sh FROM shh),
       dfs AS (SELECT sh, count(*) df FROM posts GROUP BY sh),
       rare AS (SELECT p.doc_id, p.sh FROM posts p JOIN dfs USING (sh)
@@ -288,8 +294,8 @@ object LlmQueries {
         .orderBy("doc_id", "eval_id")
     },
     Some(shingleSql + s""",
-      shh AS (SELECT doc_id, list_transform(s,
-                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) s FROM sh),
+      shh AS (SELECT doc_id, list_distinct(list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) s FROM sh),
       posts AS (SELECT doc_id, unnest(s) sh FROM shh),
       dfs AS (SELECT sh, count(*) df FROM posts GROUP BY sh),
       rare AS (SELECT p.doc_id, p.sh FROM posts p JOIN dfs USING (sh)
@@ -339,13 +345,19 @@ object LlmQueries {
     * whose heavy per-row hashing must spread across the cluster first. */
   private[llm] def minhashSignatures(docsDf: DataFrame,
       spread: Boolean = true): DataFrame = {
+    // shingle hashes via the codegen'd TokenWindowHash (8 nibbles = the
+    // minhash posting hash; ExprSpec pins identity with the md5-substr
+    // form). Distinctness of the posting multiset is irrelevant: every
+    // slot is a MIN over injective affine maps of h, so duplicate
+    // shingles can't change any signature — the oracle's
+    // distinct-strings-then-hash posts give identical mins.
     val posts = explodeNonNull(
       (if (spread) docsDf.repartition(col("doc_id")) else docsDf)
-        .select(col("doc_id"), shingles3(tokens(col("text"))).as("s")),
-      col("s"), "sh", col("doc_id"))
+        .select(col("doc_id"), array_distinct(TokenWindowHash(
+          tokens(col("text")), 3, 1, tail = false, 8)).as("s")),
+      col("s"), "h0", col("doc_id"))
       .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(MinhashP)).as("h"))
+        col("h0").bitwiseAND(lit(MinhashP)).as("h"))
     val mins = (0 until MinhashK).map(i =>
       min((col("h") * mhA(i) + mhB(i)) % MinhashP).as(s"g$i"))
     posts.groupBy(col("doc_id"))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import gps.TestSpark
 import gps.parse.{NmeaChecksum, NmeaFunctions}
-import engine.llm.DoubleArrayDot
+import engine.llm.{DoubleArrayDot, TokenWindowHash}
+import engine.llm.TextFunctions.{tokens, tokenHash60, shingles3}
 
 /** Custom Catalyst expression tests (SURVEY.md §4.2): the codegen'd
   * NmeaChecksum and DoubleArrayDot against golden values and against
@@ -125,5 +126,69 @@ class ExprSpec extends AnyFunSuite {
       s"stddev native=${r.getDouble(0)} exact=${r.getDouble(2)}")
     assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9,
       s"corr native=${r.getDouble(1)} exact=${r.getDouble(3)}")
+  }
+
+  test("TokenWindowHash: identical to the transform+tokenHash60 formulation") {
+    import org.apache.spark.sql.Column
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    def hofSpans(w: Column): Column = {
+      val wins = when(size(w) >= 15,
+        transform(sequence(lit(0), size(w) - 15),
+          i => concat_ws(" ", slice(w, i + 1, lit(15)))))
+        .otherwise(array(concat_ws(" ", w)))
+      transform(wins, x => tokenHash60(x))
+    }
+    def hofChunks(w: Column): Column = transform(
+      transform(sequence(lit(0L),
+          floor((size(w) + 9) / 10).cast("long") - 1),
+        p => concat_ws(" ", slice(w, (p * 10 + 1).cast("int"), lit(10)))),
+      x => tokenHash60(x))
+    def hofShingles(w: Column): Column =
+      transform(shingles3(w), x => tokenHash60(x))
+    val rows = docs.select(col("doc_id"),
+      hofSpans(col("w")).as("hs"),
+      TokenWindowHash(col("w"), 15, 1, tail = false, 15).as("es"),
+      hofChunks(col("w")).as("hc"),
+      TokenWindowHash(col("w"), 10, 10, tail = true, 15).as("ec"),
+      array_distinct(hofShingles(col("w"))).as("hg"),
+      array_distinct(TokenWindowHash(col("w"), 3, 1, tail = false, 15)).as("eg"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"spans doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"chunks doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"shingles doc ${r.getLong(0)}")
+    }
+  }
+
+  test("TokenWindowHash: 8-nibble variant matches the minhash posting hash") {
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "x")
+      .toDF("text").select(tokens(col("text")).as("w"))
+    val rows = df.select(
+      transform(shingles3(col("w")),
+        x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")).as("h"),
+      TokenWindowHash(col("w"), 3, 1, tail = false, 8).as("e")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
+  test("TokenWindowHash: edge cases + interpreted agrees with codegen") {
+    // single token, empty string token, exactly-width doc, null array
+    val df = Seq(Some("a"), Some(""), Some("t1 t2 t3"), None)
+      .toDF("text")
+      .select(when(col("text").isNotNull, tokens(col("text"))).as("w"))
+    def run(): Seq[Seq[Long]] = df.select(
+      TokenWindowHash(col("w"), 3, 1, tail = false, 15).as("e"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0)).toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+    assert(on(3) == null, "null array must yield null")
+    // golden: hash("a") == tokenHash60 of the single-token doc
+    val g = df.limit(1).select(transform(shingles3(col("w")),
+      x => tokenHash60(x))).head().getSeq[Long](0)
+    assert(on(0) == g)
   }
 }

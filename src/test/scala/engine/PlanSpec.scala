@@ -75,8 +75,8 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!exec.toString.contains("CartesianProduct"))
     // the df-count path must shuffle only (doc_id, h); the one exchange
     // allowed to carry strings is the final determinism sort (range
-    // partitioning on doc_id). The cached base's one-time spread lives
-    // inside the InMemoryRelation leaf, as in the IVF pin.
+    // partitioning on doc_id) — both sides project straight off the
+    // scan, so the document body rides no exchange at all.
     val exchanges = exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
