@@ -451,20 +451,14 @@ object LlmQueries {
     * is *exact* for the hamming <= 8 threshold — identical to the naive
     * O(n²) oracle). */
   /** Per-doc 60-bit simhash over a (doc_id, text) frame — reusable core
-    * shared by the canned query and LlmSpec. */
-  def simhashOf(docsDf: DataFrame): DataFrame = {
-    val th = explodeNonNull(docsDf, tokens(col("text")), "term", col("doc_id"))
-      .select(col("doc_id"), tokenHash60(col("term")).as("h"))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$j"))
-    th.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j =>
-          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
-  }
+    * shared by the canned query and LlmSpec. A pure per-document scan
+    * projection via the codegen'd [[SimHash60]] (r7): the previous
+    * explode + 60-slot conditional-SUM aggregate paid a full
+    * (doc_id, hash) shuffle per rebuild for what is per-row math;
+    * integer ±1 sums are order-free, so the two forms are bit-identical
+    * (pinned in ExprSpec) and the DuckDB replay is unchanged. */
+  def simhashOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), SimHash60(tokens(col("text"))).as("sim"))
 
   /** Simhash near-dup pairs (hamming <= maxHamming <= 9) via banded
     * candidate generation — exact per the pigeonhole bound. */

@@ -162,6 +162,34 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash60: identical to the explode + 60-bit-sum aggregate form") {
+    import engine.llm.SimHash60
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the pre-r7 aggregate formulation, verbatim
+    val th = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), tokenHash60(col("term")).as("h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val agg = th.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viaExpr(): Map[Long, Long] = docs.select(col("doc_id"),
+        SimHash60(tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = viaExpr()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try viaExpr()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == agg && off == agg)
+    assert(on.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("TokenWindowHash: 8-nibble variant matches the minhash posting hash") {
     val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "x")
       .toDF("text").select(tokens(col("text")).as("w"))
