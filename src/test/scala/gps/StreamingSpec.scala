@@ -161,6 +161,26 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  test("flagship merge: result invariant under trigger/state-partition knobs") {
+    // the r7 deployment confs (spark.graft.merge.*) size trigger admission
+    // and state-store parallelism; like the store provider, they must
+    // never be semantics knobs — any file split and any partition count
+    // must assemble the identical fix set (decomposition invariance)
+    val sf = "/root/testdata/sf0.001"
+    val q = engine.stream.StreamQueries.queries("stream_stateful_merge")
+    val base = q.fn(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty)
+    spark.conf.set("spark.graft.merge.filesPerTrigger", "32")
+    spark.conf.set("spark.graft.merge.statePartitions", "8")
+    try {
+      val alt = q.fn(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(alt == base, "merge result depends on trigger/state sizing")
+    } finally {
+      spark.conf.unset("spark.graft.merge.filesPerTrigger")
+      spark.conf.unset("spark.graft.merge.statePartitions")
+    }
+  }
+
   test("stream-stream interval join: cross-trigger pairs join, watermark drops late") {
     import org.apache.spark.sql.functions.{col, expr}
     implicit val sc = spark.sqlContext
