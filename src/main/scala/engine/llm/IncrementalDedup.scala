@@ -28,8 +28,10 @@ import LlmQueries.{minhashSignatures, estJaccard}
   *     irrelevant (the store archives EVERY ingested signature, kept or
   *     dropped: b~a must drop b even when a was itself dropped for a~a'
   *     that b does not collide with);
-  *  4. survivors append to the result table, ALL batch signatures append
-  *     to the store — O(batch) written per trigger, never O(store).
+  *  4. ALL batch signatures append to the store, each carrying its
+  *     `kept` verdict — O(batch) written per trigger, never O(store);
+  *     the store is the single output (survivors = kept rows), the
+  *     archive a real pipeline keeps anyway for audit/replay.
   *
   * Because batches are admitted in doc_id order (publishSource range-
   * partitions by doc_id and staggers mtimes — "each nightly batch is
@@ -60,9 +62,8 @@ object IncrementalDedup {
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       val store = new java.io.File(s"/tmp/graft_sig_store_$san")
-      val survOut = new java.io.File(s"/tmp/graft_incr_surv_$san")
-      engine.stream.AppendTable.destroy(store)
-      rm(survOut) // fresh replay — this run IS the full history
+      engine.stream.AppendTable.destroy(store) // fresh replay — this run
+      // IS the full history
       // 11 of 32 files per trigger = 3 "nightly batches" per run; each
       // trigger pays ~6 fixed-overhead Spark jobs (store probe, band
       // joins, two writes), so trigger count — not row volume — is the
@@ -87,7 +88,8 @@ object IncrementalDedup {
           def bandsOf(t: DataFrame) = t.select(col("doc_id"),
             posexplode(col("bks")).as(Seq("j", "bk")))
           val bands = bandsOf(sig)
-          val prevSig = engine.stream.AppendTable.read(sp, store, sig.schema)
+          val prevSig = engine.stream.AppendTable.read(sp, store,
+            sig.schema.add("kept", "boolean", nullable = false))
           // store partners are older ⇒ smaller ids under ordered
           // admission; the predicate makes that explicit (and would keep
           // the pair orientation right even for out-of-order backfills)
@@ -110,10 +112,13 @@ object IncrementalDedup {
             .join(sigOnly(sig).toDF("db", "gb"), "db")
             .filter(estJaccard(col("ga"), col("gb")) >= 0.5)
             .select(col("db").as("doc_id")).distinct()
-          batch.select(col("doc_id"))
-            .join(dropped, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(survOut.getPath)
-          engine.stream.AppendTable.append(sig, store, batchId)
+          // ONE write per trigger: the signature row carries its verdict
+          // (survivors = kept rows of the store) — the separate
+          // survivors table cost a second job + write cycle per batch
+          engine.stream.AppendTable.append(
+            sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"), "left")
+              .withColumn("kept", col("_d").isNull).drop("_d"),
+            store, batchId)
         } finally { sig.unpersist(); () }
       }
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
@@ -132,8 +137,13 @@ object IncrementalDedup {
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      val kept = engine.stream.AppendTable.read(s, store,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, g ARRAY<BIGINT>, bks ARRAY<STRING>, kept BOOLEAN"))
+        .filter(col("kept"))
+        .select(col("doc_id"))
       t(s, d, "documents")
-        .join(s.read.parquet(survOut.getPath), Seq("doc_id"), "leftsemi")
+        .join(kept, Seq("doc_id"), "leftsemi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     },

@@ -460,8 +460,11 @@ object StreamQueries {
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id"), col("user_id"),
           col("event_type"), col("value")),
+        // 11 of 32 files per trigger = 3 merge rounds per run: enough to
+        // exercise the cross-batch fold (state ∪ batch, arg_max), while
+        // each extra trigger costs a full state read+rewrite+commit cycle
         s"upsert_${san}", orderedBy = Some("event_id"),
-        maxFilesPerTrigger = Some(8))
+        maxFilesPerTrigger = Some(11))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         val prev = VersionedTable.read(sp, state).getOrElse(
