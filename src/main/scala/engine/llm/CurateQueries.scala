@@ -374,11 +374,73 @@ object CurateQueries {
       FROM th JOIN vocab USING (term)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // -------------------------------------------------- embedding_quantize
+  /** Int8 scalar quantization of the embedding column — the 4x storage
+    * cut every large-scale vector store applies before anything else
+    * (float32 → int8 with a per-dimension scale vector): per dim,
+    * scale = corpus max |x| (an exact MAX — no float-sum order issues);
+    * code = floor(x/scale·127 + 0.5), which lands in [-127, 127] with
+    * no clamp by construction. Emits each vector's codes plus its
+    * reconstruction error (1 − cosine(original, dequantized)) — the
+    * accounting that decides whether int8 is safe for a given corpus.
+    *
+    * Shape: the scale vector is a MODEL ARTIFACT (one 64-double row from
+    * a partial-agg max) broadcast back against the corpus; quantization
+    * is then a per-row projection — no corpus shuffle at any scale.
+    * Floor-grid rounding and strict left-to-right dot products keep the
+    * DuckDB replay bit-identical. */
+  private val embeddingQuantize = Q(
+    (s, d) => {
+      import VectorFunctions.{asDouble, dot, norm}
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val sc = e.select(posexplode(col("v")).as(Seq("dd", "x")))
+        .groupBy(col("dd")).agg(max(abs(col("x"))).as("mx"))
+        .agg(transform(array_sort(collect_list(struct(col("dd"), col("mx")))),
+          x => x.getField("mx")).as("scales"))
+      val q = zip_with(col("v"), col("scales"), (x, sx) =>
+        when(sx === 0, lit(0L))
+          .otherwise(floor(x / sx * 127 + lit(0.5)).cast("long")))
+      val deq = zip_with(col("q"), col("scales"), (c, sx) =>
+        c.cast("double") * sx / 127)
+      val err = lit(1.0) - dot(col("v"), col("w")) /
+        (norm(col("v")) * norm(col("w")))
+      e.crossJoin(broadcast(sc))
+        .withColumn("q", q)
+        .withColumn("w", deq)
+        .select(col("vec_id"), col("q"),
+          (floor(err * 1e8 + lit(0.5)) / 1e8).as("recon_err"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH ed AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+      dims AS (SELECT d, max(abs(v[d])) AS mx
+               FROM ed CROSS JOIN generate_series(1, 64) t(d) GROUP BY d),
+      sc AS (SELECT list(mx ORDER BY d) AS scales FROM dims),
+      qz AS (SELECT vec_id, v, scales,
+              list_transform(generate_series(1, 64),
+                d -> CASE WHEN scales[d] = 0 THEN 0
+                     ELSE CAST(floor(v[d] / scales[d] * 127 + 0.5) AS BIGINT)
+                     END) AS q
+             FROM ed CROSS JOIN sc),
+      dq AS (SELECT vec_id, v, q,
+              list_transform(generate_series(1, 64),
+                d -> q[d]::DOUBLE * scales[d] / 127) AS w
+             FROM qz)
+      SELECT vec_id, q,
+        floor((1.0 - list_sum(list_transform(list_zip(v, w),
+            p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(v, x -> x * x)))
+             * sqrt(list_sum(list_transform(w, x -> x * x)))))
+          * 1e8 + 0.5) / 1e8 AS recon_err
+      FROM dq ORDER BY vec_id"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_lines" -> dedupLines,
     "pii_scrub" -> piiScrub,
     "pack_sequences" -> packSequences,
     "dedup_spans" -> dedupSpans,
     "sample_stratified" -> sampleStratified,
-    "tokenize_ids" -> tokenizeIds)
+    "tokenize_ids" -> tokenizeIds,
+    "embedding_quantize" -> embeddingQuantize)
 }

@@ -117,6 +117,24 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("embedding_quantize: codes in int8 range, reconstruction faithful") {
+    val out = CurateQueries.queries("embedding_quantize").fn(spark, sf)
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val q = r.getSeq[Long](r.fieldIndex("q"))
+      assert(q.length == 64)
+      assert(q.forall(c => c >= -127 && c <= 127),
+        s"code out of int8 range: ${q.min}..${q.max}")
+      // scale = corpus absmax per dim: every vector hits |code|=127 only
+      // at the corpus extreme, and the grid guarantees cosine stays high
+      val err = r.getAs[Double]("recon_err")
+      assert(err >= 0 && err < 0.005, s"reconstruction err $err too large")
+    }
+    // at least one code reaches the extreme (the corpus absmax exists)
+    assert(out.exists(_.getSeq[Long](1).exists(c => math.abs(c) == 127)))
+  }
+
   test("dedup_lines chunking: last short chunk, single-chunk doc") {
     // 25 tokens -> chunks of 10/10/5; a 3-token doc -> one 3-token chunk
     val df = Seq(
