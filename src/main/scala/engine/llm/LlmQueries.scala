@@ -465,8 +465,15 @@ object LlmQueries {
   def simhashPairs(docsDf: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 9, "10 bands of 6 bits are exact only to hamming 9")
     // both sides of the band self-join consume the signature frame; persist
-    // it (|docs| rows of (id, 60-bit code)) or the token pipeline runs twice
-    val banded = engine.ScratchCache.persist(simhashOf(docsDf))
+    // it (|docs| rows of (id, 60-bit code)) or the token pipeline runs
+    // twice. Hash-spread BEFORE the persist: the projection-based
+    // signature inherits the scan's split count, and the band self-join's
+    // parallelism is the cached frame's partition count (a 10-split 10x
+    // corpus ran the ~200M-candidate probe on 10 tasks — 36 s vs 11 s;
+    // the pre-r7 aggregate form got 32 partitions for free from its
+    // exchange, this restores exactly that)
+    val banded = engine.ScratchCache.persist(
+      simhashOf(docsDf).repartition(col("doc_id")))
       .select(col("doc_id"), col("sim"),
         explode(codeBands(col("sim"), 10, 6)).as("bb"))
       .select(col("doc_id"), col("sim"),
