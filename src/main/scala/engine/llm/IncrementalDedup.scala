@@ -65,10 +65,11 @@ object IncrementalDedup {
       engine.stream.AppendTable.destroy(store) // fresh replay — this run
       // IS the full history
       // 11 of 32 files per trigger = 3 "nightly batches" per run; each
-      // trigger pays ~6 fixed-overhead Spark jobs (store probe, band
-      // joins, two writes), so trigger count — not row volume — is the
-      // bench cost driver at this sf. Decomposition invariance (LlmSpec +
-      // the whole-corpus oracle) holds for ANY split.
+      // trigger pays several fixed-overhead stages (store probe, band
+      // joins, the verdict-carrying write), so trigger count — not row
+      // volume — is the bench cost driver at this sf. Decomposition
+      // invariance (LlmSpec + the whole-corpus oracle) holds for ANY
+      // split.
       val src = engine.stream.StreamQueries.asFileStream(s,
         t(s, d, "documents").select(col("doc_id"), col("text")),
         s"incrdocs_$san", orderedBy = Some("doc_id"),
