@@ -435,6 +435,168 @@ object CurateQueries {
           * 1e8 + 0.5) / 1e8 AS recon_err
       FROM dq ORDER BY vec_id"""))
 
+  // ------------------------------------------------------- embedding_pq
+  /** Product-quantization geometry: M subspaces of SubD dims, SubK
+    * centroids each → an M-byte code per vector (here 4×4 bits). */
+  private val PqM = 4
+  private val PqD = 16
+  private val PqK = 16
+
+  /** Squared L2 distance between two double arrays, as the strict
+    * left-to-right fold DuckDB's list_sum(list_transform(list_zip))
+    * computes — interpreted HOF, fine: it runs on (vectors × 16
+    * centroids) rows of 16 dims, model-training scale, never a corpus
+    * pair loop. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One L2 Lloyd round over ALL subspaces at once, on the exploded
+    * subvector frame `subs(vec_id, m, x)` (the IVF [[LlmQueries]]
+    * discipline, Euclidean + un-normalized as PQ wants): assign each
+    * (vector, subspace) to its argmin-squared-L2 centroid (tie by
+    * cent_id), recompute each (m, cent) as the plain member mean on the
+    * integer NANO grid (order-free parallel sums ⇒ DuckDB replays
+    * training bit-exactly); a memberless cell keeps its previous
+    * centroid. Training every subspace in ONE job matters: M sequential
+    * driver round-trips cost M× the fixed stage overhead for identical
+    * math (per-(m, cent) sums don't care what else shares the job). */
+  private def pqRound(subs: DataFrame,
+      cents: Seq[(Int, Long, Seq[Double])]): Seq[(Int, Long, Seq[Double])] = {
+    val s = subs.sparkSession
+    import s.implicits._
+    val cdf = cents.toDF("m", "cent_id", "cu")
+    val dimSums = (0 until PqD).map(i =>
+      sum(round(element_at(col("x"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
+    val upd = subs.join(broadcast(cdf), "m")
+      .select(col("vec_id"), col("m"), col("x"), col("cent_id"),
+        l2sq(col("x"), col("cu")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(cent_id, struct(d, cent_id))").as("cent_id"),
+        first(col("x")).as("x"))
+      .groupBy(col("m"), col("cent_id"))
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .select(col("m"), col("cent_id"), array((0 until PqD).map(i =>
+        col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("cu"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    cents.map { case (m, id, cu) => (m, id, upd.getOrElse((m, id), cu)) }
+  }
+
+  /** Product quantization of the embedding column — the billion-vector
+    * storage layout (IVF-PQ's fine level): the 64-dim vector splits into
+    * [[PqM]] subspaces of [[PqD]] dims; each subspace trains its own
+    * [[PqK]]-cell codebook (seeds = the K corpus vectors with smallest
+    * md5(vec_id) — the sim_search_ivf sampling — refined by one seeded
+    * L2 Lloyd round); a vector is stored as M codebook indices (here 16
+    * bits total vs 2048 for float32 — a 128x cut) plus the shared
+    * codebooks. Emits each vector's codes and its reconstruction error
+    * (squared L2 to the concatenated centroid slices) — the accounting
+    * a deployment reads before switching retrieval to ADC.
+    *
+    * Shape: codebooks are MODEL ARTIFACTS (M×K×PqD doubles trained via
+    * broadcast join + nano-grid partial aggs, collected like MLlib
+    * KMeans); encoding is a per-row projection against the broadcast
+    * codebooks — the corpus never shuffles. Deterministic end-to-end
+    * (md5 seeds, tie-broken argmin, grid sums, left-to-right folds), so
+    * the oracle replays seeding, training, encoding, and reconstruction
+    * bit-identically. */
+  private val embeddingPq = Q(
+    (s, d) => {
+      import s.implicits._
+      import VectorFunctions.asDouble
+      val e = engine.ScratchCache.persist(t(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .repartition(col("vec_id")))
+      val seeds = e
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(PqK)
+        .select(col("vec_id").as("cent_id"), col("v"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      // exploded subvector frame: one (vec_id, m, x) row per subspace —
+      // every vector meets only its own subspace's centroids (a join on
+      // m), never the 16^M codebook cross product
+      val subs = e.select(col("vec_id"), posexplode(
+          array((0 until PqM).map(m =>
+            slice(col("v"), m * PqD + 1, PqD)): _*)).as(Seq("m", "x")))
+      val books = pqRound(subs, for {
+        m <- 0 until PqM; (id, v) <- seeds
+      } yield (m, id, v.slice(m * PqD, m * PqD + PqD)))
+      // encode in one pass against the broadcast codebooks; code k = the
+      // centroid's rank in (m, cent_id) order (stable, oracle-replayed);
+      // the M picks fold back into code + reconstruction arrays per doc
+      // via a sorted collect_list — deterministic by the (m) sort key
+      val kdf = broadcast(books.groupBy(_._1).toSeq.flatMap {
+        case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
+          case ((_, _, cu), k) => (m, k.toLong, cu) }
+      }.toDF("m", "k", "cu"))
+      val enc = subs.join(kdf, "m")
+        .select(col("vec_id"), col("m"), col("k"), col("cu"),
+          l2sq(col("x"), col("cu")).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(expr("min_by(struct(k, cu), struct(d, k))").as("b"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("bs"))
+        .join(e, "vec_id")
+      val recon = flatten(transform(col("bs"),
+        x => x.getField("b").getField("cu")))
+      enc.select(col("vec_id"),
+          transform(col("bs"), x => x.getField("b").getField("k"))
+            .as("codes"),
+          (floor(l2sq(col("v"), recon) * 1e8 + lit(0.5)) / 1e8)
+            .as("recon_l2sq"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def round1(m: Int): String = {
+        val lo = m * PqD + 1; val hi = m * PqD + PqD
+        val minCols = (0 until PqD)
+          .map(i => s"sum(CAST(round(x[${i + 1}] * 1e9, 0) AS BIGINT)) AS s$i")
+          .mkString(", ")
+        val meanArr = (0 until PqD).map(i => s"(s$i::DOUBLE / 1e9) / n")
+          .mkString("[", ", ", "]")
+        s""",
+        sub$m AS (SELECT vec_id, v[$lo:$hi] AS x FROM ev),
+        c0_$m AS (SELECT cent_id, cu[$lo:$hi] AS cu FROM seeds),
+        a$m AS (SELECT s.vec_id, c.cent_id, s.x,
+                 list_sum(list_transform(list_zip(s.x, c.cu),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+               FROM sub$m s CROSS JOIN c0_$m c),
+        asg$m AS (SELECT vec_id, x, cent_id FROM a$m
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d, cent_id) = 1),
+        s$m AS (SELECT cent_id, count(*) AS n, $minCols
+               FROM asg$m GROUP BY cent_id),
+        c1_$m AS (SELECT c.cent_id,
+                 CASE WHEN s$m.n IS NULL THEN c.cu ELSE $meanArr END AS cu
+               FROM c0_$m c LEFT JOIN s$m USING (cent_id)),
+        kb$m AS (SELECT row_number() OVER (ORDER BY cent_id) - 1 AS k, cu
+                FROM c1_$m),
+        e$m AS (SELECT s.vec_id, kb.k, kb.cu,
+                 list_sum(list_transform(list_zip(s.x, kb.cu),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+               FROM sub$m s CROSS JOIN kb$m kb),
+        pick$m AS (SELECT vec_id, k AS k$m, cu AS cu$m FROM e$m
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d, k) = 1)"""
+      }
+      """WITH ev AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS cent_id, v AS cu FROM ev
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
+        (0 until PqM).map(round1).mkString + s"""
+      SELECT ev.vec_id,
+        [${(0 until PqM).map(m => s"pick$m.k$m").mkString(", ")}] AS codes,
+        floor(list_sum(list_transform(
+            list_zip(ev.v, ${(1 until PqM).foldLeft("pick0.cu0")((acc, m) =>
+              s"list_concat($acc, pick$m.cu$m)")}),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e8 + 0.5) / 1e8
+          AS recon_l2sq
+      FROM ev ${(0 until PqM).map(m =>
+        s"JOIN pick$m ON pick$m.vec_id = ev.vec_id").mkString(" ")}
+      ORDER BY ev.vec_id"""
+    })
+
   val queries: Map[String, Q] = Map(
     "dedup_lines" -> dedupLines,
     "pii_scrub" -> piiScrub,
@@ -442,5 +604,6 @@ object CurateQueries {
     "dedup_spans" -> dedupSpans,
     "sample_stratified" -> sampleStratified,
     "tokenize_ids" -> tokenizeIds,
-    "embedding_quantize" -> embeddingQuantize)
+    "embedding_quantize" -> embeddingQuantize,
+    "embedding_pq" -> embeddingPq)
 }

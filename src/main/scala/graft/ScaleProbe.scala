@@ -31,7 +31,8 @@ object ScaleProbe {
         "sim_search_ann", "sim_search_ivf", "text_analysis",
         "text_token_stats", "text_fingerprint", "text_unigram_logprob",
         "sample_hash", "dedup_lines", "pii_scrub", "pack_sequences",
-        "dedup_spans", "sample_stratified", "tokenize_ids")) {
+        "dedup_spans", "sample_stratified", "tokenize_ids",
+        "embedding_quantize", "embedding_pq")) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
       println(f"SCALE $q: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")

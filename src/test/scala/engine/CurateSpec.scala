@@ -135,6 +135,27 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(out.exists(_.getSeq[Long](1).exists(c => math.abs(c) == 127)))
   }
 
+  test("embedding_pq: 4 nibble codes per vector, PQ beats per-dim scalar " +
+      "quantization never (it's coarser) but stays bounded") {
+    val out = CurateQueries.queries("embedding_pq").fn(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      assert(codes.length == 4)
+      assert(codes.forall(k => k >= 0 && k <= 15), s"code outside 0..15: $codes")
+      // unit-ish 64-dim vectors: 16 cells per 16-dim subspace is coarse,
+      // but reconstruction must stay within the vector's own energy
+      val err = r.getAs[Double]("recon_l2sq")
+      assert(err >= 0 && err < 2.0, s"recon_l2sq $err out of range")
+    }
+    // the codebooks are used: across the corpus every subspace emits
+    // more than one distinct code
+    (0 until 4).foreach { m =>
+      val distinct = out.map(_.getSeq[Long](1)(m)).distinct
+      assert(distinct.size > 1, s"subspace $m collapsed to one code")
+    }
+  }
+
   test("dedup_lines chunking: last short chunk, single-chunk doc") {
     // 25 tokens -> chunks of 10/10/5; a 3-token doc -> one 3-token chunk
     val df = Seq(
