@@ -146,6 +146,42 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "shard-offset table should broadcast back")
   }
 
+  test("tokenize_ids: vocab broadcasts back, no cartesian") {
+    val p = plan("tokenize_ids")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange"),
+      "the vocab model artifact should broadcast against the postings")
+  }
+
+  test("embedding_quantize: raw vectors never ride a hash exchange") {
+    val exec = graft.SparkEntry.queries("embedding_quantize")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    // the per-dim scale agg shuffles (dim, x) scalars; only the final
+    // determinism sort (range partitioning) may carry the code arrays
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val wide = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+        wide.isEmpty,
+        s"scale-agg exchange ships vectors: ${wide.map(_.name)}")
+    }
+  }
+
+  test("embedding_pq: codebooks broadcast, no codebook cross product") {
+    val p = plan("embedding_pq")
+    assert(!p.contains("CartesianProduct"),
+      "PQ encode must join per subspace, never the 16^M codebook product")
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("sim_search_topk broadcasts the query set and uses the codegen'd dot") {
     val p = plan("sim_search_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
