@@ -358,7 +358,10 @@ object CurateQueries {
         .agg(count(lit(1)).as("n_tokens"),
           transform(array_sort(collect_list(struct(col("p"), col("tid")))),
             x => x.getField("tid")).as("ids"))
-        .select(col("doc_id"), col("n_tokens"), col("ids"))
+        // serialize the id array: the driver's pandas hash compare cannot
+        // factorize raw array cells (space-joined longs round-trip exactly)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
     },
     Some("""WITH th AS (SELECT doc_id,
@@ -370,7 +373,7 @@ object CurateQueries {
                 AS tid
             FROM th GROUP BY term)
       SELECT doc_id, count(*) AS n_tokens,
-        list(tid ORDER BY p) AS ids
+        array_to_string(list(tid ORDER BY p), ' ') AS ids
       FROM th JOIN vocab USING (term)
       GROUP BY doc_id ORDER BY doc_id"""))
 
@@ -408,7 +411,9 @@ object CurateQueries {
       e.crossJoin(broadcast(sc))
         .withColumn("q", q)
         .withColumn("w", deq)
-        .select(col("vec_id"), col("q"),
+        // serialize codes for the driver's hash compare (see tokenizeIds)
+        .select(col("vec_id"),
+          array_join(col("q").cast("array<string>"), " ").as("q"),
           (floor(err * 1e8 + lit(0.5)) / 1e8).as("recon_err"))
         .orderBy("vec_id")
     },
@@ -427,7 +432,7 @@ object CurateQueries {
               list_transform(generate_series(1, 64),
                 d -> q[d]::DOUBLE * scales[d] / 127) AS w
              FROM qz)
-      SELECT vec_id, q,
+      SELECT vec_id, array_to_string(q, ' ') AS q,
         floor((1.0 - list_sum(list_transform(list_zip(v, w),
             p -> p[1] * p[2]))
           / (sqrt(list_sum(list_transform(v, x -> x * x)))
@@ -540,9 +545,10 @@ object CurateQueries {
         .join(e, "vec_id")
       val recon = flatten(transform(col("bs"),
         x => x.getField("b").getField("cu")))
+      // codes serialize to a space-joined string (driver hash compare)
       enc.select(col("vec_id"),
-          transform(col("bs"), x => x.getField("b").getField("k"))
-            .as("codes"),
+          array_join(transform(col("bs"), x => x.getField("b").getField("k"))
+            .cast("array<string>"), " ").as("codes"),
           (floor(l2sq(col("v"), recon) * 1e8 + lit(0.5)) / 1e8)
             .as("recon_l2sq"))
         .orderBy("vec_id")
@@ -586,7 +592,8 @@ object CurateQueries {
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
         (0 until PqM).map(round1).mkString + s"""
       SELECT ev.vec_id,
-        [${(0 until PqM).map(m => s"pick$m.k$m").mkString(", ")}] AS codes,
+        array_to_string([${(0 until PqM).map(m => s"pick$m.k$m")
+          .mkString(", ")}], ' ') AS codes,
         floor(list_sum(list_transform(
             list_zip(ev.v, ${(1 until PqM).foldLeft("pick0.cu0")((acc, m) =>
               s"list_concat($acc, pick$m.cu$m)")}),

@@ -104,14 +104,14 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     // id sequence length == token count, ids are positive and dense-ish
     out.foreach { r =>
-      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      val ids = r.getAs[String]("ids").split(" ").map(_.toLong).toSeq
       assert(ids.length == r.getAs[Long]("n_tokens").toInt)
       assert(ids.length == docs(r.getAs[Long]("doc_id")).split(" ").length)
       assert(ids.forall(_ >= 1))
     }
     // same token -> same id everywhere: doc-wise ids of equal texts match
     val byText = out.map(r =>
-      docs(r.getAs[Long]("doc_id")) -> r.getSeq[Long](r.fieldIndex("ids")))
+      docs(r.getAs[Long]("doc_id")) -> r.getAs[String]("ids"))
     byText.groupBy(_._1).values.foreach { g =>
       assert(g.map(_._2).distinct.size == 1)
     }
@@ -122,7 +122,7 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .collect()
     assert(out.length == 500)
     out.foreach { r =>
-      val q = r.getSeq[Long](r.fieldIndex("q"))
+      val q = r.getAs[String]("q").split(" ").map(_.toLong).toSeq
       assert(q.length == 64)
       assert(q.forall(c => c >= -127 && c <= 127),
         s"code out of int8 range: ${q.min}..${q.max}")
@@ -132,7 +132,8 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(err >= 0 && err < 0.005, s"reconstruction err $err too large")
     }
     // at least one code reaches the extreme (the corpus absmax exists)
-    assert(out.exists(_.getSeq[Long](1).exists(c => math.abs(c) == 127)))
+    assert(out.exists(_.getAs[String]("q").split(" ")
+      .exists(c => math.abs(c.toLong) == 127)))
   }
 
   test("embedding_pq: 4 nibble codes per vector, PQ beats per-dim scalar " +
@@ -140,7 +141,7 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val out = CurateQueries.queries("embedding_pq").fn(spark, sf).collect()
     assert(out.length == 500)
     out.foreach { r =>
-      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      val codes = r.getAs[String]("codes").split(" ").map(_.toLong).toSeq
       assert(codes.length == 4)
       assert(codes.forall(k => k >= 0 && k <= 15), s"code outside 0..15: $codes")
       // unit-ish 64-dim vectors: 16 cells per 16-dim subspace is coarse,
@@ -151,7 +152,7 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // the codebooks are used: across the corpus every subspace emits
     // more than one distinct code
     (0 until 4).foreach { m =>
-      val distinct = out.map(_.getSeq[Long](1)(m)).distinct
+      val distinct = out.map(_.getAs[String]("codes").split(" ")(m)).distinct
       assert(distinct.size > 1, s"subspace $m collapsed to one code")
     }
   }
