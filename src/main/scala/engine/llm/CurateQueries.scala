@@ -38,9 +38,16 @@ object CurateQueries {
   private val LineW = 10
 
   private[engine] def lineChunks(w: Column): Column =
-    transform(
-      sequence(lit(0L), floor((size(w) + (LineW - 1)) / LineW).cast("long") - 1),
-      p => concat_ws(" ", slice(w, (p * LineW + 1).cast("int"), lit(LineW))))
+    // empty-array guard: Spark's sequence(0, -1) yields the DESCENDING
+    // array [0, -1], not [], so a zero-token doc must short-circuit to
+    // no chunks (the corpus tokenizer never emits an empty array, but
+    // the chunker is a shared primitive)
+    when(size(w) > 0,
+      transform(
+        sequence(lit(0L),
+          floor((size(w) + (LineW - 1)) / LineW).cast("long") - 1),
+        p => concat_ws(" ", slice(w, (p * LineW + 1).cast("int"), lit(LineW)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Corpus-level duplicated-line removal — the C4 §2.2 / RefinedWeb
     * boilerplate scrub (nav bars, cookie banners, template footers): a

@@ -74,6 +74,16 @@ object IncrementalDedup {
         t(s, d, "documents").select(col("doc_id"), col("text")),
         s"incrdocs_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(11))
+      // the store's read schema is DERIVED from the signature pipeline
+      // itself (analysis-only on a limit(0) frame), never hand-written:
+      // a hardcoded DDL would silently null-read every column — and
+      // filter(kept) would drop all docs — if the signature or band-key
+      // types ever drifted from what append() wrote
+      val storeSchema = minhashSignatures(
+          t(s, d, "documents").select(col("doc_id"), col("text")).limit(0),
+          spread = false)
+        .withColumn("bks", LlmQueries.bandKeys(col("g")))
+        .schema.add("kept", "boolean", nullable = false)
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         // the store row is signature + PRECOMPUTED band keys — the LSH
@@ -138,9 +148,7 @@ object IncrementalDedup {
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
-      val kept = engine.stream.AppendTable.read(s, store,
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id BIGINT, g ARRAY<BIGINT>, bks ARRAY<STRING>, kept BOOLEAN"))
+      val kept = engine.stream.AppendTable.read(s, store, storeSchema)
         .filter(col("kept"))
         .select(col("doc_id"))
       t(s, d, "documents")

@@ -23,9 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (simhashSqlCtes): the per-token hash is exactly [[TextFunctions
   * .tokenHash60]]'s value, and integer ±1 sums are order-free, so
   * where the work runs cannot change any sign. Null tokens are skipped
-  * (explodeNonNull semantics); a null array yields NULL.
+  * (explodeNonNull semantics); a null array yields NULL, and so does an
+  * array with ZERO contributing tokens — with no votes every bit would
+  * tie to 1 and all degenerate docs would share signature 2^60−1,
+  * silently pairing at hamming 0 (the aggregate form dropped them; a
+  * null signature keeps them out of every band join the same way).
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
+
+  // null both for a null array and for zero contributing tokens
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -42,8 +49,10 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](60)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
+    var contrib = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        contrib += 1
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
         val h = TokenWindowHash.prefixOf(md.digest(), 15)
@@ -55,13 +64,16 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       }
       i += 1
     }
-    var sim = 0L
-    var j = 0
-    while (j < 60) {
-      if (counts(j) >= 0) sim |= (1L << j)
-      j += 1
+    if (contrib == 0) null
+    else {
+      var sim = 0L
+      var j = 0
+      while (j < 60) {
+        if (counts(j) >= 0) sim |= (1L << j)
+        j += 1
+      }
+      sim
     }
-    sim
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -71,14 +83,17 @@ case class SimHash60(child: Expression) extends UnaryExpression {
               |  throw new RuntimeException(e);
               |}""".stripMargin)
     nullSafeCodeGen(ctx, ev, a => {
-      val (n, i, j, h, d, counts, sim) = (ctx.freshName("n"),
+      val (n, i, j, h, d, counts, sim, contrib) = (ctx.freshName("n"),
         ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("h"),
-        ctx.freshName("d"), ctx.freshName("counts"), ctx.freshName("sim"))
+        ctx.freshName("d"), ctx.freshName("counts"), ctx.freshName("sim"),
+        ctx.freshName("contrib"))
       s"""
          |int $n = $a.numElements();
          |int[] $counts = new int[60];
+         |int $contrib = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) continue;
+         |  $contrib++;
          |  $md.reset();
          |  $md.update($a.getUTF8String($i).getBytes());
          |  byte[] $d = $md.digest();
@@ -88,10 +103,14 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |  for (int $j = 0; $j < 60; $j++)
          |    $counts[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
          |}
-         |long $sim = 0L;
-         |for (int $j = 0; $j < 60; $j++)
-         |  if ($counts[$j] >= 0) $sim |= (1L << $j);
-         |${ev.value} = $sim;
+         |if ($contrib == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sim = 0L;
+         |  for (int $j = 0; $j < 60; $j++)
+         |    if ($counts[$j] >= 0) $sim |= (1L << $j);
+         |  ${ev.value} = $sim;
+         |}
        """.stripMargin
     })
   }

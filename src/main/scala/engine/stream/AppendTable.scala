@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.StructType
   *    idempotent re-commit (the manifest add is a set-insert).
   *  - die mid-rename: POSIX rename is atomic — readers see the old or
   *    the new manifest, never a partial one.
+  *  - die AFTER the manifest rename but before the engine checkpoints
+  *    the batch: the replayed batch finds its segment already
+  *    manifest-listed and must NOT rewrite it — `mode("overwrite")`
+  *    deletes-then-writes, so a second death mid-rewrite would leave
+  *    the manifest pointing at a torn segment. Batch content per id is
+  *    deterministic (same source offsets), so the replay no-ops.
   */
 object AppendTable {
 
@@ -50,12 +56,15 @@ object AppendTable {
         .parquet(segs.map(s => new java.io.File(root, s).getPath): _*)
   }
 
-  /** Commit `df` as segment `id`. Idempotent per id: a retried batch
-    * overwrites its own segment and the manifest insert is a no-op if
-    * the segment already committed. */
+  /** Commit `df` as segment `id`. Idempotent per id: an uncommitted
+    * retry overwrites its own (invisible) segment; a retry whose
+    * segment is already manifest-listed no-ops entirely — rewriting a
+    * committed segment would reopen the torn-file window the manifest
+    * exists to close. */
   def append(df: DataFrame, root: java.io.File, id: Long): Unit = {
     root.mkdirs()
     val seg = s"seg-$id"
+    if (segments(root).contains(seg)) return
     df.write.mode("overwrite").parquet(new java.io.File(root, seg).getPath)
     val cur = segments(root)
     if (!cur.contains(seg)) {

@@ -157,6 +157,14 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_lines chunking: empty token array yields no chunks") {
+    // sequence(0,-1) is [0,-1] in Spark — the guard must short-circuit
+    val out = spark.range(1)
+      .select(CurateQueries.lineChunks(array().cast("array<string>")))
+      .collect()
+    assert(out.head.getSeq[String](0).isEmpty)
+  }
+
   test("dedup_lines chunking: last short chunk, single-chunk doc") {
     // 25 tokens -> chunks of 10/10/5; a 3-token doc -> one 3-token chunk
     val df = Seq(

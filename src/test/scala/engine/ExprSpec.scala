@@ -190,13 +190,39 @@ class ExprSpec extends AnyFunSuite {
     assert(on.values.forall(v => v >= 0 && v < (1L << 60)))
   }
 
+  test("SimHash60: zero contributing tokens yields NULL, not all-ones") {
+    import engine.llm.SimHash60
+    // with no votes every bit ties to 1 — two degenerate docs would pair
+    // at hamming 0; the expression returns null so band joins drop them
+    val df = Seq(1, 2, 3).toDF("i").select(
+      SimHash60(when(col("i") === 1, array(lit("tok")))
+        .when(col("i") === 2, array().cast("array<string>"))
+        .otherwise(array(lit(null).cast("string")))).as("sim"))
+    def run(): Seq[Option[Long]] = df.collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+    assert(on.head.nonEmpty, "real token must produce a signature")
+    assert(on(1).isEmpty, "empty array must be null")
+    assert(on(2).isEmpty, "all-null tokens must be null")
+  }
+
   test("TokenWindowHash: 8-nibble variant matches the minhash posting hash") {
-    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "x")
+    // last fixture repeats its 3-gram: shingles3 is SET-valued (it
+    // array_distincts), TokenWindowHash is multiset-valued, and the
+    // minhash call site wraps it in array_distinct — mirror that here
+    // so the set/multiset relationship is explicit, not accidental
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "x",
+        "a b c a b c a b c")
       .toDF("text").select(tokens(col("text")).as("w"))
     val rows = df.select(
       transform(shingles3(col("w")),
         x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")).as("h"),
-      TokenWindowHash(col("w"), 3, 1, tail = false, 8).as("e")).collect()
+      array_distinct(TokenWindowHash(col("w"), 3, 1, tail = false, 8))
+        .as("e")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 

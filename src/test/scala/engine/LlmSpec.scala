@@ -122,8 +122,16 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       AppendTable.append(Seq((3L, "c")).toDF("id", "v"), root, 1L)
       assert(AppendTable.read(spark, root, schema).count() == 3)
       // re-commit of an already-committed id is idempotent (no dup entry)
+      // AND must not touch the segment on disk: a streaming replay that
+      // rewrote a manifest-listed segment could die mid-overwrite and
+      // leave the manifest pointing at a torn directory
+      val segFiles = Option(new java.io.File(root, "seg-1").listFiles())
+        .get.map(f => f.getName -> f.lastModified).toMap
       AppendTable.append(Seq((3L, "c")).toDF("id", "v"), root, 1L)
       assert(AppendTable.read(spark, root, schema).count() == 3)
+      val after = Option(new java.io.File(root, "seg-1").listFiles())
+        .get.map(f => f.getName -> f.lastModified).toMap
+      assert(after == segFiles, "replay of a committed id rewrote its segment")
     } finally AppendTable.destroy(root)
   }
 
