@@ -989,7 +989,14 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
     },
-    Some(unitSql + """,
+    Some(ivfOracleSql))
+
+  /** Shared oracle for both IVF serving paths: seeds → two Lloyd rounds
+    * → assignment → nprobe probe → tie-broken re-rank. [[simSearchIvf]]
+    * computes this inline; [[simSearchIvfIndexed]] round-trips the
+    * codebook and cell postings through parquet between build and probe,
+    * which preserves every double bit-exactly, so one replay pins both. */
+  private lazy val ivfOracleSql: String = unitSql + """,
       eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
       c0 AS (SELECT vec_id AS cent_id, u AS cu FROM eu
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
@@ -1015,7 +1022,92 @@ object LlmQueries {
       SELECT qid, cid,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
         round(cos, 4) AS cosine
-      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""
+
+  /** B49d: the PERSISTED-index IVF serving path. [[simSearchIvf]] trains
+    * its codebook inside every query run; a production retrieval layout
+    * builds the index ONCE — an offline job writes the codebook and the
+    * cell postings as tables — and every probe reads the prebuilt index.
+    * This operator runs both halves:
+    *
+    *  - BUILD: train the codebook (same seeds + two [[lloydRound]]s as
+    *    sim_search_ivf), assign every corpus vector to its single
+    *    nearest cell, write `codebook` and `postings` parquet tables,
+    *    postings PARTITIONED BY the cell id — the cell IS the storage
+    *    partition key, so probing a cell is a partition-directory scan.
+    *  - PROBE: reads ONLY the two index tables. Queries rank the read
+    *    codebook (broadcast — K rows), keep their NProbe nearest cells,
+    *    and the postings scan is PARTITION-PRUNED to the probed cell
+    *    set before the re-rank join (PlanSpec pins the PartitionFilters
+    *    line): NProbe/K of the corpus is read however large it grows.
+    *
+    * The probed-cell set is (queries × NProbe) ids — model-artifact
+    * scale — so collecting it turns the read into STATIC partition
+    * pruning; at cluster scale the same join prunes via dynamic
+    * partition pruning without the collect. Doubles survive the parquet
+    * round trip bit-exactly, so the probe result equals sim_search_ivf's
+    * inline recompute and [[ivfOracleSql]] pins both (LlmSpec asserts
+    * the equality in Spark alone too). */
+  private val simSearchIvfIndexed = Q(
+    (s, d) => {
+      val K = 16; val NProbe = 4; val TopK = 5
+      import s.implicits._
+      val e = engine.ScratchCache.persist(
+        unitEmbeddings(s, d).filter(col("u").isNotNull))
+      // ---- build: the offline indexing job -------------------------
+      val seeds = e
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(K)
+        .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      val cents = (1 to 2).foldLeft(seeds)((c, _) => lloydRound(e, c))
+        .toDF("cent_id", "cu")
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = new java.io.File(s"/tmp/graft_ivf_index_$san")
+      val cbPath = new java.io.File(root, "codebook").getPath
+      val postPath = new java.io.File(root, "postings").getPath
+      cents.write.mode("overwrite").parquet(cbPath)
+      // hash-agg argmax (the lloydRound shape) — no window sort over
+      // the corpus; u rides the group so postings are self-contained
+      val asg = e.join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u"))
+      // read back with the written frame's schema: partition-column
+      // type inference would otherwise downcast cent_id to INT
+      val postSchema = asg.schema
+      asg.write.partitionBy("cent_id").mode("overwrite").parquet(postPath)
+      // ---- probe: reads ONLY the index tables written above --------
+      val cb = s.read.parquet(cbPath)
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val qprobe = qv.join(broadcast(cb))
+        .select(col("qid"), col("cent_id"),
+          dot(col("qu"), col("cu")).as("cd"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= NProbe)
+        .select(col("qid"), col("cent_id"))
+      val cells = qprobe.select(col("cent_id")).distinct()
+        .as[Long].collect().sorted.toSeq
+      val posts = s.read.schema(postSchema).parquet(postPath)
+        .filter(col("cent_id").isin(cells: _*))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      posts.join(broadcast(qprobe), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(ivfOracleSql))
 
   // ------------------------------------------------------ B50 text analysis
   /** Synthetic stand-in stopword lists (the testdata vocabulary is 30
@@ -1507,6 +1599,7 @@ object LlmQueries {
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,
+    "sim_search_ivf_indexed" -> simSearchIvfIndexed,
     "text_lang_id" -> textLangId,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,

@@ -146,6 +146,18 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(recall >= 0.4, s"ANN recall $recall too low (${bf.size} truths)")
   }
 
+  test("ivf indexed probe equals the inline recompute") {
+    // the parquet round trip of codebook + postings is bit-exact, so the
+    // persisted-index serving path must reproduce sim_search_ivf row for
+    // row (same cells, same candidates, same tie-broken ranks, same
+    // rounded cosines)
+    val inline = LlmQueries.queries("sim_search_ivf").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val indexed = LlmQueries.queries("sim_search_ivf_indexed").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inline == indexed)
+  }
+
   test("ivf recall vs brute-force top-k") {
     val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -236,6 +236,20 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(exec.toString.contains("double_array_dot"))
   }
 
+  test("sim_search_ivf_indexed: the postings read is partition-pruned to " +
+      "the probed cells") {
+    val p = plan("sim_search_ivf_indexed")
+    // the probe half must scan the PREBUILT index tables, not the corpus
+    assert(p.contains("graft_ivf_index"), "probe does not read the index")
+    // and the cell id is a storage partition key the probe set prunes on:
+    // the scan carries a static PartitionFilters INSET over cent_id, so
+    // only nprobe/K of the postings directories are read
+    val scanBlock = p.linesIterator.dropWhile(!_.contains("postings"))
+      .take(8).mkString("\n")
+    assert(scanBlock.contains("PartitionFilters: [cent_id"), scanBlock)
+    assert(scanBlock.contains("INSET"), scanBlock)
+  }
+
   test("pipeline_curate: the exact-dedup exchange ships digests, not documents") {
     val exec = graft.SparkEntry.queries("pipeline_curate")(spark, sf)
       .queryExecution.executedPlan match {
