@@ -611,8 +611,169 @@ object CurateQueries {
       ORDER BY ev.vec_id"""
     })
 
+  // ------------------------------------------------------------ dedup_url
+  /** Per-domain unique-URL budget: beyond this many distinct pages a
+    * domain contributes nothing further (anti-spam / diversity cap). */
+  private val UrlDomainCap = 12
+
+  /** URL canonicalization + per-domain dedup/caps — the FIRST pass of
+    * every web-corpus pipeline, before any text-level dedup: crawls see
+    * the same page under scheme/host case variants, `www.` prefixes,
+    * tracking query params (`utm_*`, `fbclid`, ...), shuffled param
+    * order, trailing slashes and fragments. Canonicalize each raw URL
+    * FROM THE STRING ALONE (lowercase scheme+host, strip `www.`, drop
+    * the fragment, strip tracking params keeping meaningful ones, strip
+    * trailing slashes), then: keep the lowest doc_id per canonical URL
+    * (url_rank), and cap each domain at [[UrlDomainCap]] unique pages,
+    * admitted in salted-hash order so the cap is an unbiased sample,
+    * not a crawl-order artifact (domain_rank; 0 for URL-duplicates).
+    *
+    * The corpus has no url column, so a raw crawl URL is SYNTHESIZED
+    * deterministically from doc_id (md5-derived mess over 200 logical
+    * targets across 10 domains) and the oracle replays synthesis,
+    * canonicalization, and both rankings bit-identically.
+    *
+    * Shape: canonicalization is a pure codegen'd projection (the query-
+    * param filter lambda interprets over a ≤3-element array — constant
+    * per row). The two rankings shuffle (doc_id, canon, domain) — short
+    * strings; at 100 TB the exchange key graduates to the 16-byte
+    * md5(canon) digest (the dedup_exact posture) and the per-domain cap
+    * runs as the salted two-phase top-k (topk_per_group) since domain
+    * frequency is the canonical skewed key. */
+  private val dedupUrl = Q(
+    (s, d) => {
+      // ---- synthesize the raw crawl URL: f(doc_id) only --------------
+      val hb = conv(substring(md5(concat_ws("|", lit("url"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val base = docs(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(200)).as("ck"), hb.as("hb"))
+      val schemeB = when(pmod(col("ck"), lit(3)) === 0, "https").otherwise("http")
+      val hostB = concat(lit("dom"), pmod(col("ck"), lit(10)).cast("string"),
+        lit(".example.com"))
+      val mp = when(pmod(col("ck"), lit(2)) === 0,
+        concat(lit("id="), pmod(col("ck"), lit(7)).cast("string")))
+      val t1 = when(pmod(col("hb"), lit(4)) === 0, lit("utm_source=feed"))
+        .when(pmod(col("hb"), lit(4)) === 1, lit("utm_campaign=x"))
+        .when(pmod(col("hb"), lit(4)) === 2,
+          concat(lit("fbclid="), substring(md5(concat_ws("|", lit("fb"),
+            col("doc_id").cast("string"))), 1, 6)))
+      val t2 = when(pmod(col("hb"), lit(4)) === 1, lit("utm_medium=rss"))
+      // concat_ws skips nulls in BOTH engines, so absent params vanish
+      val rawQ = when(pmod(col("hb"), lit(2)) === 0, concat_ws("&", t1, mp, t2))
+        .otherwise(concat_ws("&", mp, t1, t2))
+      val hostW = when(pmod(col("hb"), lit(7)) === 0, concat(lit("www."), hostB))
+        .otherwise(hostB)
+      val raw = concat(
+        when(pmod(col("hb"), lit(2)) === 0, upper(schemeB)).otherwise(schemeB),
+        lit("://"),
+        when(pmod(col("hb"), lit(3)) === 0, upper(hostW)).otherwise(hostW),
+        concat(lit("/page"), expr("ck div 10").cast("string")),
+        when(pmod(col("hb"), lit(5)) === 0, "/").otherwise(""),
+        when(length(rawQ) > 0, concat(lit("?"), rawQ)).otherwise(lit("")),
+        when(pmod(col("hb"), lit(11)) === 0, "#sec2").otherwise(""))
+      val u = base.withColumn("url", raw)
+      // ---- canonicalize from the raw STRING only ---------------------
+      val noFrag = regexp_replace(col("url"), "#.*", "")
+      val schemeC = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val hostC = regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", "")
+      val pathq = regexp_replace(noFrag, "^[A-Za-z]+://[^/?#]+", "")
+      val pathC = regexp_replace(
+        regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+      val qC = array_join(filter(split(
+          regexp_extract(pathq, "\\?(.*)$", 1), "&"),
+        p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)=")), "&")
+      val canon = concat(schemeC, lit("://"), hostC, pathC,
+        when(length(qC) > 0, concat(lit("?"), qC)).otherwise(lit("")))
+      val c = u.select(col("doc_id"), canon.as("url_canon"),
+        hostC.as("domain"))
+      // ---- per-URL dedup, then the per-domain unique-page cap --------
+      val wUrl = Window.partitionBy(col("url_canon")).orderBy(col("doc_id"))
+      val capH = md5(concat_ws("|", lit("cap"), col("doc_id").cast("string")))
+      val wDom = Window.partitionBy(col("domain"))
+        .orderBy(capH, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // running count of url_rank=1 rows in salted order = the rank of
+      // each unique page within its domain, in ONE window pass (no
+      // filter-then-rejoin); dup rows carry 0
+      c.withColumn("url_rank", row_number().over(wUrl))
+        .withColumn("domain_rank",
+          when(col("url_rank") === 1,
+            sum(when(col("url_rank") === 1, 1L).otherwise(0L)).over(wDom))
+            .otherwise(0L).cast("int"))
+        .select(col("doc_id"), col("url_canon"), col("domain"),
+          col("url_rank").cast("int").as("url_rank"), col("domain_rank"),
+          (col("url_rank") === 1 &&
+            col("domain_rank").between(1, UrlDomainCap)).as("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, doc_id % 200 AS ck,
+          ('0x' || substr(md5('url|' || doc_id), 1, 8))::BIGINT AS hb
+        FROM documents),
+      r AS (SELECT doc_id, ck, hb,
+          CASE WHEN ck % 3 = 0 THEN 'https' ELSE 'http' END AS scheme_b,
+          'dom' || (ck % 10) || '.example.com' AS host_b,
+          CASE WHEN ck % 2 = 0 THEN 'id=' || (ck % 7) END AS mp,
+          CASE hb % 4 WHEN 0 THEN 'utm_source=feed'
+            WHEN 1 THEN 'utm_campaign=x'
+            WHEN 2 THEN 'fbclid=' || substr(md5('fb|' || doc_id), 1, 6)
+          END AS t1,
+          CASE WHEN hb % 4 = 1 THEN 'utm_medium=rss' END AS t2
+        FROM b),
+      r2 AS (SELECT *,
+          CASE WHEN hb % 7 = 0 THEN 'www.' || host_b ELSE host_b END AS hw,
+          CASE WHEN hb % 2 = 0 THEN concat_ws('&', t1, mp, t2)
+               ELSE concat_ws('&', mp, t1, t2) END AS q
+        FROM r),
+      u AS (SELECT doc_id,
+          (CASE WHEN hb % 2 = 0 THEN upper(scheme_b) ELSE scheme_b END)
+          || '://' ||
+          (CASE WHEN hb % 3 = 0 THEN upper(hw) ELSE hw END)
+          || '/page' || (ck // 10)
+          || (CASE WHEN hb % 5 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+          || (CASE WHEN hb % 11 = 0 THEN '#sec2' ELSE '' END) AS url
+        FROM r2),
+      c AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*', '') AS nofrag FROM u),
+      c2 AS (SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_c,
+          regexp_replace(lower(regexp_extract(nofrag,
+            '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS domain,
+          regexp_replace(nofrag, '^[A-Za-z]+://[^/?#]+', '') AS pathq
+        FROM c),
+      c3 AS (SELECT doc_id, scheme_c, domain,
+          regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '')
+            AS path_c,
+          array_to_string(list_filter(
+            string_split(regexp_extract(pathq, '\\?(.*)$$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z]+|fbclid|gclid|ref)=')), '&') AS q_c
+        FROM c2),
+      c4 AS (SELECT doc_id, domain,
+          scheme_c || '://' || domain || path_c ||
+          (CASE WHEN q_c <> '' THEN '?' || q_c ELSE '' END) AS url_canon
+        FROM c3),
+      k AS (SELECT doc_id, url_canon, domain,
+          row_number() OVER (PARTITION BY url_canon ORDER BY doc_id)
+            AS url_rank
+        FROM c4),
+      k2 AS (SELECT doc_id, url_canon, domain, url_rank,
+          CASE WHEN url_rank = 1 THEN
+            sum(CASE WHEN url_rank = 1 THEN 1 ELSE 0 END) OVER (
+              PARTITION BY domain ORDER BY md5('cap|' || doc_id), doc_id
+              ROWS UNBOUNDED PRECEDING)
+          ELSE 0 END AS domain_rank
+        FROM k)
+      SELECT doc_id, url_canon, domain, CAST(url_rank AS INT) AS url_rank,
+        CAST(domain_rank AS INT) AS domain_rank,
+        (url_rank = 1 AND domain_rank BETWEEN 1 AND $UrlDomainCap) AS kept
+      FROM k2 ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_lines" -> dedupLines,
+    "dedup_url" -> dedupUrl,
     "pii_scrub" -> piiScrub,
     "pack_sequences" -> packSequences,
     "dedup_spans" -> dedupSpans,

@@ -157,6 +157,35 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_url: canonical form is clean; one winner per url; domain cap") {
+    val out = CurateQueries.queries("dedup_url").fn(spark, sf).collect()
+    assert(out.length == 500)
+    // canonicalization left no mess behind: lowercase scheme/host, no
+    // www, no tracking params, no trailing slash, no fragment
+    val cleanPat = "^https?://dom[0-9]\\.example\\.com/page[0-9]+(\\?id=[0-9])?$"
+    out.foreach { r =>
+      val c = r.getAs[String]("url_canon")
+      assert(c.matches(cleanPat), s"uncanonical: $c")
+      assert(c.contains(r.getAs[String]("domain")))
+    }
+    // exactly one url_rank=1 winner per canonical url, lowest doc_id
+    val byUrl = out.groupBy(_.getAs[String]("url_canon"))
+    byUrl.values.foreach { g =>
+      val winners = g.filter(_.getAs[Int]("url_rank") == 1)
+      assert(winners.length == 1)
+      assert(winners.head.getAs[Long]("doc_id") ==
+        g.map(_.getAs[Long]("doc_id")).min)
+    }
+    // per-domain kept = min(cap, unique pages); dups carry domain_rank 0
+    out.groupBy(_.getAs[String]("domain")).values.foreach { g =>
+      val uniq = g.map(_.getAs[String]("url_canon")).distinct.length
+      val kept = g.count(_.getAs[Boolean]("kept"))
+      assert(kept == math.min(12, uniq), s"kept $kept of $uniq unique")
+    }
+    assert(out.filter(_.getAs[Int]("url_rank") > 1)
+      .forall(_.getAs[Int]("domain_rank") == 0))
+  }
+
   test("dedup_lines chunking: empty token array yields no chunks") {
     // sequence(0,-1) is [0,-1] in Spark — the guard must short-circuit
     val out = spark.range(1)
