@@ -163,6 +163,134 @@ object IncrementalDedup {
       WHERE doc_id NOT IN (SELECT db FROM est WHERE e >= 0.5)
       ORDER BY doc_id"""))
 
+  // -------------------------------------------- decontaminate_incremental
+  /** CROSS-RUN decontamination against a PERSISTED eval index — the
+    * deployable form of [[LlmQueries]]'s batch `decontaminate`: the
+    * held-out eval corpus is fixed, so its index is built ONCE (shingle
+    * sets + rare-shingle postings, committed via [[engine.stream
+    * .VersionedTable]] — an index is replace-on-rebuild state, not an
+    * append log) and every new training batch screens against it as it
+    * arrives. No train-side state exists at all: a verdict depends only
+    * on (batch doc, static index), so the multi-batch run is trivially
+    * decomposition-invariant (pinned in LlmSpec) and O(batch) work per
+    * trigger.
+    *
+    * One DELIBERATE semantic difference from batch `decontaminate`: the
+    * candidate df-cap is EVAL-SIDE document frequency (≤ [[LlmQueries
+    * .ContainDfCap]] eval docs share the shingle), not corpus-wide df —
+    * a shingle's corpus-wide frequency is unknowable at index-build
+    * time (future training batches haven't arrived). That is exactly
+    * the constraint a production decontamination service runs under;
+    * the oracle replays the eval-side cap. Coverage verification is
+    * unchanged: exact |train ∩ eval| / |eval| ≥ 0.8 on the full sets.
+    *
+    * Shape at 100 TB: the eval index is small by construction (held-out
+    * benchmarks, not the crawl), so the probe is a broadcast-style
+    * equi-join on the shingle hash against each batch's postings — ids
+    * and 8-byte hashes on the wire, never text; verdicts append O(batch)
+    * per trigger ([[engine.stream.AppendTable]]). */
+  private val decontaminateIncremental = Q(
+    (s, d) => {
+      val thr = 0.8
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val idxRoot = new java.io.File(s"/tmp/graft_eval_idx_$san")
+      val resRoot = new java.io.File(s"/tmp/graft_decon_res_$san")
+      engine.stream.VersionedTable.destroy(idxRoot)
+      engine.stream.AppendTable.destroy(resRoot) // fresh replay
+      def isEval(c: org.apache.spark.sql.Column) = pmod(
+        conv(substring(md5(concat_ws("|", lit("evl"), c.cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(100)) < 5
+      // ---- index build (once, offline): one row per eval doc with its
+      // full shingle set (coverage verify) and its rare shingles
+      // (candidate generation, eval-side df <= cap)
+      val evalSets = LlmQueries.shingleSetsOf(
+        t(s, d, "documents").filter(isEval(col("doc_id")))
+          .select(col("doc_id"), col("text")))
+      val ep = LlmQueries.explodeNonNull(
+        evalSets.select(col("doc_id"), col("s")), col("s"), "sh",
+        col("doc_id"))
+      val rare = ep.join(
+          ep.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+        .filter(col("df") <= LlmQueries.ContainDfCap)
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("rare"))
+      engine.stream.VersionedTable.commit(
+        evalSets.join(rare, Seq("doc_id"), "left")
+          .select(col("doc_id").as("eid"), col("s").as("es"),
+            col("sz").as("esz"),
+            coalesce(col("rare"), array().cast("array<bigint>")).as("rare")),
+        idxRoot, 0L)
+      // ---- probe: pure function of (batch, index) — defined once, used
+      // per micro-batch AND to derive the verdict store's read schema
+      def probe(batch: DataFrame): DataFrame = {
+        val sp = batch.sparkSession
+        val idx = engine.stream.VersionedTable.read(sp, idxRoot).get
+        val bsh = LlmQueries.shingleSetsOf(batch)
+        val bposts = LlmQueries.explodeNonNull(
+          bsh.select(col("doc_id"), col("s")), col("s"), "sh",
+          col("doc_id"))
+        val cand = bposts.join(
+            idx.select(col("eid"), explode(col("rare")).as("sh")), "sh")
+          .select(col("doc_id").as("tid"), col("eid")).distinct()
+        val cov = size(array_intersect(col("ts"), col("es"))) / col("esz")
+        cand
+          .join(bsh.select(col("doc_id").as("tid"), col("s").as("ts")),
+            "tid")
+          .join(idx.select(col("eid"), col("es"), col("esz")), "eid")
+          .filter(cov >= thr)
+          .select(col("tid").as("doc_id"), col("eid").as("eval_id"),
+            engine.Core.r4(cov).as("coverage"))
+      }
+      val train = t(s, d, "documents").filter(!isEval(col("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val resSchema = probe(train.limit(0)).schema
+      // trigger sizing knob for the LlmSpec decomposition pin ONLY (the
+      // ivf.rounds pattern): default 11 of 32 files = 3 "nightly
+      // batches"; 32 = one batch. Verdicts are f(batch doc, static
+      // index), so ANY split must produce identical output.
+      val mft = s.conf.get("spark.graft.decon.mft", "11").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, train,
+        s"decondocs_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_decon_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      val screenBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+        engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames (the merge sizing)
+        src.writeStream.foreachBatch(screenBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      engine.stream.AppendTable.read(s, resRoot, resSchema)
+        .orderBy("doc_id", "eval_id")
+    },
+    Some(LlmQueries.shingleSql + s""",
+      shh AS (SELECT doc_id, list_distinct(list_transform(s,
+                x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) s FROM sh),
+      ev AS (SELECT doc_id, s, len(s) AS sz FROM shh
+             WHERE ('0x' || substr(md5('evl|' || doc_id), 1, 8))::BIGINT
+                     % 100 < 5),
+      tr AS (SELECT doc_id, s FROM shh
+             WHERE ('0x' || substr(md5('evl|' || doc_id), 1, 8))::BIGINT
+                     % 100 >= 5),
+      eposts AS (SELECT doc_id AS eid, unnest(s) AS sh FROM ev),
+      edf AS (SELECT sh, count(*) AS df FROM eposts GROUP BY sh),
+      rare AS (SELECT e.eid, e.sh FROM eposts e JOIN edf USING (sh)
+               WHERE edf.df <= ${LlmQueries.ContainDfCap}),
+      tposts AS (SELECT doc_id AS tid, unnest(s) AS sh FROM tr),
+      cand AS (SELECT DISTINCT t.tid, r.eid
+               FROM tposts t JOIN rare r USING (sh))
+      SELECT c.tid AS doc_id, c.eid AS eval_id,
+        round(len(list_intersect(x.s, y.s))::DOUBLE / y.sz, 4) AS coverage
+      FROM cand c JOIN tr x ON x.doc_id = c.tid
+                  JOIN ev y ON y.doc_id = c.eid
+      WHERE len(list_intersect(x.s, y.s))::DOUBLE / y.sz >= 0.8
+      ORDER BY doc_id, eval_id"""))
+
   val queries: Map[String, Q] = Map(
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "decontaminate_incremental" -> decontaminateIncremental)
 }

@@ -147,13 +147,19 @@ object LlmQueries {
     * [[TokenWindowHash]] (r7): the transform+tokenHash60 HOF form
     * evaluated interpreted — 3.5 s per rebuild of this frame at sf0.1
     * vs ~0.3 s; ExprSpec pins byte-identity of the two forms. */
+  /** The per-doc 60-bit shingle SET projection on an arbitrary
+    * `(doc_id, text)` frame — shared by the corpus-wide [[hashedShingles]]
+    * and by [[IncrementalDedup]]'s per-batch decontamination probe (a
+    * signature depends only on its own document, so batch == corpus). */
+  private[llm] def shingleSetsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        array_distinct(TokenWindowHash(
+          tokens(col("text")), 3, 1, tail = false, 15)).as("s"))
+      .withColumn("sz", size(col("s")))
+
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
     engine.ScratchCache.persistKeyed(s"shingle60:$d")(
-      docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(TokenWindowHash(
-            tokens(col("text")), 3, 1, tail = false, 15)).as("s"))
-        .withColumn("sz", size(col("s"))))
+      shingleSetsOf(docs(s, d).repartition(col("doc_id"))))
 
   private val dedupNgramJaccard = Q(
     (s, d) => {
@@ -210,7 +216,7 @@ object LlmQueries {
     * oracle, so the operator's contract (a high-recall screen: pairs
     * sharing at least one rare shingle) is hash-exact. Verification is
     * the exact containment over full shingle sets, candidates only. */
-  private val ContainDfCap = 20
+  private[llm] val ContainDfCap = 20
 
   private val dedupContainment = Q(
     (s, d) => {

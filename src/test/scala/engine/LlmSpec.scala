@@ -94,6 +94,21 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(dropped.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("decontaminate_incremental: batch decomposition does not change " +
+      "verdicts") {
+    // a verdict is f(batch doc, static eval index) — re-running with ONE
+    // big trigger instead of three nightly batches must be identical
+    def run(): Seq[Seq[Any]] =
+      LlmQueries.queries("decontaminate_incremental").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    val batched = run()
+    spark.conf.set("spark.graft.decon.mft", "32")
+    val single = try run()
+      finally spark.conf.unset("spark.graft.decon.mft")
+    assert(batched == single)
+    assert(batched.nonEmpty, "fixture plants contaminated train docs")
+  }
+
   test("AppendTable: torn writer leaves the previous version readable") {
     import engine.stream.AppendTable
     val root = new java.io.File(
