@@ -477,7 +477,11 @@ object LlmQueries {
     // parallelism is the cached frame's partition count (a 10-split 10x
     // corpus ran the ~200M-candidate probe on 10 tasks — 36 s vs 11 s;
     // the pre-r7 aggregate form got 32 partitions for free from its
-    // exchange, this restores exactly that)
+    // exchange, this restores exactly that). Spread AFTER the projection,
+    // deliberately (r8, measured both ways): moving it before would
+    // parallelize the md5 digesting but puts `text` on the exchange —
+    // 750 MB at the 10x corpus vs 8 MB of (id, sim) — and measured
+    // WORSE at both scales (3.4 vs 3.1 s sf0.1; 16.7 vs ~13 s probe).
     val banded = engine.ScratchCache.persist(
       simhashOf(docsDf).repartition(col("doc_id")))
       .select(col("doc_id"), col("sim"),
@@ -1372,6 +1376,12 @@ object LlmQueries {
       val txt = docs(s, d).select(col("doc_id"), col("text"))
       simhashPairs8(s, d)
         .select(col("da"), col("db"))
+        // NO repartition here, deliberately (r8, measured): the cached
+        // pair table already carries its distinct-exchange partitioning
+        // (32-way), so the O(k·n) DP below runs fully parallel straight
+        // off the cache. Inserting an explicit keyed repartition hands
+        // AQE a fresh 2 MiB shuffle boundary that it coalesces to ~2
+        // partitions — the DP then runs near-serial: 60 s vs 4 s.
         .join(txt.toDF("da", "ta"), "da")
         .join(txt.toDF("db", "tb"), "db")
         // free pre-filter: |len(a)-len(b)| > k already implies dist > k,
