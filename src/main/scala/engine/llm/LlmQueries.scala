@@ -1506,6 +1506,76 @@ object LlmQueries {
         floor(n_kept / n_total * 10000 + 0.5) / 10000.0 AS rate_achieved
       FROM k ORDER BY lang"""))
 
+  /** TEMPERATURE mixture resampling WITH REPLACEMENT — the multilingual
+    * pretraining rebalance ([[sampleMixture]] can only downweight; real
+    * mixtures also UPSAMPLE low-resource strata): per-stratum target
+    * share q_g ∝ p_g^(1/T) with T=2 (α=0.5 — the mBERT/XLM-R exponent),
+    * so the per-doc replication rate r_g = N·q_g/c_g EXCEEDS 1 for rare
+    * strata. Each doc emits floor(r_g) copies plus one more iff its
+    * salted md5 fraction falls under frac(r_g) — deterministic
+    * stochastic rounding: membership AND multiplicity are f(doc_id)
+    * alone, re-derivable by any downstream stage (the sample_hash
+    * contract extended to with-replacement).
+    *
+    * Determinism across engines: stratum weights are snapped to a 1e-9
+    * integer grid before the denominator sum (order-free — the
+    * unigram-logprob discipline); sqrt is IEEE-correctly-rounded in
+    * both engines (pow is NOT — never write p^0.5); the rate arithmetic
+    * is written with identical left-to-right association; the md5
+    * fraction is an exact 32-bit/2^32 double. Shape: two tiny stratum
+    * aggs broadcast back against the scan; the copy fan-out is a
+    * per-row generate — no corpus shuffle at any scale. */
+  private val sampleTemperature = Q(
+    (s, d) => {
+      val cnt = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      val w = cnt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("c"), col("n"),
+          round(sqrt(col("c").cast("double") / col("n")) * 1e9, 0)
+            .cast("long").as("wi"))
+      val den = w.agg(sum(col("wi")).as("dw"))
+      val r = w.crossJoin(broadcast(den))
+        .select(col("lang"),
+          (col("n").cast("double") * col("wi") / col("dw") / col("c"))
+            .as("rate"))
+      val u = conv(substring(md5(concat_ws("|", lit("tmp"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .join(broadcast(r), "lang")
+        .withColumn("copies", floor(col("rate")) +
+          when(u < col("rate") - floor(col("rate")).cast("double"), 1L)
+            .otherwise(0L))
+        .select(col("doc_id"), col("lang"), r4(col("rate")).as("sample_rate"),
+          explode(when(col("copies") > 0,
+              sequence(lit(1L), col("copies")))
+            .otherwise(array().cast("array<bigint>"))).as("copy"))
+        .select(col("doc_id"), col("lang"),
+          col("copy").cast("int").as("copy"), col("sample_rate"))
+        .orderBy("doc_id", "copy")
+    },
+    Some("""WITH cnt AS (SELECT lang, count(*) AS c FROM documents
+               GROUP BY lang),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+      w AS (SELECT lang, c, n,
+              CAST(round(sqrt(c::DOUBLE / n) * 1e9, 0) AS BIGINT) AS wi
+            FROM cnt CROSS JOIN tot),
+      den AS (SELECT CAST(sum(wi) AS BIGINT) AS dw FROM w),
+      r AS (SELECT lang, (n::DOUBLE * wi / dw / c) AS rate
+            FROM w CROSS JOIN den),
+      dd AS (SELECT d.doc_id, d.lang, r.rate,
+              (('0x' || substr(md5('tmp|' || d.doc_id), 1, 8))::BIGINT)::DOUBLE
+                / 4294967296.0 AS u
+            FROM documents d JOIN r USING (lang)),
+      cp AS (SELECT doc_id, lang, rate,
+              CAST(floor(rate) AS BIGINT) +
+              (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS copies
+            FROM dd)
+      SELECT doc_id, lang,
+        CAST(unnest(generate_series(1, copies)) AS INT) AS copy,
+        round(rate, 4) AS sample_rate
+      FROM cp ORDER BY doc_id, copy"""))
+
   // --------------------------------------------------------- B51 multimodal
   /** B51: typed array/binary columns flowing through a join: documents ⋈
     * embeddings (1:1 on id, inner), vector norm computed in-place on the
@@ -1624,6 +1694,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "text_unigram_logprob" -> textUnigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++

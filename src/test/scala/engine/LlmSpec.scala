@@ -94,6 +94,33 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(dropped.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("sample_temperature: upsamples rare strata, downsamples common, " +
+      "achieves target rates") {
+    val out = LlmQueries.queries("sample_temperature").fn(spark, sf).collect()
+    val rates = out.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("sample_rate")).toMap
+    assert(rates.values.exists(_ > 1.0), "some stratum must upsample")
+    assert(rates.values.exists(_ < 1.0), "some stratum must downsample")
+    // copy indices are dense 1..k per doc; k=1 wherever rate < 1
+    out.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val copies = g.map(_.getAs[Int]("copy")).sorted.toList
+      assert(copies == (1 to copies.max).toList, copies.toString)
+      if (rates(g.head.getAs[String]("lang")) < 1.0)
+        assert(copies.max == 1, "downsampled stratum cannot replicate")
+    }
+    // achieved per-stratum volume tracks c*rate (stochastic rounding is
+    // per-doc Bernoulli on the fractional part: 4*sqrt(c) is > 4 sigma)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (l, g) =>
+      val expect = docs(l) * rates(l)
+      assert(math.abs(g.length - expect) <= 4 * math.sqrt(docs(l).toDouble),
+        s"$l emitted ${g.length}, expected ~$expect")
+    }
+  }
+
   test("decontaminate_incremental: batch decomposition does not change " +
       "verdicts") {
     // a verdict is f(batch doc, static eval index) — re-running with ONE
