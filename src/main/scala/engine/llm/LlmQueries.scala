@@ -70,7 +70,7 @@ object LlmQueries {
 
   /** Shared oracle CTE: unit vectors, same op order as unitEmbeddings so
     * the doubles are bit-identical. */
-  private val unitSql =
+  private[llm] val unitSql =
     """WITH ed AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
       en AS (SELECT vec_id, v,
@@ -670,7 +670,7 @@ object LlmQueries {
     * `u IS NOT NULL` filter mirrors srpCode's NULL-vector guard (NULL
     * code ⇒ excluded from banding); without it the SQL CASE would fold a
     * NULL vector to code 0 and admit it as a candidate. */
-  private val srpSqlCtes = """,
+  private[llm] val srpSqlCtes = """,
       planes AS (
         SELECT j, list(CASE WHEN ('0x' || substr(
                  md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8

@@ -136,6 +136,21 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batched.nonEmpty, "fixture plants contaminated train docs")
   }
 
+  test("dedup_embedding_incremental: streamed survivors == whole-corpus " +
+      "banded screen") {
+    // decomposition invariance in Spark alone: survivors of the batched
+    // run against the growing SRP store must equal "vectors minus every
+    // higher id of a verified banded pair" from the single-pass operator
+    val streamed = LlmQueries.queries("dedup_embedding_incremental")
+      .fn(spark, sf).collect().map(_.getLong(0)).toSet
+    val dropped = LlmQueries.queries("dedup_embedding_banded").fn(spark, sf)
+      .select("vb").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == (all -- dropped))
+    assert(dropped.nonEmpty, "fixture plants near-dup vectors")
+  }
+
   test("AppendTable: torn writer leaves the previous version readable") {
     import engine.stream.AppendTable
     val root = new java.io.File(
