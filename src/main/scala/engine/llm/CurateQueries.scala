@@ -513,43 +513,56 @@ object CurateQueries {
     * (md5 seeds, tie-broken argmin, grid sums, left-to-right folds), so
     * the oracle replays seeding, training, encoding, and reconstruction
     * bit-identically. */
+  /** Shared PQ train + encode: md5-seeded codebooks refined by one
+    * [[pqRound]], corpus encoded against the broadcast codebooks.
+    * Returns (e = persisted (vec_id, v), kdf = broadcast (m, k, cu)
+    * codebooks, encBs = (vec_id, bs) with bs = the M sorted
+    * (m, (k, cu)) picks per vector). Consumed by [[embeddingPq]]
+    * (codes + reconstruction accounting) and [[simSearchPqAdc]] (the
+    * ADC serving probe). */
+  private def pqTrainEncode(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    import VectorFunctions.asDouble
+    val e = engine.ScratchCache.persist(t(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .repartition(col("vec_id")))
+    val seeds = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    // exploded subvector frame: one (vec_id, m, x) row per subspace —
+    // every vector meets only its own subspace's centroids (a join on
+    // m), never the 16^M codebook cross product
+    val subs = e.select(col("vec_id"), posexplode(
+        array((0 until PqM).map(m =>
+          slice(col("v"), m * PqD + 1, PqD)): _*)).as(Seq("m", "x")))
+    val books = pqRound(subs, for {
+      m <- 0 until PqM; (id, v) <- seeds
+    } yield (m, id, v.slice(m * PqD, m * PqD + PqD)))
+    // encode in one pass against the broadcast codebooks; code k = the
+    // centroid's rank in (m, cent_id) order (stable, oracle-replayed);
+    // the M picks fold back per doc via a sorted collect_list —
+    // deterministic by the (m) sort key
+    val kdf = broadcast(books.groupBy(_._1).toSeq.flatMap {
+      case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
+        case ((_, _, cu), k) => (m, k.toLong, cu) }
+    }.toDF("m", "k", "cu"))
+    val encBs = subs.join(kdf, "m")
+      .select(col("vec_id"), col("m"), col("k"), col("cu"),
+        l2sq(col("x"), col("cu")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("min_by(struct(k, cu), struct(d, k))").as("b"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("bs"))
+    (e, kdf, encBs)
+  }
+
   private val embeddingPq = Q(
     (s, d) => {
-      import s.implicits._
-      import VectorFunctions.asDouble
-      val e = engine.ScratchCache.persist(t(s, d, "embeddings")
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .repartition(col("vec_id")))
-      val seeds = e
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(PqK)
-        .select(col("vec_id").as("cent_id"), col("v"))
-        .as[(Long, Seq[Double])].collect().toSeq
-      // exploded subvector frame: one (vec_id, m, x) row per subspace —
-      // every vector meets only its own subspace's centroids (a join on
-      // m), never the 16^M codebook cross product
-      val subs = e.select(col("vec_id"), posexplode(
-          array((0 until PqM).map(m =>
-            slice(col("v"), m * PqD + 1, PqD)): _*)).as(Seq("m", "x")))
-      val books = pqRound(subs, for {
-        m <- 0 until PqM; (id, v) <- seeds
-      } yield (m, id, v.slice(m * PqD, m * PqD + PqD)))
-      // encode in one pass against the broadcast codebooks; code k = the
-      // centroid's rank in (m, cent_id) order (stable, oracle-replayed);
-      // the M picks fold back into code + reconstruction arrays per doc
-      // via a sorted collect_list — deterministic by the (m) sort key
-      val kdf = broadcast(books.groupBy(_._1).toSeq.flatMap {
-        case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
-          case ((_, _, cu), k) => (m, k.toLong, cu) }
-      }.toDF("m", "k", "cu"))
-      val enc = subs.join(kdf, "m")
-        .select(col("vec_id"), col("m"), col("k"), col("cu"),
-          l2sq(col("x"), col("cu")).as("d"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(expr("min_by(struct(k, cu), struct(d, k))").as("b"))
-        .groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("bs"))
-        .join(e, "vec_id")
+      val (e, _, encBs) = pqTrainEncode(s, d)
+      val enc = encBs.join(e, "vec_id")
       val recon = flatten(transform(col("bs"),
         x => x.getField("b").getField("cu")))
       // codes serialize to a space-joined string (driver hash compare)
@@ -560,15 +573,33 @@ object CurateQueries {
             .as("recon_l2sq"))
         .orderBy("vec_id")
     },
-    Some {
-      def round1(m: Int): String = {
-        val lo = m * PqD + 1; val hi = m * PqD + PqD
-        val minCols = (0 until PqD)
-          .map(i => s"sum(CAST(round(x[${i + 1}] * 1e9, 0) AS BIGINT)) AS s$i")
-          .mkString(", ")
-        val meanArr = (0 until PqD).map(i => s"(s$i::DOUBLE / 1e9) / n")
-          .mkString("[", ", ", "]")
-        s""",
+    Some(pqSqlPrefix + s"""
+      SELECT ev.vec_id,
+        array_to_string([${(0 until PqM).map(m => s"pick$m.k$m")
+          .mkString(", ")}], ' ') AS codes,
+        floor(list_sum(list_transform(
+            list_zip(ev.v, ${(1 until PqM).foldLeft("pick0.cu0")((acc, m) =>
+              s"list_concat($acc, pick$m.cu$m)")}),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e8 + 0.5) / 1e8
+          AS recon_l2sq
+      FROM ev ${(0 until PqM).map(m =>
+        s"JOIN pick$m ON pick$m.vec_id = ev.vec_id").mkString(" ")}
+      ORDER BY ev.vec_id"""))
+
+  /** The PQ training + encoding CTE chain as oracle SQL — ev/seeds then
+    * per subspace m: subvectors, seeded centroids, one Lloyd round,
+    * rank-ordered codebook kb$$m, all-pairs dists e$$m, argmin pick$$m.
+    * The DuckDB replay of [[pqTrainEncode]], shared by the embedding_pq
+    * and sim_search_pq_adc oracles. */
+  private lazy val pqSqlPrefix: String = {
+    def round1(m: Int): String = {
+      val lo = m * PqD + 1; val hi = m * PqD + PqD
+      val minCols = (0 until PqD)
+        .map(i => s"sum(CAST(round(x[${i + 1}] * 1e9, 0) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val meanArr = (0 until PqD).map(i => s"(s$i::DOUBLE / 1e9) / n")
+        .mkString("[", ", ", "]")
+      s""",
         sub$m AS (SELECT vec_id, v[$lo:$hi] AS x FROM ev),
         c0_$m AS (SELECT cent_id, cu[$lo:$hi] AS cu FROM seeds),
         a$m AS (SELECT s.vec_id, c.cent_id, s.x,
@@ -592,24 +623,77 @@ object CurateQueries {
         pick$m AS (SELECT vec_id, k AS k$m, cu AS cu$m FROM e$m
                QUALIFY row_number() OVER (PARTITION BY vec_id
                  ORDER BY d, k) = 1)"""
-      }
-      """WITH ev AS (SELECT vec_id,
+    }
+    """WITH ev AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         seeds AS (SELECT vec_id AS cent_id, v AS cu FROM ev
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
-        (0 until PqM).map(round1).mkString + s"""
-      SELECT ev.vec_id,
-        array_to_string([${(0 until PqM).map(m => s"pick$m.k$m")
-          .mkString(", ")}], ' ') AS codes,
-        floor(list_sum(list_transform(
-            list_zip(ev.v, ${(1 until PqM).foldLeft("pick0.cu0")((acc, m) =>
-              s"list_concat($acc, pick$m.cu$m)")}),
-            p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1e8 + 0.5) / 1e8
-          AS recon_l2sq
-      FROM ev ${(0 until PqM).map(m =>
-        s"JOIN pick$m ON pick$m.vec_id = ev.vec_id").mkString(" ")}
-      ORDER BY ev.vec_id"""
-    })
+      (0 until PqM).map(round1).mkString
+  }
+
+  // ------------------------------------------------------ sim_search_pq_adc
+  /** ANN serving via PQ ASYMMETRIC DISTANCE COMPUTATION — the probe side
+    * of [[embeddingPq]]'s storage layout (FAISS's IVF-PQ fine stage):
+    * queries stay full-precision, the corpus exists only as M-byte
+    * codes, and distance(q, v) ≈ Σ_m lut_q[m][code_m(v)] where lut_q is
+    * the query's (M × K) table of exact subspace distances to every
+    * centroid. The LUT costs M·K·PqD flops per QUERY (not per corpus
+    * row); scoring a corpus vector is M table lookups — why PQ serves
+    * billion-vector corpora from RAM.
+    *
+    * Shape: codes come from the shared broadcast-codebook encode
+    * ([[pqTrainEncode]]); the LUT (queries × M·K rows) broadcasts; a
+    * corpus vector's score is an equi-join of its M (m, k) picks
+    * against the LUT and a 4-slot fixed-order sum — all codegen, one
+    * narrow (qid, vec_id, dd) shuffle, the corpus vectors themselves
+    * never move. Per-subspace sums land in fixed slots (s0+s1+s2+s3,
+    * left-to-right) so the double addition order is pinned for the
+    * oracle. Approximate vs exact L2 by construction; deterministic
+    * end-to-end, so the oracle replays training, encoding, LUT, and
+    * the tie-broken rank bit-identically. */
+  private val simSearchPqAdc = Q(
+    (s, d) => {
+      val TopK = 5
+      val (e, kdf, encBs) = pqTrainEncode(s, d)
+      val encExp = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val lut = broadcast(q.crossJoin(kdf)
+        .select(col("qid"), col("m"), col("k"),
+          l2sq(slice(col("qv"), col("m") * PqD + 1, lit(PqD)), col("cu"))
+            .as("dd")))
+      val slots = (0 until PqM).map(m =>
+        sum(when(col("m") === m, col("dd"))).as(s"s$m"))
+      val sc = encExp.join(lut, Seq("m", "k"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(slots.head, slots.tail: _*)
+        .select(col("qid"), col("vec_id").as("cid"),
+          (0 until PqM).map(m => col(s"s$m")).reduce(_ + _).as("adc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      sc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("rank"),
+          (floor(col("adc") * 1e8 + lit(0.5)) / 1e8).as("adc_l2sq"))
+        .orderBy("qid", "rank")
+    },
+    Some(pqSqlPrefix + s""",
+      sc AS (SELECT l0.vec_id AS qid, p0.vec_id AS cid,
+               ${(1 until PqM).foldLeft("l0.d")((a, m) => s"$a + l$m.d")}
+                 AS adc
+             FROM pick0 p0
+             ${(1 until PqM).map(m =>
+               s"JOIN pick$m p$m ON p$m.vec_id = p0.vec_id").mkString(" ")}
+             JOIN e0 l0 ON l0.k = p0.k0 AND l0.vec_id < 5
+             ${(1 until PqM).map(m =>
+               s"JOIN e$m l$m ON l$m.k = p$m.k$m AND l$m.vec_id = l0.vec_id")
+               .mkString(" ")}
+             WHERE p0.vec_id <> l0.vec_id)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank,
+        floor(adc * 1e8 + 0.5) / 1e8 AS adc_l2sq
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
   // ------------------------------------------------------------ dedup_url
   /** Per-domain unique-URL budget: beyond this many distinct pages a
@@ -780,5 +864,6 @@ object CurateQueries {
     "sample_stratified" -> sampleStratified,
     "tokenize_ids" -> tokenizeIds,
     "embedding_quantize" -> embeddingQuantize,
-    "embedding_pq" -> embeddingPq)
+    "embedding_pq" -> embeddingPq,
+    "sim_search_pq_adc" -> simSearchPqAdc)
 }

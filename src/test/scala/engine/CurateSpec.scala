@@ -186,6 +186,30 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .forall(_.getAs[Int]("domain_rank") == 0))
   }
 
+  test("sim_search_pq_adc: 5 ranked candidates per query, adc ascending, " +
+      "some true-neighbor signal") {
+    val out = CurateQueries.queries("sim_search_pq_adc").fn(spark, sf)
+      .collect()
+    assert(out.length == 25)
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toList == (1 to 5).toList)
+      val adc = byRank.map(_.getAs[Double]("adc_l2sq"))
+      assert(adc.forall(_ >= 0))
+      assert(adc.sliding(2).forall(p => p(0) <= p(1)), "adc must ascend")
+      assert(!g.exists(r => r.getAs[Long]("cid") == r.getAs[Long]("qid")))
+    }
+    // recall vs brute force is LOW by design here: 16-bit PQ on
+    // uniform-random 64-dim vectors is the quantizer's adversarial case
+    // (no cluster structure to exploit; real embedding distributions
+    // cluster). The deliverable is the serving shape; assert the
+    // approximation still beats chance (random 5-of-499 ≈ 0.01)
+    val bf = engine.llm.LlmQueries.queries("sim_search_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert((bf & adc).size.toDouble / bf.size >= 0.04)
+  }
+
   test("dedup_lines chunking: empty token array yields no chunks") {
     // sequence(0,-1) is [0,-1] in Spark — the guard must short-circuit
     val out = spark.range(1)
