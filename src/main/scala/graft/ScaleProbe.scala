@@ -32,7 +32,12 @@ object ScaleProbe {
         "text_token_stats", "text_fingerprint", "text_unigram_logprob",
         "sample_hash", "dedup_lines", "pii_scrub", "pack_sequences",
         "dedup_spans", "sample_stratified", "tokenize_ids",
-        "embedding_quantize", "embedding_pq")) {
+        "embedding_quantize", "embedding_pq",
+        // r8 additions: url canon/caps, temperature resample, persisted
+        // ANN index + ADC probes, cross-run stores, z-order rewrite
+        "dedup_url", "sample_temperature", "sim_search_ivf_indexed",
+        "sim_search_pq_adc", "decontaminate_incremental",
+        "dedup_embedding_incremental")) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
       println(f"SCALE $q: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
