@@ -724,8 +724,9 @@ object CurateQueries {
     * md5(canon) digest (the dedup_exact posture) and the per-domain cap
     * runs as the salted two-phase top-k (topk_per_group) since domain
     * frequency is the canonical skewed key. */
-  private val dedupUrl = Q(
-    (s, d) => {
+  /** The per-doc URL verdict frame (pre-determinism-sort) — shared by
+    * [[dedupUrl]] and the [[pipelinePretrain]] capstone's first stage. */
+  private def urlVerdicts(s: SparkSession, d: String): DataFrame = {
       // ---- synthesize the raw crawl URL: f(doc_id) only --------------
       val hb = conv(substring(md5(concat_ws("|", lit("url"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
@@ -790,9 +791,13 @@ object CurateQueries {
           col("url_rank").cast("int").as("url_rank"), col("domain_rank"),
           (col("url_rank") === 1 &&
             col("domain_rank").between(1, UrlDomainCap)).as("kept"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH b AS (SELECT doc_id, doc_id % 200 AS ck,
+  }
+
+  /** The URL synthesis + canonicalization + ranking CTE chain, ending in
+    * `k2(doc_id, url_canon, domain, url_rank, domain_rank)` — the DuckDB
+    * replay of [[urlVerdicts]], shared by the dedup_url and
+    * pipeline_pretrain oracles. No leading WITH. */
+  private val urlSqlCtes = s"""b AS (SELECT doc_id, doc_id % 200 AS ck,
           ('0x' || substr(md5('url|' || doc_id), 1, 8))::BIGINT AS hb
         FROM documents),
       r AS (SELECT doc_id, ck, hb,
@@ -849,15 +854,109 @@ object CurateQueries {
               PARTITION BY domain ORDER BY md5('cap|' || doc_id), doc_id
               ROWS UNBOUNDED PRECEDING)
           ELSE 0 END AS domain_rank
-        FROM k)
+        FROM k)"""
+
+  private val dedupUrl = Q(
+    (s, d) => urlVerdicts(s, d).orderBy("doc_id"),
+    Some(s"""WITH $urlSqlCtes
       SELECT doc_id, url_canon, domain, CAST(url_rank AS INT) AS url_rank,
         CAST(domain_rank AS INT) AS domain_rank,
         (url_rank = 1 AND domain_rank BETWEEN 1 AND $UrlDomainCap) AS kept
       FROM k2 ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ pipeline_pretrain
+  /** CAPSTONE №2 — the web-corpus PRETRAINING funnel, composing the
+    * round-8 operators end-to-end the way a production pipeline chains
+    * them (pipeline_curate covers the quality→exact→minhash middle;
+    * this covers the web front door and the mixture back door):
+    *
+    *  1. URL gate: canonical-URL dedup + per-domain caps
+    *     ([[urlVerdicts]] kept docs) — the first pass of any crawl;
+    *  2. eval exclusion: held-out docs ([[LlmQueries.evalBucket]])
+    *     never enter training;
+    *  3. exact text dedup: md5(lower(trim)) digest, keep lowest doc_id;
+    *  4. decontamination: drop survivors covering ≥ 80% of an eval
+    *     doc's shingles (the batch decontaminate verdicts);
+    *  5. temperature resampling over the SURVIVING distribution
+    *     ([[LlmQueries.temperatureEmit]] — rates follow the cleaned
+    *     corpus, not the raw crawl).
+    *
+    * Output: one funnel row per lang — the acceptance accounting every
+    * corpus build reports. Each stage is the already-oracle-checked
+    * operator's own logic (shared code + shared SQL CTEs), so the
+    * composition is pinned end-to-end too. Shape: flags are per-row
+    * projections + one digest window; the only joins are id-semi-joins
+    * and the per-lang broadcast rates — nothing heavier than the
+    * component operators themselves. */
+  private val pipelinePretrain = Q(
+    (s, d) => {
+      val urlKept = urlVerdicts(s, d).filter(col("kept"))
+        .select(col("doc_id"))
+      val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val train = base
+        .join(urlKept, Seq("doc_id"), "leftsemi")
+        .filter(!LlmQueries.evalBucket(col("doc_id")))
+      val wDg = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+      val surv = train
+        .withColumn("dg", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(wDg))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"))
+      val contam = LlmQueries.queries("decontaminate").fn(s, d)
+        .select(col("doc_id")).distinct()
+      val clean = surv.join(contam, Seq("doc_id"), "left_anti")
+      val emitted = LlmQueries.temperatureEmit(clean)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_emitted"))
+      val stage = (df: DataFrame, nm: String) =>
+        df.groupBy(col("lang")).agg(count(lit(1)).as(nm))
+      stage(base, "n_raw")
+        .join(stage(base.join(urlKept, Seq("doc_id"), "leftsemi"),
+          "n_url_kept"), Seq("lang"), "left")
+        .join(stage(train, "n_train"), Seq("lang"), "left")
+        .join(stage(surv, "n_after_exact"), Seq("lang"), "left")
+        .join(stage(clean, "n_clean"), Seq("lang"), "left")
+        .join(emitted, Seq("lang"), "left")
+        .orderBy("lang")
+    },
+    Some("WITH " + urlSqlCtes + "," +
+      LlmQueries.shingleSql.replaceFirst("^WITH ", "") +
+      LlmQueries.deconSqlCtes + s""",
+      ukept AS (SELECT doc_id FROM k2
+                WHERE url_rank = 1 AND domain_rank BETWEEN 1 AND
+                  $UrlDomainCap),
+      train AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+                JOIN ukept USING (doc_id)
+                WHERE ('0x' || substr(md5('evl|' || d.doc_id), 1, 8))::BIGINT
+                        % 100 >= 5),
+      surv AS (SELECT doc_id, lang FROM (
+                 SELECT doc_id, lang, row_number() OVER (
+                   PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) rn
+                 FROM train) WHERE rn = 1),
+      contam AS (SELECT DISTINCT tid AS doc_id FROM dcov WHERE cov >= 0.8),
+      clean AS (SELECT doc_id, lang FROM surv
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam)),""" +
+      LlmQueries.temperatureSqlCtes("clean") + """,
+      emitted AS (SELECT lang, CAST(sum(copies) AS BIGINT) AS n_emitted
+                  FROM tcp GROUP BY lang),
+      s_raw AS (SELECT lang, count(*) AS n_raw FROM documents
+                GROUP BY lang),
+      s_uk AS (SELECT d.lang, count(*) AS n_url_kept FROM documents d
+               JOIN ukept USING (doc_id) GROUP BY d.lang),
+      s_tr AS (SELECT lang, count(*) AS n_train FROM train GROUP BY lang),
+      s_sv AS (SELECT lang, count(*) AS n_after_exact FROM surv
+               GROUP BY lang),
+      s_cl AS (SELECT lang, count(*) AS n_clean FROM clean GROUP BY lang)
+      SELECT r.lang, r.n_raw, s_uk.n_url_kept, s_tr.n_train,
+        s_sv.n_after_exact, s_cl.n_clean, e.n_emitted
+      FROM s_raw r LEFT JOIN s_uk USING (lang) LEFT JOIN s_tr USING (lang)
+        LEFT JOIN s_sv USING (lang) LEFT JOIN s_cl USING (lang)
+        LEFT JOIN emitted e USING (lang)
+      ORDER BY r.lang"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_lines" -> dedupLines,
     "dedup_url" -> dedupUrl,
+    "pipeline_pretrain" -> pipelinePretrain,
     "pii_scrub" -> piiScrub,
     "pack_sequences" -> packSequences,
     "dedup_spans" -> dedupSpans,

@@ -273,12 +273,17 @@ object LlmQueries {
     * train×eval — an equi-join whose skew is bounded by the cap; exact
     * coverage verifies candidates only. Output: (train doc, eval doc,
     * coverage) — the drop list plus its evidence. */
+  /** Held-out eval membership: md5-bucket < 5 of 100 (≈5% of the
+    * corpus). Shared by [[decontaminate]], [[IncrementalDedup]] and the
+    * pipeline_pretrain capstone. */
+  private[llm] def evalBucket(c: Column): Column = pmod(
+    conv(substring(md5(concat_ws("|", lit("evl"), c.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(100)) < 5
+
   private val decontaminate = Q(
     (s, d) => {
       val thr = 0.8
-      def isEval(c: Column): Column = pmod(
-        conv(substring(md5(concat_ws("|", lit("evl"), c.cast("string"))),
-          1, 8), 16, 10).cast("long"), lit(100)) < 5
+      def isEval(c: Column): Column = evalBucket(c)
       val sh = hashedShingles(s, d)
       val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"))
       val rare = posts.join(
@@ -299,26 +304,32 @@ object LlmQueries {
           r4(cov).as("coverage"))
         .orderBy("doc_id", "eval_id")
     },
-    Some(shingleSql + s""",
+    Some(shingleSql + deconSqlCtes + """
+      SELECT tid AS doc_id, eid AS eval_id, round(cov, 4) AS coverage
+      FROM dcov WHERE cov >= 0.8
+      ORDER BY doc_id, eval_id"""))
+
+  /** The train×eval decontamination CTE chain (follows [[shingleSql]],
+    * ending in `dcov(tid, eid, cov)` — every df-capped candidate pair
+    * with its exact coverage) — shared by the decontaminate and
+    * pipeline_pretrain oracles. */
+  private[llm] lazy val deconSqlCtes = s""",
       shh AS (SELECT doc_id, list_distinct(list_transform(s,
                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) s FROM sh),
       posts AS (SELECT doc_id, unnest(s) sh FROM shh),
       dfs AS (SELECT sh, count(*) df FROM posts GROUP BY sh),
       rare AS (SELECT p.doc_id, p.sh FROM posts p JOIN dfs USING (sh)
                WHERE dfs.df <= $ContainDfCap),
-      cand AS (SELECT DISTINCT t.doc_id tid, e.doc_id eid
+      dcand AS (SELECT DISTINCT t.doc_id tid, e.doc_id eid
                FROM rare t JOIN rare e ON t.sh = e.sh
                WHERE ('0x' || substr(md5('evl|' || t.doc_id), 1, 8))::BIGINT
                        % 100 >= 5
                  AND ('0x' || substr(md5('evl|' || e.doc_id), 1, 8))::BIGINT
-                       % 100 < 5)
-      SELECT c.tid AS doc_id, c.eid AS eval_id,
-        round(len(list_intersect(x.s, y.s))::DOUBLE / len(y.s), 4)
-          AS coverage
-      FROM cand c JOIN shh x ON x.doc_id = c.tid
-                  JOIN shh y ON y.doc_id = c.eid
-      WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(y.s) >= 0.8
-      ORDER BY doc_id, eval_id"""))
+                       % 100 < 5),
+      dcov AS (SELECT c.tid, c.eid,
+               len(list_intersect(x.s, y.s))::DOUBLE / len(y.s) AS cov
+             FROM dcand c JOIN shh x ON x.doc_id = c.tid
+                          JOIN shh y ON y.doc_id = c.eid)"""
 
   /** B48: MinHash + LSH near-dup. k=32 min-wise hashes per doc (one
     * projection, no shuffle), banded 8×4; candidates = pairs sharing a
@@ -1525,56 +1536,70 @@ object LlmQueries {
     * fraction is an exact 32-bit/2^32 double. Shape: two tiny stratum
     * aggs broadcast back against the scan; the copy fan-out is a
     * per-row generate — no corpus shuffle at any scale. */
-  private val sampleTemperature = Q(
-    (s, d) => {
-      val cnt = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      val tot = cnt.agg(sum(col("c")).as("n"))
-      val w = cnt.crossJoin(broadcast(tot))
-        .select(col("lang"), col("c"), col("n"),
-          round(sqrt(col("c").cast("double") / col("n")) * 1e9, 0)
-            .cast("long").as("wi"))
-      val den = w.agg(sum(col("wi")).as("dw"))
-      val r = w.crossJoin(broadcast(den))
-        .select(col("lang"),
-          (col("n").cast("double") * col("wi") / col("dw") / col("c"))
-            .as("rate"))
-      val u = conv(substring(md5(concat_ws("|", lit("tmp"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long").cast("double") / 4294967296.0
-      docs(s, d).select(col("doc_id"), col("lang"))
-        .join(broadcast(r), "lang")
-        .withColumn("copies", floor(col("rate")) +
-          when(u < col("rate") - floor(col("rate")).cast("double"), 1L)
-            .otherwise(0L))
-        .select(col("doc_id"), col("lang"), r4(col("rate")).as("sample_rate"),
-          explode(when(col("copies") > 0,
-              sequence(lit(1L), col("copies")))
-            .otherwise(array().cast("array<bigint>"))).as("copy"))
-        .select(col("doc_id"), col("lang"),
-          col("copy").cast("int").as("copy"), col("sample_rate"))
-        .orderBy("doc_id", "copy")
-    },
-    Some("""WITH cnt AS (SELECT lang, count(*) AS c FROM documents
-               GROUP BY lang),
-      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
-      w AS (SELECT lang, c, n,
+  /** Temperature-resample an arbitrary `(doc_id, lang)` frame: one row
+    * per emitted copy, `(doc_id, lang, rate, copy)`. Rates are computed
+    * over THIS frame's stratum distribution (resampling applies to the
+    * corpus that survived the upstream stages, not the raw crawl).
+    * Shared by [[sampleTemperature]] and [[CurateQueries]]'s
+    * pipeline_pretrain capstone. */
+  private[llm] def temperatureEmit(df: DataFrame): DataFrame = {
+    val cnt = df.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("c"), col("n"),
+        round(sqrt(col("c").cast("double") / col("n")) * 1e9, 0)
+          .cast("long").as("wi"))
+    val den = w.agg(sum(col("wi")).as("dw"))
+    val r = w.crossJoin(broadcast(den))
+      .select(col("lang"),
+        (col("n").cast("double") * col("wi") / col("dw") / col("c"))
+          .as("rate"))
+    val u = conv(substring(md5(concat_ws("|", lit("tmp"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    df.select(col("doc_id"), col("lang"))
+      .join(broadcast(r), "lang")
+      .withColumn("copies", floor(col("rate")) +
+        when(u < col("rate") - floor(col("rate")).cast("double"), 1L)
+          .otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("rate"),
+        explode(when(col("copies") > 0,
+            sequence(lit(1L), col("copies")))
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+  }
+
+  /** The temperature-resample CTE chain over source CTE/table `src`
+    * (must expose doc_id, lang), ending in `tcp(doc_id, lang, rate,
+    * copies)` — the DuckDB replay of [[temperatureEmit]]. No leading
+    * WITH; t-prefixed CTE names to compose without collisions. */
+  private[llm] def temperatureSqlCtes(src: String): String = s"""
+      tcnt AS (SELECT lang, count(*) AS c FROM $src GROUP BY lang),
+      ttot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tcnt),
+      tw AS (SELECT lang, c, n,
               CAST(round(sqrt(c::DOUBLE / n) * 1e9, 0) AS BIGINT) AS wi
-            FROM cnt CROSS JOIN tot),
-      den AS (SELECT CAST(sum(wi) AS BIGINT) AS dw FROM w),
-      r AS (SELECT lang, (n::DOUBLE * wi / dw / c) AS rate
-            FROM w CROSS JOIN den),
-      dd AS (SELECT d.doc_id, d.lang, r.rate,
+            FROM tcnt CROSS JOIN ttot),
+      tden AS (SELECT CAST(sum(wi) AS BIGINT) AS dw FROM tw),
+      tr AS (SELECT lang, (n::DOUBLE * wi / dw / c) AS rate
+            FROM tw CROSS JOIN tden),
+      tdd AS (SELECT d.doc_id, d.lang, tr.rate,
               (('0x' || substr(md5('tmp|' || d.doc_id), 1, 8))::BIGINT)::DOUBLE
                 / 4294967296.0 AS u
-            FROM documents d JOIN r USING (lang)),
-      cp AS (SELECT doc_id, lang, rate,
+            FROM $src d JOIN tr USING (lang)),
+      tcp AS (SELECT doc_id, lang, rate,
               CAST(floor(rate) AS BIGINT) +
               (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS copies
-            FROM dd)
+            FROM tdd)"""
+
+  private val sampleTemperature = Q(
+    (s, d) => temperatureEmit(docs(s, d).select(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"),
+        col("copy").cast("int").as("copy"), r4(col("rate")).as("sample_rate"))
+      .orderBy("doc_id", "copy"),
+    Some("WITH" + temperatureSqlCtes("documents") + """
       SELECT doc_id, lang,
         CAST(unnest(generate_series(1, copies)) AS INT) AS copy,
         round(rate, 4) AS sample_rate
-      FROM cp ORDER BY doc_id, copy"""))
+      FROM tcp ORDER BY doc_id, copy"""))
 
   // --------------------------------------------------------- B51 multimodal
   /** B51: typed array/binary columns flowing through a join: documents ⋈
@@ -1671,7 +1696,10 @@ object LlmQueries {
       FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
       GROUP BY lang, source ORDER BY lang, source"""))
 
-  val queries: Map[String, Q] = Map(
+  // lazy: CurateQueries' oracle strings reference this object's shared
+  // CTE vals at ITS init; an eager map here would re-enter CurateQueries
+  // mid-init (null queries map → NPE) whenever CurateQueries loads first
+  lazy val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,

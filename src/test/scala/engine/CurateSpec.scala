@@ -210,6 +210,27 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert((bf & adc).size.toDouble / bf.size >= 0.04)
   }
 
+  test("pipeline_pretrain: funnel is monotone per stage and the mixture " +
+      "rebalances the cleaned corpus") {
+    val out = CurateQueries.queries("pipeline_pretrain").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val funnel = Seq("n_raw", "n_url_kept", "n_train", "n_after_exact",
+        "n_clean").map(c => r.getAs[Long](c))
+      assert(funnel.sliding(2).forall(p => p(0) >= p(1)),
+        s"${r.getAs[String]("lang")}: funnel not monotone: $funnel")
+      assert(funnel.last > 0, "every lang keeps something at this sf")
+    }
+    // temperature rebalances toward uniform: the emitted spread across
+    // langs is narrower than the cleaned spread (ratios, not absolutes)
+    val clean = out.map(_.getAs[Long]("n_clean").toDouble)
+    val emit = out.map(_.getAs[Long]("n_emitted").toDouble)
+    def spread(xs: Seq[Double]): Double = xs.max / xs.min
+    assert(spread(emit) < spread(clean),
+      s"emitted spread ${spread(emit)} !< clean spread ${spread(clean)}")
+  }
+
   test("dedup_lines chunking: empty token array yields no chunks") {
     // sequence(0,-1) is [0,-1] in Spark — the guard must short-circuit
     val out = spark.range(1)
