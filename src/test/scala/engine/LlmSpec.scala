@@ -215,6 +215,19 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(inline == indexed)
   }
 
+  test("stream_ann_probe: streamed answers equal the batch probe for the " +
+      "shared queries") {
+    // a probe answer is f(query, static index): the streaming path must
+    // reproduce the batch indexed probe row-for-row on the queries both
+    // serve (qid < 5), whatever trigger the query landed in
+    val streamed = LlmQueries.queries("stream_ann_probe").fn(spark, sf)
+      .filter("qid < 5").collect().map(_.toSeq).toSeq
+    val batch = LlmQueries.queries("sim_search_ivf_indexed").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ivf recall vs brute-force top-k") {
     val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
