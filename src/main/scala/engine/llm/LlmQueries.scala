@@ -1091,9 +1091,6 @@ object LlmQueries {
       .toDF("cent_id", "cu")
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"/tmp/graft_ivf_index_$san")
-    val cbPath = new java.io.File(root, "codebook").getPath
-    val postPath = new java.io.File(root, "postings").getPath
-    cents.write.mode("overwrite").parquet(cbPath)
     // hash-agg argmax (the lloydRound shape) — no window sort over
     // the corpus; u rides the group so postings are self-contained
     val asg = e.join(broadcast(cents))
@@ -1103,8 +1100,20 @@ object LlmQueries {
       .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
         first(col("u")).as("u"))
     val postSchema = asg.schema
-    asg.write.partitionBy("cent_id").mode("overwrite").parquet(postPath)
-    (cbPath, postPath, postSchema)
+    // codebook + postings are CO-VERSIONED under one atomic pointer
+    // (VersionedTable.commitDir): a probe must never see a new codebook
+    // with old postings, and a crash mid-build must leave the previous
+    // index intact — two plain overwrites expose both windows
+    val id = engine.stream.VersionedTable.currentDir(root)
+      .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
+    engine.stream.VersionedTable.commitDir(root, id) { dir =>
+      cents.write.parquet(new java.io.File(dir, "codebook").getPath)
+      asg.write.partitionBy("cent_id")
+        .parquet(new java.io.File(dir, "postings").getPath)
+    }
+    val cur = engine.stream.VersionedTable.currentDir(root).get
+    (new java.io.File(cur, "codebook").getPath,
+      new java.io.File(cur, "postings").getPath, postSchema)
   }
 
   /** Serve a query frame `qv(qid, qu)` from the prebuilt index: rank the

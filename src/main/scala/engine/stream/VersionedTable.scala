@@ -29,11 +29,29 @@ object VersionedTable {
 
   /** Publish `df` as version `id` and swap the pointer. `id` must be
     * strictly increasing across commits (a micro-batch id is). */
-  def commit(df: DataFrame, root: java.io.File, id: Long): Unit = {
+  def commit(df: DataFrame, root: java.io.File, id: Long): Unit =
+    commitDir(root, id) { dir =>
+      df.write.mode("overwrite").parquet(dir.getPath)
+    }
+
+  /** Multi-table variant: `write` populates a fresh version DIRECTORY
+    * (any number of tables/subdirs) which is then published by the same
+    * atomic pointer swap — for state that is several co-versioned
+    * tables (e.g. an ANN index's codebook + postings: readers must
+    * never see a new codebook with old postings, which two independent
+    * `mode("overwrite")` writes would expose, torn, on a crash between
+    * them). */
+  def commitDir(root: java.io.File, id: Long)
+      (write: java.io.File => Unit): Unit = {
     root.mkdirs()
     val vname = s"v$id"
-    df.write.mode("overwrite")
-      .parquet(new java.io.File(root, vname).getPath)
+    require(!currentName(root).contains(vname),
+      s"version $vname is already published")
+    val vdir = new java.io.File(root, vname)
+    // a same-id dir not referenced by CURRENT is an orphan from a
+    // crashed build — clear it so the rewrite starts clean
+    if (vdir.exists()) deleteRecursively(vdir)
+    write(vdir)
     val tmp = new java.io.File(root, s"CURRENT.tmp.$id")
     java.nio.file.Files.writeString(tmp.toPath, vname)
     // POSIX rename: replaces CURRENT atomically — the only mutation a
@@ -45,6 +63,10 @@ object VersionedTable {
       f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
       .foreach(deleteRecursively)
   }
+
+  /** The current version directory, if any commit has landed. */
+  def currentDir(root: java.io.File): Option[java.io.File] =
+    currentName(root).map(new java.io.File(root, _))
 
   /** Remove the table entirely (fresh-run reset). */
   def destroy(root: java.io.File): Unit = deleteRecursively(root)

@@ -151,6 +151,46 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(dropped.nonEmpty, "fixture plants near-dup vectors")
   }
 
+  test("VersionedTable.commitDir: multi-table versions swap atomically; " +
+      "a torn build is invisible") {
+    import engine.stream.VersionedTable
+    val root = new java.io.File(
+      s"/tmp/graft_vt_dir_test_${java.util.UUID.randomUUID}")
+    try {
+      VersionedTable.commitDir(root, 0L) { dir =>
+        Seq((1L, "a")).toDF("id", "v")
+          .write.parquet(new java.io.File(dir, "t1").getPath)
+        Seq((2L, "b")).toDF("id", "v")
+          .write.parquet(new java.io.File(dir, "t2").getPath)
+      }
+      val v0 = VersionedTable.currentDir(root).get
+      assert(spark.read.parquet(new java.io.File(v0, "t1").getPath)
+        .count() == 1)
+      // crashed build: v1 half-written (one table only, garbage bytes),
+      // pointer never swapped — readers must still resolve v0
+      val torn = new java.io.File(root, "v1/t1")
+      torn.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(torn, "part-0.parquet").toPath, "NOT PARQUET")
+      assert(VersionedTable.currentDir(root).get.getName == "v0")
+      // the retried build reuses the orphan id, clears it, and publishes
+      VersionedTable.commitDir(root, 1L) { dir =>
+        Seq((3L, "c")).toDF("id", "v")
+          .write.parquet(new java.io.File(dir, "t1").getPath)
+        Seq((4L, "d")).toDF("id", "v")
+          .write.parquet(new java.io.File(dir, "t2").getPath)
+      }
+      val v1 = VersionedTable.currentDir(root).get
+      assert(v1.getName == "v1")
+      assert(spark.read.parquet(new java.io.File(v1, "t2").getPath)
+        .collect().map(_.getLong(0)).toSeq == Seq(4L))
+      // publishing the CURRENT version id again must be refused
+      intercept[IllegalArgumentException] {
+        VersionedTable.commitDir(root, 1L)(_ => ())
+      }
+    } finally VersionedTable.destroy(root)
+  }
+
   test("AppendTable: torn writer leaves the previous version readable") {
     import engine.stream.AppendTable
     val root = new java.io.File(
