@@ -37,7 +37,8 @@ object ScaleProbe {
         // ANN index + ADC probes, cross-run stores, z-order rewrite
         "dedup_url", "sample_temperature", "sim_search_ivf_indexed",
         "sim_search_pq_adc", "decontaminate_incremental",
-        "dedup_embedding_incremental")) {
+        "dedup_embedding_incremental", "stream_ann_probe",
+        "pipeline_pretrain")) {
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
       println(f"SCALE $q: ${(System.nanoTime()-t0)/1e9}%.2f s ($c rows)")
