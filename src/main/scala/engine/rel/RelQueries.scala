@@ -910,6 +910,59 @@ object RelQueries {
 
   /** B28: last(ignoreNulls) carry-forward — the CurrentUTC cursor (:22,
     * :172→:227) as a window op: carry the last 'purchase' value forward. */
+  /** B28b: BATCH sessionization — gaps-and-islands over per-user event
+    * time (lag → new-session flag at gap ≥ 30 min → running-sum session
+    * id → per-session rollup). The batch twin of the streaming
+    * `session_window` query (B40, same 30-minute gap — StreamingSpec
+    * pins the two agree session-for-session), and the pattern every
+    * analytics warehouse runs for visit/trip segmentation. One window
+    * sort per user partition + one hash rollup — partitions by user_id,
+    * so it scales with users, never a global sort. Money sums ride the
+    * integer-cents grid (order-free). */
+  private val winSessionize = Q(
+    (s, d) => {
+      val GapUs = 30L * 60L * 1000000L
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val brk = when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= GapUs, 1L)
+        .otherwise(0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum(col("brk"))
+          .over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"),
+          r4(sum(round(col("value") * 100, 0).cast("long")) / 100.0)
+            .as("sum_value"))
+        .select(col("user_id"), col("session_seq").cast("int").as("session_seq"),
+          col("n_events"), col("session_start_us"), col("session_end_us"),
+          col("sum_value"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, ts, value,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_ts
+          FROM events),
+      b AS (SELECT *, CASE WHEN prev_ts IS NULL OR
+              epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+            THEN 1 ELSE 0 END AS brk FROM l),
+      i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS session_seq FROM b)
+      SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+        count(*) AS n_events,
+        min(epoch_us(ts)) AS session_start_us,
+        max(epoch_us(ts)) AS session_end_us,
+        round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+          / 100.0, 4) AS sum_value
+      FROM i GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
   private val winCarryForward = Q(
     (s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1190,6 +1243,7 @@ object RelQueries {
     "win_range_frame" -> winRangeFrame,
     "win_distribution" -> winDistribution,
     "win_carry_forward" -> winCarryForward,
+    "win_sessionize" -> winSessionize,
     "scd2_build" -> scd2Build,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,

@@ -13,6 +13,21 @@ class StreamSourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("win_sessionize (batch) agrees with stream_session window-for-window") {
+    // same 30-minute gap, two execution models: the batch gaps-and-islands
+    // rollup and Structured Streaming's session_window must segment
+    // identically (an event at exactly last+gap opens a new session in both)
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("win_sessionize")(spark, sf)
+      .select("user_id", "session_start_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val stream = graft.SparkEntry.queries("stream_session")(spark, sf)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(batch == stream)
+    assert(batch.nonEmpty)
+  }
+
   test("ordered publish yields >maxFilesPerTrigger contiguous-range files") {
     val df = (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
     val tag = "spec_layout_" + System.nanoTime() // unique: force a fresh publish
