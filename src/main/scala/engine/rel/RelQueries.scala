@@ -910,6 +910,55 @@ object RelQueries {
 
   /** B28: last(ignoreNulls) carry-forward — the CurrentUTC cursor (:22,
     * :172→:227) as a window op: carry the last 'purchase' value forward. */
+  /** B24b: event FUNNEL analysis (the ClickHouse `windowFunnel` family,
+    * strict-order earliest-match variant): per user, the first 'view',
+    * then the first 'click' strictly after it, then the first 'purchase'
+    * strictly after that — all within a 7-day window opened by step 1 —
+    * and the reached depth. Formulated relationally as three chained
+    * conditional MIN aggregations (not a per-user sequence scan): each
+    * step is a filter + equi-join on user_id + partial-agg MIN, so the
+    * whole funnel is hash joins and map-side combines at any user count
+    * — the formulation that scales where collect-per-user doesn't. */
+  private val aggFunnel = Q(
+    (s, d) => {
+      val WinUs = 7L * 24 * 3600 * 1000000L
+      val ev = engine.ScratchCache.persist(t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu")))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("tu") > col("t1") && col("tu") <= col("t1") + WinUs)
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s1.join(s2, "user_id"), "user_id")
+        .filter(col("tu") > col("t2") && col("tu") <= col("t1") + WinUs)
+        .groupBy(col("user_id")).agg(min(col("tu")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("depth"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+            FROM events),
+      s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(tu) AS t2 FROM ev e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND tu > t1
+               AND tu <= t1 + 604800000000 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(tu) AS t3 FROM ev e
+             JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND tu > t2
+               AND tu <= t1 + 604800000000 GROUP BY e.user_id)
+      SELECT s1.user_id, t1, t2, t3,
+        CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS depth
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
+
   /** B28b: BATCH sessionization — gaps-and-islands over per-user event
     * time (lag → new-session flag at gap ≥ 30 min → running-sum session
     * id → per-session rollup). The batch twin of the streaming
@@ -1244,6 +1293,7 @@ object RelQueries {
     "win_distribution" -> winDistribution,
     "win_carry_forward" -> winCarryForward,
     "win_sessionize" -> winSessionize,
+    "agg_funnel" -> aggFunnel,
     "scd2_build" -> scd2Build,
     "sort_limit" -> sortLimit,
     "topk_per_group" -> topkPerGroup,
