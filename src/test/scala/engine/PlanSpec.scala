@@ -250,6 +250,25 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(scanBlock.contains("INSET"), scanBlock)
   }
 
+  test("dedup_url and agg_funnel: no cartesian; exchanges never carry " +
+      "document text") {
+    for (q <- Seq("dedup_url", "agg_funnel")) {
+      val exec = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      assert(!exec.toString.contains("CartesianProduct"), q)
+      exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"$q exchange carries text: ${e.output.map(_.name)}")
+      }
+    }
+  }
+
   test("maintenance_zorder: per-bucket spans are narrow in BOTH key " +
       "dimensions") {
     // the curve's whole point: a lexicographic sort would leave one
