@@ -133,7 +133,20 @@ object RelQueries {
     * than its global span (the curve's guarantee), which is what makes
     * EITHER-column predicates prune. Oracle replays the bit interleave
     * (unrolled shift/mask terms — identical two's-complement semantics)
-    * and the tie-broken ntile. */
+    * and the tie-broken ntile.
+    *
+    * Shape: the bucket assignment is ntile SEMANTICS without ntile's
+    * plan — a global `Window.orderBy` funnels the whole table through
+    * one task (Spark warns "No Partition Defined"), the textbook
+    * 100×-scale killer. Instead the global rank is a two-level
+    * distributed prefix sum (the [[engine.llm.CurateQueries]]
+    * pack_sequences shape): shard = coarse z prefix (monotone in the
+    * (z, key) sort order, ≤ 2^(2*ZBits-ZShardShift) shards at ANY table
+    * size), per-shard row_number windows run in parallel, shard row
+    * counts (a model-artifact frame, one row per shard) prefix-sum into
+    * offsets broadcast back, and the ntile bucket falls out of the rank
+    * by integer arithmetic — bit-identical to the SQL window function. */
+  private val ZShardShift = 6
   private val maintenanceZorder = Q(
     (s, d) => {
       val li = t(s, d, "lineitem")
@@ -153,9 +166,36 @@ object RelQueries {
           col("l_linenumber"))
         .write.mode("overwrite")
         .parquet(s"/tmp/graft_zorder_$san")
-      val w = Window.orderBy(col("z"), col("l_orderkey"),
-        col("l_linenumber"))
-      li.withColumn("zb", ntile(ZBuckets).over(w))
+      // two-level global rank: per-shard ranks in parallel + broadcast
+      // shard offsets. shard is a z prefix, so inter-shard order is the
+      // z order and intra-shard ties stay within one shard.
+      val sharded = li.withColumn("shard", shiftright(col("z"), ZShardShift))
+      val wLoc = Window.partitionBy(col("shard"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      // offset frame: one row per shard (≤ 256 rows at any scale); the
+      // unpartitioned windows below run over THIS frame only
+      val wSh = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pfx = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("stot"))
+        .withColumn("spfx", coalesce(sum(col("stot")).over(wSh), lit(0L)))
+        .withColumn("ntot", sum(col("stot")).over(wAll))
+        .select(col("shard"), col("spfx"), col("ntot"))
+      // ntile(B) from the 1-based global rank r over N rows: q = N div B,
+      // rem = N mod B; the first rem buckets take q+1 rows. All-integer,
+      // so it replays DuckDB's ntile exactly. (N >= B at every SF; a
+      // guard would matter only for tables smaller than the bucket count.)
+      sharded.withColumn("lrk", row_number().over(wLoc))
+        .join(broadcast(pfx), "shard")
+        .withColumn("r", col("spfx") + col("lrk"))
+        .withColumn("qq", expr(s"ntot div $ZBuckets"))
+        .withColumn("rem", col("ntot") % ZBuckets)
+        .withColumn("cut", (col("qq") + 1) * col("rem"))
+        .withColumn("zb", when(col("r") <= col("cut"),
+            expr("(r - 1) div (qq + 1) + 1"))
+          .otherwise(expr("rem + (r - cut - 1) div qq + 1")).cast("int"))
         .groupBy(col("zb"))
         .agg(count(lit(1)).as("n"),
           min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"),

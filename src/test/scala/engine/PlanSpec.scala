@@ -269,6 +269,21 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("maintenance_zorder: bucket ranking is per-shard, no global corpus " +
+      "sort window") {
+    val p = plan("maintenance_zorder")
+    // the corpus-sized row_number window must partition by shard (the
+    // pack_sequences two-level prefix-sum shape); the only unpartitioned
+    // windows run over the one-row-per-shard offsets frame, which sits
+    // strictly downstream of the shard aggregate
+    assert(p.contains("hashpartitioning(shard"),
+      "per-shard rank window missing — corpus funnels through one sort")
+    assert(!p.contains("ntile"),
+      "global ntile reappeared — the single-partition window is back")
+    assert(p.contains("BroadcastExchange"),
+      "shard offsets frame not broadcast")
+  }
+
   test("maintenance_zorder: per-bucket spans are narrow in BOTH key " +
       "dimensions") {
     // the curve's whole point: a lexicographic sort would leave one
