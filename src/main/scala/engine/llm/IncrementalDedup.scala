@@ -197,14 +197,11 @@ object IncrementalDedup {
       val resRoot = new java.io.File(s"/tmp/graft_decon_res_$san")
       engine.stream.VersionedTable.destroy(idxRoot)
       engine.stream.AppendTable.destroy(resRoot) // fresh replay
-      def isEval(c: org.apache.spark.sql.Column) = pmod(
-        conv(substring(md5(concat_ws("|", lit("evl"), c.cast("string"))),
-          1, 8), 16, 10).cast("long"), lit(100)) < 5
       // ---- index build (once, offline): one row per eval doc with its
       // full shingle set (coverage verify) and its rare shingles
       // (candidate generation, eval-side df <= cap)
       val evalSets = LlmQueries.shingleSetsOf(
-        t(s, d, "documents").filter(isEval(col("doc_id")))
+        t(s, d, "documents").filter(LlmQueries.evalBucket(col("doc_id")))
           .select(col("doc_id"), col("text")))
       val ep = LlmQueries.explodeNonNull(
         evalSets.select(col("doc_id"), col("s")), col("s"), "sh",
@@ -240,7 +237,7 @@ object IncrementalDedup {
           .select(col("tid").as("doc_id"), col("eid").as("eval_id"),
             engine.Core.r4(cov).as("coverage"))
       }
-      val train = t(s, d, "documents").filter(!isEval(col("doc_id")))
+      val train = t(s, d, "documents").filter(!LlmQueries.evalBucket(col("doc_id")))
         .select(col("doc_id"), col("text"))
       val resSchema = probe(train.limit(0)).schema
       // trigger sizing knob for the LlmSpec decomposition pin ONLY (the

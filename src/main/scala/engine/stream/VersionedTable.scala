@@ -28,7 +28,8 @@ object VersionedTable {
       spark.read.parquet(new java.io.File(root, v).getPath))
 
   /** Publish `df` as version `id` and swap the pointer. `id` must be
-    * strictly increasing across commits (a micro-batch id is). */
+    * non-decreasing across commits (a micro-batch id is); re-committing
+    * the CURRENT id is an idempotent no-op (crash-replay contract). */
   def commit(df: DataFrame, root: java.io.File, id: Long): Unit =
     commitDir(root, id) { dir =>
       df.write.mode("overwrite").parquet(dir.getPath)
@@ -45,9 +46,19 @@ object VersionedTable {
       (write: java.io.File => Unit): Unit = {
     root.mkdirs()
     val vname = s"v$id"
-    require(!currentName(root).contains(vname),
-      s"version $vname is already published")
+    // Idempotent replay: a foreachBatch replayed after its commit landed
+    // but before the ENGINE checkpointed it (the standard crash-recovery
+    // window) re-presents the same batch id — the published state already
+    // reflects it, so the commit is a no-op (the AppendTable.append
+    // contract). Throwing here would kill stream recovery.
+    if (currentName(root).contains(vname)) return
     val vdir = new java.io.File(root, vname)
+    // a crash between writing CURRENT.tmp.<id> and the atomic rename
+    // leaves the tmp file behind; it is never referenced once CURRENT
+    // exists, so sweep strays before building the new version
+    Option(root.listFiles()).foreach(_.filter(f =>
+      f.isFile && f.getName.startsWith("CURRENT.tmp."))
+      .foreach(_.delete()))
     // a same-id dir not referenced by CURRENT is an orphan from a
     // crashed build — clear it so the rewrite starts clean
     if (vdir.exists()) deleteRecursively(vdir)

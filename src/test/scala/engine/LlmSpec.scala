@@ -55,6 +55,32 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("simhash NULL contract: a zero-signature doc vanishes through the " +
+      "band join, matching the aggregate replay's missing row") {
+    // SimHash60 yields NULL for a doc with zero contributing tokens,
+    // while the DuckDB aggregate replay emits NO ROW for such a doc.
+    // The two are indistinguishable only through a band JOIN (NULL
+    // bands explode to nothing; a missing row joins to nothing) — so
+    // the contract is: simhash is consumed via band joins ONLY. Any
+    // future query projecting `sim` directly must model the NULL in its
+    // oracle (LEFT JOIN in the SQL CTE) or it will row-count-mismatch.
+    // This test pins the vanishing behavior the contract relies on.
+    val df = Seq((0L, Option("a b c a b c a b c")),
+      (1L, Option("a b c a b c a b d")),
+      (2L, Option.empty[String])) // null text → NULL signature
+      .toDF("doc_id", "text")
+    val sims = LlmQueries.simhashOf(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(sims(2L).isEmpty, "degenerate doc must carry a NULL signature")
+    assert(sims(0L).isDefined && sims(1L).isDefined)
+    val pairs = LlmQueries.simhashPairs(df, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "NULL-signature doc leaked into the band join")
+  }
+
   test("dedup_embedding: banded default is a subset of conf-gated exact") {
     val q = LlmQueries.queries("dedup_embedding")
     // default mode = banded (the 100 TB plan, flipped in r7)
@@ -184,10 +210,27 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(v1.getName == "v1")
       assert(spark.read.parquet(new java.io.File(v1, "t2").getPath)
         .collect().map(_.getLong(0)).toSeq == Seq(4L))
-      // publishing the CURRENT version id again must be refused
-      intercept[IllegalArgumentException] {
-        VersionedTable.commitDir(root, 1L)(_ => ())
+      // re-committing the CURRENT version id is an idempotent no-op (a
+      // foreachBatch replayed across the crash window between the state
+      // commit and the engine checkpoint) — state must stay v1, intact,
+      // and the write closure must not run
+      var reran = false
+      VersionedTable.commitDir(root, 1L)(_ => reran = true)
+      assert(!reran, "replayed commit re-ran its write closure")
+      assert(VersionedTable.currentDir(root).get.getName == "v1")
+      assert(spark.read.parquet(new java.io.File(v1, "t2").getPath)
+        .collect().map(_.getLong(0)).toSeq == Seq(4L))
+      // a crash between tmp-write and rename leaves CURRENT.tmp.* strays;
+      // the next commit sweeps them
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "CURRENT.tmp.9").toPath, "v9")
+      VersionedTable.commitDir(root, 2L) { dir =>
+        Seq((5L, "e")).toDF("id", "v")
+          .write.parquet(new java.io.File(dir, "t1").getPath)
       }
+      assert(VersionedTable.currentDir(root).get.getName == "v2")
+      assert(!new java.io.File(root, "CURRENT.tmp.9").exists(),
+        "stale CURRENT.tmp stray survived the next commit")
     } finally VersionedTable.destroy(root)
   }
 
