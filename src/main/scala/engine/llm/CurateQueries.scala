@@ -678,7 +678,15 @@ object CurateQueries {
           (floor(col("adc") * 1e8 + lit(0.5)) / 1e8).as("adc_l2sq"))
         .orderBy("qid", "rank")
     },
-    Some(pqSqlPrefix + s""",
+    Some(pqAdcOracleSql))
+
+  /** The ADC top-k replay — training + encode ([[pqSqlPrefix]]) then
+    * per-query LUT joins and the tie-broken rank. Shared by
+    * [[simSearchPqAdc]] (inline train) and [[simSearchPqIndexed]] (the
+    * persisted-index probe): doubles survive the parquet round trip
+    * bit-exactly, so the probe of the written index equals the inline
+    * recompute and ONE oracle pins both. */
+  private lazy val pqAdcOracleSql: String = pqSqlPrefix + s""",
       sc AS (SELECT l0.vec_id AS qid, p0.vec_id AS cid,
                ${(1 until PqM).foldLeft("l0.d")((a, m) => s"$a + l$m.d")}
                  AS adc
@@ -693,7 +701,77 @@ object CurateQueries {
       SELECT qid, cid,
         row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank,
         floor(adc * 1e8 + 0.5) / 1e8 AS adc_l2sq
-      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""
+
+  // -------------------------------------------------- sim_search_pq_indexed
+  /** The offline PQ indexing job — closes the retrains-per-query gap for
+    * the PQ layout the way [[LlmQueries]]'s ivfBuildIndex closed it for
+    * IVF: train + encode once ([[pqTrainEncode]]), write the `codebooks`
+    * table (M×K rows of (m, k, cu) — the model artifact) and the `codes`
+    * table (one (vec_id, m, k) row per subspace pick — the M-nibble
+    * storage layout, 16 bits of payload per corpus vector), co-versioned
+    * under one atomic pointer ([[engine.stream.VersionedTable
+    * .commitDir]]: a probe must never see new codebooks with old codes).
+    * Returns the two table paths of the CURRENT version. */
+  private def pqBuildIndex(s: SparkSession, d: String): (String, String) = {
+    val (_, kdf, encBs) = pqTrainEncode(s, d)
+    val codes = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
+    val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = new java.io.File(s"/tmp/graft_pq_index_$san")
+    val id = engine.stream.VersionedTable.currentDir(root)
+      .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
+    engine.stream.VersionedTable.commitDir(root, id) { dir =>
+      kdf.write.parquet(new java.io.File(dir, "codebooks").getPath)
+      codes.write.parquet(new java.io.File(dir, "codes").getPath)
+    }
+    val cur = engine.stream.VersionedTable.currentDir(root).get
+    (new java.io.File(cur, "codebooks").getPath,
+      new java.io.File(cur, "codes").getPath)
+  }
+
+  /** ADC serving from the PREBUILT index: queries stay full-precision,
+    * the corpus exists only as the index's code rows. Reads ONLY the two
+    * index tables (plus the query frame): LUT = queries × read codebooks
+    * (broadcast, M·K rows per query), score = equi-join of code rows on
+    * (m, k) + the fixed-slot sum, tie-broken top-k. NO training or
+    * encoding aggregation anywhere in this plan (PlanSpec pins the
+    * absence of the argmin) — the exact plan an ANN service runs per
+    * request while a nightly job refreshes the index. */
+  private def pqAdcProbe(s: SparkSession, qv: DataFrame, cbPath: String,
+      codesPath: String): DataFrame = {
+    val TopK = 5
+    val kdf = s.read.parquet(cbPath)
+    val codes = s.read.parquet(codesPath)
+    val lut = broadcast(qv.crossJoin(kdf)
+      .select(col("qid"), col("m"), col("k"),
+        l2sq(slice(col("qv"), col("m") * PqD + 1, lit(PqD)), col("cu"))
+          .as("dd")))
+    val slots = (0 until PqM).map(m =>
+      sum(when(col("m") === m, col("dd"))).as(s"s$m"))
+    val sc = codes.join(lut, Seq("m", "k"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("qid"), col("vec_id").as("cid"),
+        (0 until PqM).map(m => col(s"s$m")).reduce(_ + _).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("cid"), col("rank"),
+        (floor(col("adc") * 1e8 + lit(0.5)) / 1e8).as("adc_l2sq"))
+  }
+
+  private val simSearchPqIndexed = Q(
+    (s, d) => {
+      import VectorFunctions.asDouble
+      val (cbPath, codesPath) = pqBuildIndex(s, d)
+      val qv = t(s, d, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      pqAdcProbe(s, qv, cbPath, codesPath).orderBy("qid", "rank")
+    },
+    Some(pqAdcOracleSql))
 
   // ------------------------------------------------------------ dedup_url
   /** Per-domain unique-URL budget: beyond this many distinct pages a
@@ -964,5 +1042,6 @@ object CurateQueries {
     "tokenize_ids" -> tokenizeIds,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> embeddingPq,
-    "sim_search_pq_adc" -> simSearchPqAdc)
+    "sim_search_pq_adc" -> simSearchPqAdc,
+    "sim_search_pq_indexed" -> simSearchPqIndexed)
 }

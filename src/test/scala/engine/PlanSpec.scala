@@ -250,6 +250,20 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(scanBlock.contains("INSET"), scanBlock)
   }
 
+  test("sim_search_pq_indexed: the ADC probe reads the prebuilt index, " +
+      "no training aggregation in the plan") {
+    val p = plan("sim_search_pq_indexed")
+    // the probe half must scan the written codebooks/codes tables
+    assert(p.contains("graft_pq_index"), "probe does not read the index")
+    // training and encoding both argmin via min_by; the serving plan
+    // must contain neither (LUT build + (m,k) equi-join + slot sums
+    // only) — a min_by here means the codebook retrained per query
+    assert(!p.contains("min_by"), "probe plan contains a training argmin")
+    // the query-side LUT is broadcast; corpus code rows never cross-join
+    assert(p.contains("BroadcastExchange"), "LUT not broadcast")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+  }
+
   test("dedup_url and agg_funnel: no cartesian; exchanges never carry " +
       "document text") {
     for (q <- Seq("dedup_url", "agg_funnel")) {
