@@ -773,6 +773,51 @@ object LlmQueries {
       SELECT ai AS va, bi AS vb, round(cos, 4) AS cosine
       FROM pr WHERE cos >= 0.45 ORDER BY va, vb"""))
 
+  /** Duplicate clusters for the VECTOR modality — [[clusterPairs]]'
+    * min-label propagation run over the [[dedupEmbeddingBanded]] pair
+    * frame (shared edge input), so embedding near-dups get the same
+    * canonical-rep + cluster-size stage text already has
+    * (dedup_clusters): pairs only say "a~b"; the keep-one decision a
+    * curation pipeline actually consumes needs the transitive closure.
+    * Each vector appearing in any verified pair reports
+    * (rep_id = component min id, cluster_size).
+    *
+    * Shape: edge generation is the banded equi-join (collision-bound,
+    * never O(n²)); the CC loop shuffles 16-byte (id, label) rows with
+    * O(log diameter) pointer-halving rounds — the identical 100 TB
+    * posture as dedup_clusters. Oracle: recursive-CTE transitive
+    * closure over the same SQL-replayed pair list. */
+  private val dedupEmbeddingClusters = Q(
+    (s, d) => {
+      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
+      val c = dot(col("a.u"), col("b.u"))
+      clusterPairs(srpCandidatePairs(e)
+          .filter(c >= 0.45)
+          .select(col("a.vec_id").as("da"), col("b.vec_id").as("db")))
+        .select(col("doc_id").as("vec_id"), col("rep_id"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+    Some(unitSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + srpSqlCtes + """,
+      cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
+               FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      pr AS (SELECT cand.ai, cand.bi,
+               list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+                 AS cos
+             FROM cand JOIN e a ON a.vec_id = cand.ai
+                       JOIN e b ON b.vec_id = cand.bi),
+      prs AS (SELECT ai, bi FROM pr WHERE cos >= 0.45),
+      edges AS (SELECT ai v, bi u FROM prs
+                UNION ALL SELECT bi, ai FROM prs),
+      reach(v, u) AS (SELECT v, u FROM edges
+                      UNION
+                      SELECT r.v, e2.u FROM reach r JOIN edges e2 ON r.u = e2.v),
+      lbl AS (SELECT v, least(v, min(u)) rep FROM reach GROUP BY v)
+      SELECT v AS vec_id, rep AS rep_id,
+        count(*) OVER (PARTITION BY rep) AS cluster_size
+      FROM lbl ORDER BY vec_id"""))
+
   // -------------------------------------------------- B49 similarity search
   /** B49: brute-force cosine top-k. The (tiny) query set is broadcast, so
     * the corpus streams through one codegen'd projection with NO shuffle
@@ -1806,6 +1851,7 @@ object LlmQueries {
     "decontaminate" -> decontaminate,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
+    "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,

@@ -169,7 +169,105 @@ object MultimodalQueries {
       FROM frx JOIN sums ON frx.doc_id = sums.doc_id AND frx.f = sums.f
       ORDER BY frx.doc_id, frame_idx"""))
 
+  /** A frame signature appearing in more than this many docs is
+    * boilerplate (blank frames, shared headers) and is excluded from
+    * BOTH candidate generation and the overlap measure — the C4-style
+    * df cap, which also bounds the signature equi-join's fan-out. */
+  private val PayloadDfCap = 32
+
+  /** B51d: PERCEPTUAL near-dup over the binary payload column — the
+    * image/video dedup stage of a multimodal corpus build, over the
+    * frame signatures [[frameSampleStub]] already emits. Two payloads
+    * are near-dups when their POSITION-INDEPENDENT frame-signature sets
+    * overlap (Jaccard ≥ 0.5): the signature is the frame CONTENT
+    * (byte_sum + head bytes + extent), not its offset, so duplication
+    * shifted by a whole number of frames still matches (the dedup_spans
+    * rationale at byte granularity). Here every 64-byte frame is
+    * signed (`every = 1` — dedup wants coverage; the sampling stub's
+    * every=4 is the preview shape). Emits (da, db, n_common, jaccard)
+    * per qualifying pair.
+    *
+    * Shape: postings are (doc_id, signature-string) narrow rows — the
+    * payload itself never rides a shuffle; candidates come ONLY from
+    * the signature equi-join (df-capped, collision-bound — never
+    * O(n²)); overlap counts and per-doc set sizes are hash aggregates.
+    * A real deployment swaps the signature body for a perceptual hash
+    * (pHash/chromaprint) inside the same partition-local stub; the
+    * banding/cap/verify plumbing is the deliverable. Deterministic byte
+    * arithmetic end-to-end, so the oracle replays signatures, cap,
+    * pairing, and the floor-rounded Jaccard over `hex(payload)`. */
+  private val multimodalPayloadDedup = Q(
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("channels"))
+        .as[MediaRow]
+      val sigs = media.mapPartitions(_.flatMap(m =>
+          frameSampleStub(m, frameBytes = 64, every = 1))).toDF()
+        .select(col("doc_id"), concat_ws(":", col("byte_sum"),
+          col("head_hex"), col("frame_bytes")).as("sig"))
+        .distinct()
+      val kept = engine.ScratchCache.persist(
+        sigs.join(sigs.groupBy("sig").agg(count(lit(1)).as("df")), "sig")
+          .filter(col("df") <= PayloadDfCap)
+          .select(col("doc_id"), col("sig")))
+      val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val jac = col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))
+      kept.as("x").join(kept.as("y"),
+          col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(cnt.toDF("da", "na"), "da")
+        .join(cnt.toDF("db", "nb"), "db")
+        .withColumn("jaccard", floor(jac * 10000 + lit(0.5)) / 10000.0)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("n_common"), col("jaccard"))
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH m AS (SELECT doc_id, encode(text) AS payload
+               FROM documents),
+      b AS (SELECT doc_id, octet_length(payload) AS nb, hex(payload) AS hx
+            FROM m),
+      fr AS (SELECT doc_id, nb, hx,
+               unnest(range(0, (nb + 63) // 64, 1)) AS f FROM b),
+      frx AS (SELECT doc_id, nb, hx, f, (f * 64)::INT AS off,
+               least(f * 64 + 64, nb)::INT AS fin FROM fr),
+      pos AS (SELECT doc_id, f, unnest(range(off, fin)) AS i FROM frx),
+      sums AS (SELECT p.doc_id, p.f,
+                 sum(('0x' || substr(x.hx, (2 * p.i + 1)::INT, 2))::BIGINT)
+                   ::BIGINT AS byte_sum
+               FROM pos p JOIN b x ON p.doc_id = x.doc_id
+               GROUP BY p.doc_id, p.f),
+      sigs AS (SELECT DISTINCT frx.doc_id,
+                 (sums.byte_sum::VARCHAR || ':' ||
+                  lower(substr(frx.hx, 2 * frx.off + 1,
+                    least(8, 2 * (frx.fin - frx.off)))) || ':' ||
+                  (frx.fin - frx.off)::VARCHAR) AS sig
+               FROM frx JOIN sums
+                 ON frx.doc_id = sums.doc_id AND frx.f = sums.f),
+      dfc AS (SELECT sig, count(*) AS df FROM sigs GROUP BY sig),
+      kept AS (SELECT s.doc_id, s.sig FROM sigs s
+               JOIN dfc USING (sig) WHERE dfc.df <= $PayloadDfCap),
+      cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      pr AS (SELECT x.doc_id AS da, y.doc_id AS db,
+               CAST(count(*) AS BIGINT) AS n_common
+             FROM kept x JOIN kept y
+               ON x.sig = y.sig AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+      j AS (SELECT da, db, n_common,
+              floor(n_common::DOUBLE / (ca.n + cb.n - n_common)
+                * 10000 + 0.5) / 10000 AS jaccard
+            FROM pr JOIN cnt ca ON ca.doc_id = pr.da
+                    JOIN cnt cb ON cb.doc_id = pr.db)
+      SELECT da, db, n_common, jaccard FROM j
+      WHERE jaccard >= 0.5 ORDER BY da, db"""))
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_framesample" -> multimodalFramesample)
+    "multimodal_framesample" -> multimodalFramesample,
+    "multimodal_payload_dedup" -> multimodalPayloadDedup)
 }

@@ -81,6 +81,25 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "NULL-signature doc leaked into the band join")
   }
 
+  test("dedup_embedding_clusters: components are consistent with the " +
+      "banded pair frame") {
+    val pairs = LlmQueries.queries("dedup_embedding_banded").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = LlmQueries.queries("dedup_embedding_clusters").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val members = rows.map(_._1).toSet
+    // exactly the ids appearing in some verified pair are clustered
+    assert(members == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    // both ends of every edge share a component; labels are component
+    // minima (rep <= every member, and the rep labels itself)
+    pairs.foreach { case (a, b) => assert(rep(a) == rep(b), s"$a~$b split") }
+    rows.foreach { case (v, l, _) => assert(l <= v && rep(l) == l) }
+    // sizes count members per label
+    val bySize = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.foreach { case (_, l, sz) => assert(sz == bySize(l)) }
+  }
+
   test("dedup_embedding: banded default is a subset of conf-gated exact") {
     val q = LlmQueries.queries("dedup_embedding")
     // default mode = banded (the 100 TB plan, flipped in r7)

@@ -283,6 +283,25 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("multimodal_payload_dedup: candidates are a signature equi-join; " +
+      "the binary payload never rides an exchange") {
+    val exec = graft.SparkEntry.queries("multimodal_payload_dedup")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(!exec.toString.contains("CartesianProduct"))
+    assert(!exec.toString.contains("BroadcastNestedLoopJoin"))
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("payload") && !names.contains("text"),
+        s"payload rides an exchange: $names")
+    }
+  }
+
   test("maintenance_zorder: bucket ranking is per-shard, no global corpus " +
       "sort window") {
     val p = plan("maintenance_zorder")
