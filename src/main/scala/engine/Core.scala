@@ -35,6 +35,27 @@ object Core {
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Eager localCheckpoint that also RESETS plan statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but deliberately carries
+    * the origin plan's `Statistics` onto the resulting `LogicalRDD`. In an
+    * iterative loop whose round-r frame self-joins the round-(r-1)
+    * checkpoint k times, `SizeInBytesOnlyStatsPlanVisitor.visitJoin`
+    * multiplies the children's sizeInBytes, so the carried estimate grows
+    * as k^r in BIT LENGTH — by round 16 of [[llm.CurateQueries.bpeTrain]]
+    * (k=3) it is a ~10^7-bit BigInt and the driver spends MINUTES per
+    * round in Toom-Cook multiplies inside stats estimation (measured:
+    * 248 s for a 169-row round; thread dumps pin `BigInteger.multiply`
+    * under `visitJoin`). Round-tripping the checkpointed RDD through
+    * `createDataFrame` drops the inherited stats back to the constant
+    * `defaultSizeInBytes`, capping estimation cost per round. The extra
+    * InternalRow↔Row conversion is per-partition and linear — noise for
+    * the bounded model-artifact frames these loops carry. */
+  def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Per-published-directory JVM monitors: `FileChannel.lock` throws
     * OverlappingFileLockException when two threads of ONE JVM contend for
     * the same .lock file, so same-dir publishes must serialize in-process

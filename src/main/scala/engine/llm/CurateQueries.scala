@@ -3,6 +3,7 @@ package engine.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import engine.Core
 import engine.Core.t
 import engine.Q
 import TextFunctions._
@@ -358,6 +359,10 @@ object CurateQueries {
           posexplode(tokens(col("text"))).as(Seq("p", "term")))
       val vocab = th.groupBy(col("term"))
         .agg(count(lit(1)).as("cnt"))
+        // unpartitioned window, deliberately: it ranks the VOCABULARY
+        // (one row per distinct term — a bounded model artifact, never
+        // corpus-cardinality), so the single-partition sort is ≤ vocab
+        // size at any corpus scale — unlike a corpus-sized global window
         .select(col("term"), row_number().over(
           Window.orderBy(col("cnt").desc, col("term"))).cast("long").as("tid"))
       th.join(broadcast(vocab), "term")
@@ -383,6 +388,149 @@ object CurateQueries {
         array_to_string(list(tid ORDER BY p), ' ') AS ids
       FROM th JOIN vocab USING (term)
       GROUP BY doc_id ORDER BY doc_id"""))
+
+  // --------------------------------------------------------- tokenize_bpe
+  /** Merge-table size — bounded and fixed so the oracle's unrolled
+    * rounds match the loop exactly; real tokenizer builds run the same
+    * loop to 32k-100k merges. */
+  private val BpeMerges = 16
+
+  /** One BPE training state: (word, freq, rn, sym) — each distinct
+    * corpus WORD as its current symbol sequence, weighted by corpus
+    * frequency. */
+  /** Iterative BPE merge TRAINING over a word-frequency frame — the
+    * actual tokenizer-build job (the real half [[tokenizeIds]]'
+    * frequency vocab stands in for): start from characters plus a
+    * terminal `</w>` marker, and per round (a) sum corpus-weighted
+    * adjacent-pair frequencies, (b) pick the argmax pair (weight desc,
+    * then symbols — deterministic), (c) fuse every non-overlapping
+    * occurrence greedily left-to-right, exactly like reference BPE
+    * implementations. Greedy overlap resolution is the one subtle step:
+    * only a same-symbol pair can self-overlap (for a≠b a match at i
+    * forbids one at i+1), so within each maximal run of ADJACENT match
+    * positions the kept ones are those at even offset from the run
+    * start — a gaps-and-islands computation, SQL-replayable.
+    *
+    * Shape: the distributed part is the word count (one corpus pass —
+    * symbol sequences are per WORD TYPE, a bounded model artifact like
+    * the tokenize_ids vocab, never corpus-cardinality); each round is
+    * lead-window pair counts + an argmax over the pair-frequency frame
+    * (≤ vocab² rows) + two windows to apply the merge, checkpointed
+    * per round (the clusterPairs plan-depth discipline —
+    * [[Core.checkpointFresh]], NOT bare localCheckpoint: the round
+    * frame is referenced 3× by the next round's joins, so carried
+    * origin stats would grow 3^r in bit length and stall the driver
+    * in BigInt stats estimation). The per-round
+    * 1-row collect is the driver-coordinated KMeans/Lloyd shape.
+    * Exhaustion is graceful: an empty argmax stops the loop, and the
+    * oracle's empty bp CTE contributes no row the same way.
+    * Returns the merge table — the model artifact a tokenizer ships. */
+  private[engine] def bpeTrain(wf: DataFrame, rounds: Int): DataFrame = {
+    val s = wf.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy("word").orderBy("rn")
+    var f = wf.select(col("word"), col("freq"),
+        posexplode(concat(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), array(lit("</w>"))))
+          .as(Seq("rn0", "sym")))
+      .select(col("word"), col("freq"), (col("rn0") + 1).as("rn"), col("sym"))
+      .transform(Core.checkpointFresh)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1; var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val nx = f.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val best = nx.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (ml, mr, wt) = best(0)
+        merges += ((r, ml, mr, wt))
+        // greedy leftmost application: islands of adjacent matches keep
+        // even offsets; each kept match fuses (rn, rn+1)
+        val kp = nx.filter(col("sym") === ml && col("nxt") === mr)
+          .withColumn("grp", col("rn") - row_number().over(w))
+          .withColumn("mn",
+            min(col("rn")).over(Window.partitionBy(col("word"), col("grp"))))
+          .filter((col("rn") - col("mn")) % 2 === 0)
+          .select(col("word"), col("rn"))
+        f = nx.join(kp.withColumn("k", lit(1)), Seq("word", "rn"), "left")
+          .join(kp.select(col("word"), (col("rn") + 1).as("rn"),
+            lit(1).as("c")), Seq("word", "rn"), "left")
+          .filter(col("c").isNull)
+          .select(col("word"), col("freq"),
+            row_number().over(w).as("rn"),
+            when(col("k") === 1, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .transform(Core.checkpointFresh)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_weight")
+  }
+
+  private val tokenizeBpe = Q(
+    (s, d) => {
+      val wf = docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      bpeTrain(wf, BpeMerges).orderBy("merge_rank")
+    },
+    Some(bpeOracleSql))
+
+  /** The unrolled-round replay of [[bpeTrain]]: per round r, CTEs
+    * nx$r (lead pairs) → bp$r (weighted argmax, LIMIT 1) → kp$r
+    * (greedy island parity) → f$r (fuse + renumber); final output is
+    * the UNION ALL of every round's bp row. An exhausted round's empty
+    * bp contributes no row and passes f through unchanged — identical
+    * to the loop's early stop. Multi-referenced CTEs are
+    * AS MATERIALIZED: DuckDB otherwise INLINES each reference, and a
+    * 16-round chain where every round reads its predecessor 3× inlines
+    * the base scan 3^16 times (observed as an EMFILE from duplicated
+    * parquet opens) — the SQL twin of the localCheckpoint the Spark
+    * loop needs for the same reason. */
+  private lazy val bpeOracleSql: String = {
+    def round(r: Int): String = s""",
+      nx$r AS MATERIALIZED (SELECT word, freq, rn, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY rn) AS nxt
+             FROM f${r - 1}),
+      bp$r AS MATERIALIZED (SELECT sym, nxt, sum(freq) AS wt FROM nx$r
+             WHERE nxt IS NOT NULL GROUP BY sym, nxt
+             ORDER BY wt DESC, sym, nxt LIMIT 1),
+      mt$r AS (SELECT n.word, n.rn FROM nx$r n JOIN bp$r b
+               ON n.sym = b.sym AND n.nxt = b.nxt),
+      il$r AS (SELECT word, rn,
+               rn - row_number() OVER (PARTITION BY word ORDER BY rn) AS grp
+             FROM mt$r),
+      kp$r AS MATERIALIZED (SELECT word, rn FROM (
+               SELECT word, rn, min(rn) OVER (PARTITION BY word, grp) AS mn
+               FROM il$r) WHERE (rn - mn) % 2 = 0),
+      f$r AS MATERIALIZED (SELECT n.word, n.freq,
+               row_number() OVER (PARTITION BY n.word ORDER BY n.rn) AS rn,
+               CASE WHEN k.rn IS NOT NULL THEN n.sym || n.nxt
+                    ELSE n.sym END AS sym
+             FROM nx$r n
+             LEFT JOIN kp$r k ON k.word = n.word AND k.rn = n.rn
+             LEFT JOIN kp$r c ON c.word = n.word AND c.rn = n.rn - 1
+             WHERE c.rn IS NULL)"""
+    val rows = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, sym AS left_sym, nxt AS right_sym, " +
+        s"CAST(wt AS BIGINT) AS pair_weight FROM bp$r")
+      .mkString(" UNION ALL ")
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok
+             GROUP BY word),
+      f0 AS MATERIALIZED (SELECT word, freq, rn,
+               CASE WHEN rn <= length(word) THEN substr(word, rn::INT, 1)
+                    ELSE '</w>' END AS sym
+             FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word) + 1)) AS rn
+                   FROM wf))""" +
+      (1 to BpeMerges).map(round).mkString +
+      s" SELECT * FROM ($rows) ORDER BY merge_rank"
+  }
 
   // -------------------------------------------------- embedding_quantize
   /** Int8 scalar quantization of the embedding column — the 4x storage
@@ -1040,6 +1188,7 @@ object CurateQueries {
     "dedup_spans" -> dedupSpans,
     "sample_stratified" -> sampleStratified,
     "tokenize_ids" -> tokenizeIds,
+    "tokenize_bpe" -> tokenizeBpe,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,

@@ -34,6 +34,36 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(r.getAs[Int]("n_removed") <= r.getAs[Int]("n_lines")))
   }
 
+  test("bpeTrain: golden merges on a hand-computed corpus") {
+    // wf: ab×3, abc×2. Round-by-round by hand:
+    //  r1 pairs (a,b)=5 (b,</w>)=3 (b,c)=2 (c,</w>)=2 → merge (a,b,5)
+    //  r2: ab=[ab,</w>] abc=[ab,c,</w>] → (ab,</w>)=3 wins → (ab,</w>,3)
+    //  r3: (ab,c)=2 ties (c,</w>)=2 → sym asc: 'ab' < 'c' → (ab,c,2)
+    //  r4: (abc,</w>)=2 → merge; r5: no pairs left → early stop
+    val wf = Seq(("ab", 3L), ("abc", 2L)).toDF("word", "freq")
+    val got = CurateQueries.bpeTrain(wf, 16).orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "b", 5L), (2, "ab", "</w>", 3L),
+      (3, "ab", "c", 2L), (4, "abc", "</w>", 2L)))
+  }
+
+  test("bpeTrain: same-symbol runs fuse greedily leftmost (island parity)") {
+    // 'aaaa' → r1 merges (a,a): matches at 1,2,3 are ONE island; parity
+    // keeps 1 and 3 → [aa, aa, </w>], never [aa, a, a, </w>]
+    val wf = Seq(("aaaa", 1L)).toDF("word", "freq")
+    val m = CurateQueries.bpeTrain(wf, 3).orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // r1 (a,a) weight 3 (three adjacent pairs); the POST-MERGE state
+    // [aa,aa,</w>] is visible through r2's argmax: (aa,aa)=1 ties
+    // (aa,</w>)=1 and '</w>' < 'aa' lexicographically → (aa,</w>) wins,
+    // leaving [aa, aa</w>], whose one pair r3 fuses. An un-greedy r1
+    // ([aa,a,a,</w>]) would have surfaced (a,a) or (a,</w>) instead.
+    assert(m == Seq((1, "a", "a", 3L), (2, "aa", "</w>", 1L),
+      (3, "aa", "aa</w>", 1L)))
+  }
+
   test("pii_scrub redacts every planted span and nothing else") {
     val out = CurateQueries.queries("pii_scrub").fn(spark, sf).collect()
     out.foreach { r =>
