@@ -20,16 +20,37 @@ final case class Q(
 object Core {
   /** Load one driver testdata table from the given scale-factor dir.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a long and floor-divide to
-    * micros — exactly DuckDB's ns→us truncation — so both engines see
-    * identical timestamps.
+    * `events.ts` has changed physical type across testdata generations —
+    * TIMESTAMP(NANOS) through r9, TIMESTAMP_NTZ(micros) from r10 — so the
+    * loader adapts to the RESOLVED read schema instead of assuming one:
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *     ([ILLEGAL_PARQUET_TYPE]) unless `nanosAsLong` surfaces it as a
+    *     long; floor-divide to micros — exactly DuckDB's ns→us truncation.
+    *   - TIMESTAMP_NTZ: cast to session-TZ timestamp. Every harness pins
+    *     spark.sql.session.timeZone=UTC, so the naive datetimes map to the
+    *     same instants DuckDB reads from the same file.
+    * The `nanosAsLong` conf is only touched on the legacy-NANOS retry
+    * path, never on the steady-state read.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass != null &&
+                e.getErrorClass.contains("ILLEGAL_PARQUET_TYPE") =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(s"$dir/$name.parquet")
+        }
+      raw.schema("ts").dataType match {
+        case LongType => // nanos surfaced as long (legacy testdata)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already session-TZ timestamp
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
