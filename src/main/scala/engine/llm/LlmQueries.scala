@@ -477,8 +477,25 @@ object LlmQueries {
   def simhashOf(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"), SimHash60(tokens(col("text"))).as("sim"))
 
+  /** Band-bucket occupancy cap for simhash candidate generation. A
+    * (band, value) bucket holding k docs proposes k(k-1)/2 candidate
+    * pairs, so hot buckets make the pair frame quadratic-in-bucket:
+    * the r10 scale probe measured 50× runtime growth (7.5 M pairs) on
+    * 10× docs because the testdata's 30-word vocabulary packs hundreds
+    * of unrelated docs into single buckets. Buckets over the cap are
+    * DROPPED — the same df-cap discipline as [[ContainDfCap]]'s shingle
+    * postings: an over-occupied signature band carries no discriminating
+    * information (it is the band-space analogue of a stopword), while
+    * genuine near-dup groups (bounded clique size) stay under it. Bounds
+    * candidates at cap²/2 per bucket × ≤ 640 possible buckets
+    * (10 bands × 2^6 values) regardless of corpus size. Replayed
+    * verbatim in every consuming oracle, so the DuckDB gate sees the
+    * identical pair list. */
+  private[llm] val SimhashBandCap = 16
+
   /** Simhash near-dup pairs (hamming <= maxHamming <= 9) via banded
-    * candidate generation — exact per the pigeonhole bound. */
+    * candidate generation — exact per the pigeonhole bound for pairs
+    * whose shared bands survive the [[SimhashBandCap]] occupancy cap. */
   def simhashPairs(docsDf: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 9, "10 bands of 6 bits are exact only to hamming 9")
     // both sides of the band self-join consume the signature frame; persist
@@ -499,9 +516,18 @@ object LlmQueries {
         explode(codeBands(col("sim"), 10, 6)).as("bb"))
       .select(col("doc_id"), col("sim"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // hot-bucket removal costs NO extra shuffle: the (band, bv) key space
+    // is at most 640 values, so the occupancy aggregate collapses to a
+    // ≤ 640-row frame at any corpus size and rides a broadcast anti-join
+    // back onto the band postings
+    val hot = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > SimhashBandCap)
+      .select(col("band"), col("bv"))
+    val capped = banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
     val ham = bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
-    banded.as("a")
-      .join(banded.as("b"),
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -525,6 +551,30 @@ object LlmQueries {
                sum(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT sim
              FROM bits GROUP BY 1)"""
 
+  /** The banded, occupancy-capped, hamming≤8 pair CTE chain (appends to
+    * [[simhashSqlCtes]]'s `simh`, ends in `prs(da, db, hamming)`) — the
+    * exact SQL replay of [[simhashPairs]] including [[SimhashBandCap]]:
+    * same band extraction (`(sim >> j*6) & 63` = codeBands), same
+    * hot-bucket drop, same candidate dedup. Shared VERBATIM by the
+    * dedup_simhash, dedup_clusters and dedup_edit_distance oracles so
+    * all three gates compare against the identical pair list. */
+  private val simhashPairsSqlCtes = simhashSqlCtes + s""",
+      bnd AS (SELECT doc_id, j, (sim >> (j * 6)) & 63 bv
+              FROM simh CROSS JOIN generate_series(0, 9) t(j)),
+      hot AS (SELECT j, bv FROM bnd GROUP BY j, bv
+              HAVING count(*) > $SimhashBandCap),
+      bok AS (SELECT b.doc_id, b.j, b.bv FROM bnd b
+              WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                WHERE h.j = b.j AND h.bv = b.bv)),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+               FROM bok a JOIN bok b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      prs AS (SELECT c.da, c.db,
+                CAST(bit_count(xor(x.sim, y.sim)) AS INT) hamming
+              FROM cand c JOIN simh x ON x.doc_id = c.da
+                          JOIN simh y ON y.doc_id = c.db
+              WHERE bit_count(xor(x.sim, y.sim)) <= 8)"""
+
   /** The hamming≤8 simhash pair list, shared VERBATIM by dedup_simhash,
     * dedup_clusters (its edges) and dedup_edit_distance (its candidates)
     * — one signature + banded self-join per session per sf (keyed
@@ -536,12 +586,8 @@ object LlmQueries {
 
   private val dedupSimhash = Q(
     (s, d) => simhashPairs8(s, d).orderBy("da", "db"),
-    Some("WITH " + simhashSqlCtes + """
-      SELECT a.doc_id AS da, b.doc_id AS db,
-        CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-      FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sim, b.sim)) <= 8
-      ORDER BY da, db"""))
+    Some("WITH " + simhashPairsSqlCtes + """
+      SELECT da, db, hamming FROM prs ORDER BY da, db"""))
 
   /** Duplicate CLUSTERS: connected components over the near-dup pair
     * graph — the stage a real dedup pipeline runs after pair generation
@@ -634,10 +680,7 @@ object LlmQueries {
       .orderBy("doc_id"),
     // oracle: transitive closure by recursive CTE (set-semantics UNION
     // terminates it), then min reachable id per node = component label
-    Some("WITH RECURSIVE " + simhashSqlCtes + """,
-      prs AS (SELECT a.doc_id da, b.doc_id db
-              FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.sim, b.sim)) <= 8),
+    Some("WITH RECURSIVE " + simhashPairsSqlCtes + """,
       edges AS (SELECT da v, db u FROM prs
                 UNION ALL SELECT db, da FROM prs),
       reach(v, u) AS (SELECT v, u FROM edges
@@ -1481,10 +1524,7 @@ object LlmQueries {
         .filter(col("lev") >= 0) // -1 = distance exceeded the bound
         .orderBy("da", "db")
     },
-    Some("WITH " + simhashSqlCtes + """,
-      prs AS (SELECT a.doc_id da, b.doc_id db
-              FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.sim, b.sim)) <= 8)
+    Some("WITH " + simhashPairsSqlCtes + """
       SELECT p.da, p.db, levenshtein(ta.text, tb.text) AS lev
       FROM prs p JOIN documents ta ON ta.doc_id = p.da
                  JOIN documents tb ON tb.doc_id = p.db

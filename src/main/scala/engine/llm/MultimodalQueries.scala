@@ -204,25 +204,35 @@ object MultimodalQueries {
         col("text").cast("binary").as("payload"),
         lit(0).as("width"), lit(0).as("height"), lit(1).as("channels"))
         .as[MediaRow]
-      val sigs = media.mapPartitions(_.flatMap(m =>
-          frameSampleStub(m, frameBytes = 64, every = 1))).toDF()
-        .select(col("doc_id"), concat_ws(":", col("byte_sum"),
-          col("head_hex"), col("frame_bytes")).as("sig"))
-        .distinct()
+      // ONE linear pipeline to the persisted posting table (r10 bench
+      // drifted 1.86 → 2.83 s from recomputed subtrees + join-heavy df/n
+      // attachment): df and the per-doc kept-count n are window counts
+      // (each one exchange, vs groupBy+join's two), n rides INTO the
+      // self-join so no post-join against a cnt table is needed, and the
+      // final repartition(sig) leaves the cache hash-partitioned on the
+      // join key — both sides of the pair join read it exchange-free.
+      val w = org.apache.spark.sql.expressions.Window
       val kept = engine.ScratchCache.persist(
-        sigs.join(sigs.groupBy("sig").agg(count(lit(1)).as("df")), "sig")
+        media.mapPartitions(_.flatMap(m =>
+            frameSampleStub(m, frameBytes = 64, every = 1))).toDF()
+          .select(col("doc_id"), concat_ws(":", col("byte_sum"),
+            col("head_hex"), col("frame_bytes")).as("sig"))
+          .distinct()
+          .withColumn("df", count(lit(1)).over(w.partitionBy("sig")))
           .filter(col("df") <= PayloadDfCap)
-          .select(col("doc_id"), col("sig")))
-      val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .withColumn("n", count(lit(1)).over(w.partitionBy("doc_id")))
+          .select(col("doc_id"), col("sig"), col("n"))
+          .repartition(col("sig")))
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))
       kept.as("x").join(kept.as("y"),
           col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        // na/nb are functionally dependent on da/db — grouping by them
+        // changes no groups, it just carries the counts through the agg
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.n").as("na"), col("y.n").as("nb"))
         .agg(count(lit(1)).as("n_common"))
-        .join(cnt.toDF("da", "na"), "da")
-        .join(cnt.toDF("db", "nb"), "db")
         .withColumn("jaccard", floor(jac * 10000 + lit(0.5)) / 10000.0)
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), col("n_common"), col("jaccard"))

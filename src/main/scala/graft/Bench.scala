@@ -72,10 +72,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // hard failures (-1) are visible per-query but must not subtract
-    // from the reported total
+    // from the reported total — and they are surfaced as a first-class
+    // count + id list so a partially-broken sweep can never read as a
+    // faster total (r10: 31 silent -1.0s made 132.7 s look like a win)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failedIds = results.collect { case (k, v) if v < 0 => k }
+    val failedList = failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n")
