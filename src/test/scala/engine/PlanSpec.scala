@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_simhash: the band-occupancy cap is a broadcast anti-join, " +
+      "not a shuffled one") {
+    // the (band, bv) key space is ≤ 640 values, so the hot-bucket frame
+    // must ride a BroadcastHashJoin LeftAnti — a shuffled anti-join here
+    // would re-exchange the full posting frame just to apply the cap
+    val p = plan("dedup_simhash")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("dedup_embedding: exact yardstick stays conf-gated behind the default") {
     // the DEFAULT plan is the banded equi-join (pinned with the near-dup
     // group above); `exact` must remain reachable for verification — its
