@@ -1179,7 +1179,113 @@ object CurateQueries {
         LEFT JOIN emitted e USING (lang)
       ORDER BY r.lang"""))
 
+  // ----------------------------------------------------- quality_classifier
+  /** Model-based quality filter — the fastText-style linear classifier
+    * every web-corpus pipeline runs after heuristic scrubbing (the GPT-3 /
+    * CCNet "looks like reference text" gate): hashed bigram features, a
+    * weight per feature bucket, mean activation as the document score,
+    * keep iff the score is non-negative. The WEIGHTS here are derived
+    * deterministically from the feature digest (md5 → integer in
+    * [-1000, 1000]) — a real deployment loads trained weights as a
+    * broadcast model artifact into the identical plumbing; hashing-trick
+    * featurization, scoring, and thresholding are the deliverable.
+    *
+    * Shape: a pure per-document codegen projection — `transform` builds
+    * the bigram array, `aggregate` folds the integer weight sum (order-
+    * free by integer addition, the agg_stats discipline), and NOTHING
+    * shuffles before the determinism sort. At 100 TB this runs at scan
+    * speed with zero exchanges, the cheapest possible corpus pass. */
+  private val qualityClassifier = Q(
+    (s, d) => {
+      val tok = tokens(col("text"))
+      // n>=2 guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0],
+      // so a one-token doc must short-circuit to no features
+      val bigrams = when(size(tok) >= 2,
+        transform(sequence(lit(1), size(tok) - 1), i =>
+          concat_ws("_", element_at(tok, i), element_at(tok, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, d)
+        .select(col("doc_id"), bigrams.as("bg"))
+        .select(col("doc_id"), size(col("bg")).as("n_feats"),
+          aggregate(col("bg"), lit(0L),
+            (acc, b) => acc + (pmod(tokenHash60(b), lit(2001L)) - 1000L))
+            .as("sw"))
+        .select(col("doc_id"), col("n_feats"),
+          Core.r4(when(col("n_feats") > 0,
+            col("sw") / (col("n_feats") * lit(1000.0))).otherwise(0.0))
+            .as("score"),
+          (col("sw") >= 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') t
+               FROM documents),
+      bgl AS (SELECT doc_id,
+                CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                    i -> t[i] || '_' || t[i + 1])
+                  ELSE [] END AS bg FROM tok),
+      f AS (SELECT doc_id, unnest(bg) b FROM bgl),
+      w AS (SELECT doc_id,
+              ('0x' || substr(md5(b), 1, 15))::BIGINT % 2001 - 1000 wi
+            FROM f),
+      agg AS (SELECT doc_id, count(*) n, sum(wi)::BIGINT sw
+              FROM w GROUP BY 1)
+      SELECT g.doc_id,
+        coalesce(agg.n, 0)::INT AS n_feats,
+        round(CASE WHEN coalesce(agg.n, 0) > 0
+          THEN coalesce(agg.sw, 0) / (agg.n * 1000.0) ELSE 0.0 END, 4)
+          AS score,
+        coalesce(agg.sw, 0) >= 0 AS keep
+      FROM documents g LEFT JOIN agg USING (doc_id)
+      ORDER BY g.doc_id"""))
+
+  // --------------------------------------------------------- corpus_report
+  /** Per-(source, lang) corpus data card — the mixture-design surface a
+    * pretraining run reads before setting sample_mixture / temperature
+    * weights: document and token counts, length statistics, and the
+    * exact-duplicate rate (fraction of docs whose normalized-text digest
+    * appears more than once). The report is what operators like
+    * sample_mixture consume as their stratum statistics at 100 TB.
+    *
+    * Shape: one digest-keyed window (narrow rows — source/lang/counts +
+    * 32-byte digest, the document body never rides the exchange) to flag
+    * duplicates, then one hash aggregate to the ~|sources × langs| report
+    * frame. Integer sums throughout (exact under parallel aggregation);
+    * the only doubles are final divisions of exact integers. */
+  private val corpusReport = Q(
+    (s, d) => {
+      val base = docs(s, d).select(
+        col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_toks"),
+        md5(lower(trim(col("text")))).as("dg"))
+      val flagged = base.withColumn("dup",
+        (count(lit(1)).over(Window.partitionBy("dg")) > 1).cast("int"))
+      flagged.groupBy("source", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          Core.r4(avg(col("n_chars"))).as("avg_chars"),
+          Core.r4(sum(col("dup")).cast("double") / count(lit(1)))
+            .as("dup_rate"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH b AS (SELECT source, lang, n_chars,
+                len(string_split(text, ' ')) n_toks,
+                md5(lower(trim(text))) dg FROM documents),
+      c AS (SELECT dg, count(*) cnt FROM b GROUP BY 1),
+      f AS (SELECT b.*, CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END dup
+            FROM b JOIN c USING (dg))
+      SELECT source, lang, count(*) AS n_docs,
+        sum(n_toks)::BIGINT AS n_tokens,
+        round(avg(n_chars), 4) AS avg_chars,
+        round(sum(dup) / count(*)::DOUBLE, 4) AS dup_rate,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val queries: Map[String, Q] = Map(
+    "quality_classifier" -> qualityClassifier,
+    "corpus_report" -> corpusReport,
     "dedup_lines" -> dedupLines,
     "dedup_url" -> dedupUrl,
     "pipeline_pretrain" -> pipelinePretrain,

@@ -282,4 +282,46 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       (1 to 25).map(i => s"t$i").toList, "chunks concatenate to the doc")
     assert(chunks(2L).toList == List("a b c"))
   }
+
+  test("quality_classifier + corpus_report: degenerate docs and dup rates " +
+      "on a crafted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("curate_edge").toString
+    Seq(
+      (1L, "hello", "en", "web", 5L),          // 1 token -> no features
+      (2L, "a b a b", "en", "web", 7L),        // bigrams a_b, b_a, a_b
+      (3L, "x y", "en", "web", 3L),            // exact dup of 4
+      (4L, "x y", "en", "web", 3L),
+      (5L, "p q r", "de", "book", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val qc = engine.llm.CurateQueries.queries("quality_classifier")
+      .fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(qc(1L).getAs[Int]("n_feats") == 0)
+    assert(qc(1L).getAs[Double]("score") == 0.0)
+    assert(qc(1L).getAs[Boolean]("keep"), "featureless doc defaults to keep")
+    assert(qc(2L).getAs[Int]("n_feats") == 3)
+    qc.values.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc >= -1.0 && sc <= 1.0, s"mean activation out of range: $sc")
+      // threshold consistency: keep <=> score >= 0 (sw and score share sign
+      // except the exact-zero boundary, where both say keep)
+      assert(r.getAs[Boolean]("keep") == (sc >= 0.0))
+    }
+
+    val rep = engine.llm.CurateQueries.queries("corpus_report")
+      .fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r)
+      .toMap
+    assert(rep.keySet == Set(("web", "en"), ("book", "de")))
+    val web = rep(("web", "en"))
+    assert(web.getAs[Long]("n_docs") == 4)
+    assert(web.getAs[Long]("n_tokens") == 1 + 4 + 2 + 2)
+    assert(web.getAs[Double]("dup_rate") == 0.5, "2 of 4 docs are dups")
+    assert(web.getAs[Long]("min_chars") == 3 && web.getAs[Long]("max_chars") == 7)
+    val book = rep(("book", "de"))
+    assert(book.getAs[Long]("n_docs") == 1)
+    assert(book.getAs[Double]("dup_rate") == 0.0)
+  }
 }

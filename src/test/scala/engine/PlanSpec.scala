@@ -53,6 +53,39 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("quality_classifier: pure projection — only the determinism sort " +
+      "exchanges") {
+    // the hashing-trick featurize + weight fold must stay a per-row
+    // codegen projection: the cheapest possible corpus pass, zero
+    // exchanges before the final sort
+    val exec = graft.SparkEntry.queries("quality_classifier")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(e.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "quality_classifier shuffled data before the final sort"))
+  }
+
+  test("corpus_report: the dup-flag window exchanges digests, never text") {
+    val exec = graft.SparkEntry.queries("corpus_report")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"report exchange carries the document body: ${e.output.map(_.name)}")
+    }
+  }
+
   test("dedup_simhash: the band-occupancy cap is a broadcast anti-join, " +
       "not a shuffled one") {
     // the (band, bv) key space is ≤ 640 values, so the hot-bucket frame
