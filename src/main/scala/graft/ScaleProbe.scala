@@ -52,7 +52,9 @@ object ScaleProbe {
       "dedup_url", "sample_temperature", "sim_search_ivf_indexed",
       "sim_search_pq_adc", "decontaminate_incremental",
       "dedup_embedding_incremental", "stream_ann_probe",
-      "pipeline_pretrain")
+      "pipeline_pretrain",
+      // r11 additions: linear quality gate, per-stratum data card
+      "quality_classifier", "corpus_report")
     val prev = readPrev()
     val results = ops.map { q =>
       val t0 = System.nanoTime()
