@@ -697,6 +697,55 @@ object LlmQueries {
         count(*) OVER (PARTITION BY rep) AS cluster_size
       FROM lbl ORDER BY doc_id"""))
 
+  /** CLUSTER-WEIGHTED soft dedup — the SemDeDup/D4 finding applied as a
+    * sampler: instead of hard-dropping near-duplicates, keep each doc
+    * with probability 1/cluster_size (singletons always survive), so
+    * every duplicate GROUP contributes ~one expected copy while intra-
+    * group diversity still gets a chance — the downweight-don't-delete
+    * curation stage. Membership is the deterministic salted-md5-fraction
+    * compare of sample_hash/sample_temperature: kept-or-not is f(doc_id)
+    * alone, re-derivable by any downstream stage.
+    *
+    * Shape: composes two already-verified pieces — the occupancy-capped
+    * simhash pair frame → pointer-halving connected components (16-byte
+    * label shuffles) → one left join of (doc_id, cluster_size) back to
+    * the corpus ids + a per-row hash compare. No new shuffle class; the
+    * weight table a 100 TB pipeline materializes is |clustered docs|,
+    * orders of magnitude under corpus size. */
+  private val sampleClusterWeighted = Q(
+    (s, d) => {
+      val cl = clusterPairs(
+        simhashPairs8(s, d).select(col("da"), col("db")))
+        .select(col("doc_id"), col("cluster_size"))
+      val u = conv(substring(md5(concat_ws("|", lit("cw"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0
+      docs(s, d).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+        .withColumn("w", lit(1.0) / col("cluster_size"))
+        .filter(u < col("w"))
+        .select(col("doc_id"), col("cluster_size"), r4(col("w")).as("weight"))
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + simhashPairsSqlCtes + """,
+      edges AS (SELECT da v, db u FROM prs
+                UNION ALL SELECT db, da FROM prs),
+      reach(v, u) AS (SELECT v, u FROM edges
+                      UNION
+                      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+      lbl AS (SELECT v, least(v, min(u)) rep FROM reach GROUP BY v),
+      cs AS (SELECT v AS doc_id,
+               count(*) OVER (PARTITION BY rep) AS cluster_size FROM lbl),
+      jw AS (SELECT d.doc_id,
+               coalesce(cs.cluster_size, 1) AS cluster_size,
+               1::DOUBLE / coalesce(cs.cluster_size, 1) AS w,
+               (('0x' || substr(md5('cw|' || d.doc_id), 1, 8))::BIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM documents d LEFT JOIN cs USING (doc_id))
+      SELECT doc_id, cluster_size, round(w, 4) AS weight
+      FROM jw WHERE u < w ORDER BY doc_id"""))
+
   /** SRP-LSH band-collision candidate pairs over unit vectors
     * `e(vec_id, u)`: 16-bit code, 4 bands × 4 bits; candidate ids are
     * deduped bare (a pair surfacing in several bands dedups on the id
@@ -1892,6 +1941,7 @@ object LlmQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
+    "sample_cluster_weighted" -> sampleClusterWeighted,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_containment" -> dedupContainment,
     "decontaminate" -> decontaminate,

@@ -53,8 +53,9 @@ object ScaleProbe {
       "sim_search_pq_adc", "decontaminate_incremental",
       "dedup_embedding_incremental", "stream_ann_probe",
       "pipeline_pretrain",
-      // r11 additions: linear quality gate, per-stratum data card
-      "quality_classifier", "corpus_report")
+      // r11 additions: linear quality gate, per-stratum data card,
+      // cluster-weighted soft dedup
+      "quality_classifier", "corpus_report", "sample_cluster_weighted")
     val prev = readPrev()
     val results = ops.map { q =>
       val t0 = System.nanoTime()

@@ -436,4 +436,28 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     (20L to 22L).foreach(v => assert(out(v) == (20L, 3L), s"clique node $v"))
     (30L to 32L).foreach(v => assert(out(v) == (30L, 3L), s"vee node $v"))
   }
+
+  test("sample_cluster_weighted: singletons always survive; clique members " +
+      "carry weight 1/size") {
+    // 4 identical docs (hamming-0 clique) + 3 mutually-distant singletons
+    // (the LlmSpec synthetic-vocab trick: disjoint 200-token vocabularies)
+    val cliqueText = (0 until 200).map(i => s"w${i % 120}").mkString(" ")
+    def far(p: String) = (0 until 200).map(i => s"$p${i % 120}").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("scw").toString
+    ((0L until 4L).map(i => (i, cliqueText)) ++
+      Seq((10L, far("x")), (11L, far("y")), (12L, far("z"))))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = LlmQueries.queries("sample_cluster_weighted").fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    engine.ScratchCache.drain()
+    Seq(10L, 11L, 12L).foreach(v =>
+      assert(kept.get(v).contains((1L, 1.0)), s"singleton $v must survive"))
+    kept.filterKeys(_ < 4L).values.foreach { case (sz, w) =>
+      assert(sz == 4L && w == 0.25, "clique members carry weight 1/4")
+    }
+  }
 }
