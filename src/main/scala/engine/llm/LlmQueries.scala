@@ -504,6 +504,13 @@ object LlmQueries {
     * whose shared bands survive the [[SimhashBandCap]] occupancy cap. */
   def simhashPairs(docsDf: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 9, "10 bands of 6 bits are exact only to hamming 9")
+    // deployment knob (the dedupEmbedding.mode precedent): raise the cap
+    // on corpora whose genuine near-dup groups exceed it, at quadratic
+    // per-bucket cost. The DEFAULT is what every oracle replays — the
+    // canned queries never override it.
+    val cap = docsDf.sparkSession.conf
+      .getOption("spark.graft.simhash.bandCap")
+      .map(_.toInt).getOrElse(SimhashBandCap)
     // both sides of the band self-join consume the signature frame; persist
     // it (|docs| rows of (id, 60-bit code)) or the token pipeline runs
     // twice. Hash-spread BEFORE the persist: the projection-based
@@ -528,7 +535,7 @@ object LlmQueries {
     // back onto the band postings
     val hot = banded.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > SimhashBandCap)
+      .filter(col("occ") > cap)
       .select(col("band"), col("bv"))
     val capped = banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
     val ham = bit_count(col("a.sim").bitwiseXOR(col("b.sim")))

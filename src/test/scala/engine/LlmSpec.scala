@@ -437,6 +437,20 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     (30L to 32L).foreach(v => assert(out(v) == (30L, 3L), s"vee node $v"))
   }
 
+  test("simhash band cap knob: cap=1 drops shared buckets, default keeps " +
+      "the near-dup pair") {
+    val base = (0 until 200).map(i => s"w${i % 120}")
+    val df = Seq((0L, base.mkString(" ")), (3L, base.mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs() = LlmQueries.simhashPairs(df, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs().contains((0L, 3L)))
+    spark.conf.set("spark.graft.simhash.bandCap", "1")
+    try assert(pairs().isEmpty,
+      "identical docs share every bucket; cap=1 must drop them all")
+    finally spark.conf.unset("spark.graft.simhash.bandCap")
+  }
+
   test("sample_cluster_weighted: singletons always survive; clique members " +
       "carry weight 1/size") {
     // 4 identical docs (hamming-0 clique) + 3 mutually-distant singletons
