@@ -24,7 +24,7 @@ object Core {
     * TIMESTAMP(NANOS) through r9, TIMESTAMP_NTZ(micros) from r10 — so the
     * loader adapts to the RESOLVED read schema instead of assuming one:
     *   - TIMESTAMP(NANOS): Spark 4 rejects it outright
-    *     ([ILLEGAL_PARQUET_TYPE]) unless `nanosAsLong` surfaces it as a
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` surfaces it as a
     *     long; floor-divide to micros — exactly DuckDB's ns→us truncation.
     *   - TIMESTAMP_NTZ: cast to session-TZ timestamp. Every harness pins
     *     spark.sql.session.timeZone=UTC, so the naive datetimes map to the
@@ -39,8 +39,8 @@ object Core {
         try spark.read.parquet(s"$dir/$name.parquet")
         catch {
           case e: org.apache.spark.sql.AnalysisException
-              if e.getErrorClass != null &&
-                e.getErrorClass.contains("ILLEGAL_PARQUET_TYPE") =>
+              if e.getCondition != null &&
+                e.getCondition.contains("PARQUET_TYPE_ILLEGAL") =>
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(s"$dir/$name.parquet")
         }

@@ -73,6 +73,19 @@ class TestdataDriftSpec extends AnyFunSuite {
     })
   }
 
+  test("legacy TIMESTAMP(NANOS) events take the retry branch and rescale") {
+    // a REAL nanos-typed parquet (pyarrow-written fixture — Spark cannot
+    // produce one): the plain read throws ILLEGAL_PARQUET_TYPE, Core.t
+    // must retry under nanosAsLong and floor-divide to micros. Guards
+    // the branch the r9→r10 testdata flip would re-enter if the driver
+    // ever reverts to nanos.
+    val dir = getClass.getResource("/nanos_events").getPath
+    val got = Core.t(spark, dir, "events")
+      .orderBy("event_id").select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1700000000123456L, 1700000000123456L))
+  }
+
   test("legacy nanos-as-long events still rescale to micros") {
     // The pre-r10 testdata surfaced ts as a nanos long (via nanosAsLong);
     // Core.t must keep floor-dividing that shape to micros. Synthesize a
