@@ -593,9 +593,15 @@ object LlmQueries {
     * — one signature + banded self-join per session per sf (keyed
     * persist), the pair table a real pipeline materializes once and
     * feeds every downstream consumer from. */
-  private def simhashPairs8(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"simhash_pairs8:$d")(
+  private def simhashPairs8(s: SparkSession, d: String): DataFrame = {
+    // the resolved band cap is part of the cache identity: without it,
+    // raising spark.graft.simhash.bandCap mid-session would silently
+    // return the stale pair table built under the old cap (r11 review)
+    val cap = s.conf.getOption("spark.graft.simhash.bandCap")
+      .map(_.toInt).getOrElse(SimhashBandCap)
+    engine.ScratchCache.persistKeyed(s"simhash_pairs8:$d:$cap")(
       simhashPairs(docs(s, d), 8))
+  }
 
   private val dedupSimhash = Q(
     (s, d) => simhashPairs8(s, d).orderBy("da", "db"),

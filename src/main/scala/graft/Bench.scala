@@ -38,10 +38,10 @@ object Bench {
     // run FIRST on a fresh heap: they are the most allocation-sensitive
     // (state stores + per-trigger sinks), and the drain+GC between
     // queries cannot undo fragmentation from 90 earlier queries. The
-    // rest run alphabetically.
+    // rest run alphabetically. The key is SHARED with ScaleProbe
+    // (SparkEntry.benchOrderKey) — see its doc for why that matters.
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (name.startsWith("stream_") || name == "dedup_incremental") 0
-       else 1, name)
+      SparkEntry.benchOrderKey(name)
     }
     val results = ordered.map { case (name, fn) =>
       def once(): Double = {

@@ -56,16 +56,11 @@ object ScaleProbe {
       // r11 additions: linear quality gate, per-stratum data card,
       // cluster-weighted soft dedup
       "quality_classifier", "corpus_report", "sample_cluster_weighted")
-      // BENCH-IDENTICAL run order (stream/incremental first, then
-      // alphabetical): ops sharing a session-keyed cache (the simhash
-      // pair table, the shingle frame) attribute the one-time build to
-      // the SAME op in both artifacts, so probe÷bench per-op ratios
-      // compare equal cache states. Unordered, dedup_simhash paid the
-      // pair build in the probe but read dedup_clusters' cache in the
-      // bench — a 20× "growth" that was pure accounting.
-      .sortBy(name => (
-        if (name.startsWith("stream_") || name == "dedup_incremental") 0
-        else 1, name))
+      // BENCH-IDENTICAL run order via the SHARED key (see
+      // SparkEntry.benchOrderKey): unordered, dedup_simhash paid the
+      // pair-table build in the probe but read dedup_clusters' cache in
+      // the bench — a 20× "growth" that was pure accounting.
+      .sortBy(SparkEntry.benchOrderKey)
     val prev = readPrev()
     val results = ops.map { q =>
       val t0 = System.nanoTime()
