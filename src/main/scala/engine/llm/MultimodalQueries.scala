@@ -169,6 +169,78 @@ object MultimodalQueries {
       FROM frx JOIN sums ON frx.doc_id = sums.doc_id AND frx.f = sums.f
       ORDER BY frx.doc_id, frame_idx"""))
 
+  /** Fixed-side nearest-neighbor thumbnail of a payload raster — the
+    * RESIZE stage of the decode/feature-extract/resize/frame-sample
+    * quartet. */
+  final case class ResizedThumb(
+      doc_id: Long, n_bytes: Int, src_w: Int, src_rows: Int,
+      thumb_hex: String, thumb_mean: Double)
+
+  /** RESIZE STUB — deterministic nearest-neighbor downsample of the
+    * payload interpreted as a `width`-wide row-major byte raster (a real
+    * deployment decodes pixels first and resizes those; source index
+    * arithmetic, clamping, and the fixed-size output contract are what
+    * carry over). Output pixel (r, c) reads source byte
+    * floor(r·rows/side)·w + floor(c·w/side), clamped into the payload. */
+  def resizeStub(m: MediaRow, side: Int = 8): ResizedThumb = {
+    val len = m.payload.length
+    val w = math.max(m.width, 1)
+    val rows = (len + w - 1) / w
+    if (len == 0) ResizedThumb(m.doc_id, 0, w, 0, "", 0.0)
+    else {
+      val px = for { r <- 0 until side; c <- 0 until side } yield {
+        val idx = math.min((r * rows / side) * w + (c * w / side), len - 1)
+        m.payload(idx) & 0xff
+      }
+      ResizedThumb(m.doc_id, len, w, rows,
+        px.map(v => f"$v%02x").mkString,
+        math.rint(px.sum.toDouble / px.size * 10000) / 10000)
+    }
+  }
+
+  /** B51e: payload resize — same synthetic raster dims as
+    * multimodal_features; 1→1 typed map, partition-local, the thumbnail
+    * projected as a hex string + mean so the result surface is scalar.
+    * The oracle replays the index arithmetic over `hex(payload)`, so the
+    * resize plumbing is hash-checked end to end. */
+  private val multimodalResize = Q(
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        (pmod(col("doc_id") * 37, lit(512)) + 128).cast("int").as("width"),
+        lit(0).as("height"), lit(1).as("channels"))
+        .as[MediaRow]
+      media.mapPartitions(_.map(m => resizeStub(m))).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("src_w"),
+          col("src_rows"), col("thumb_hex"),
+          r4(col("thumb_mean")).as("thumb_mean"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (SELECT doc_id, encode(text) AS payload,
+               ((doc_id * 37) % 512 + 128)::INT AS w FROM documents),
+      b AS (SELECT doc_id, w, octet_length(payload)::INT AS len,
+              hex(payload) AS hx FROM m),
+      g AS (SELECT doc_id, w, len, hx, (len + w - 1) // w AS rows FROM b),
+      px AS (SELECT doc_id, r, c,
+               least((r * rows // 8) * w + (c * w // 8), len - 1) AS idx,
+               hx
+             FROM g CROSS JOIN generate_series(0, 7) tr(r)
+                    CROSS JOIN generate_series(0, 7) tc(c)
+             WHERE len > 0),
+      th AS (SELECT doc_id,
+               string_agg(lower(substr(hx, (2 * idx + 1)::INT, 2)), ''
+                 ORDER BY r, c) AS thumb_hex,
+               round_even(sum(('0x' || substr(hx, (2 * idx + 1)::INT, 2))
+                 ::BIGINT)::DOUBLE / 64 * 10000, 0) / 10000 AS thumb_mean
+             FROM px GROUP BY doc_id)
+      SELECT g.doc_id, g.len AS n_bytes, g.w AS src_w,
+        CASE WHEN g.len = 0 THEN 0 ELSE g.rows END AS src_rows,
+        coalesce(th.thumb_hex, '') AS thumb_hex,
+        round(coalesce(th.thumb_mean, 0.0), 4) AS thumb_mean
+      FROM g LEFT JOIN th USING (doc_id) ORDER BY g.doc_id"""))
+
   /** A frame signature appearing in more than this many docs is
     * boilerplate (blank frames, shared headers) and is excluded from
     * BOTH candidate generation and the overlap measure — the C4-style
@@ -279,5 +351,6 @@ object MultimodalQueries {
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_framesample" -> multimodalFramesample,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_payload_dedup" -> multimodalPayloadDedup)
 }

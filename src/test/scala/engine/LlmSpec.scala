@@ -421,6 +421,26 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(frameSampleStub(mk(0)).isEmpty)
   }
 
+  test("resize stub: identity-scale raster, clamping, degenerate payloads") {
+    import engine.llm.MultimodalQueries.{MediaRow, resizeStub}
+    // an 8-wide, 8-row raster resized to 8×8 is the identity: every
+    // source byte survives in reading order
+    val ident = resizeStub(MediaRow(1L,
+      Array.tabulate(64)(_.toByte), 8, 0, 1))
+    assert(ident.src_rows == 8 && ident.thumb_hex ==
+      (0 until 64).map(i => f"$i%02x").mkString)
+    assert(ident.thumb_mean == 31.5, "mean of 0..63")
+    // payload shorter than one raster row: every sampled index clamps
+    // into the payload — single row, columns stride the 3 bytes
+    val tiny = resizeStub(MediaRow(2L, Array[Byte](10, 20, 30), 100, 0, 1))
+    assert(tiny.src_rows == 1 && tiny.thumb_hex.length == 128)
+    assert(tiny.thumb_hex.grouped(2).toSet.subsetOf(Set("0a", "14", "1e")))
+    // empty payload: empty thumb, zero mean, zero rows
+    val empty = resizeStub(MediaRow(3L, Array.empty[Byte], 16, 0, 1))
+    assert(empty.thumb_hex == "" && empty.thumb_mean == 0.0 &&
+      empty.src_rows == 0)
+  }
+
   test("clusterPairs: chain + clique + transitive closure, singletons absent") {
     // a 12-node CHAIN (diameter 11 — needs pointer halving, near-dup data
     // never exercises it), a 3-clique with redundant edges, and a
