@@ -1635,6 +1635,89 @@ object LlmQueries {
       FROM th JOIN cnts USING (term) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** INTERPOLATED BIGRAM LM surprisal — the CCNet-style statistical-LM
+    * quality filter one model order up from [[textUnigramLogprob]]: each
+    * token after the first is scored under
+    * p(wᵢ|wᵢ₋₁) = 0.75·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + 0.25·c(wᵢ)/N (Jelinek-Mercer
+    * interpolation — the bigram term rewards natural word order, the
+    * unigram floor keeps unseen-context tokens finite), the first token
+    * under the pure unigram. Boilerplate with stereotyped transitions
+    * scores LOW surprisal; shuffled-word gibberish that fools the
+    * unigram model scores HIGH.
+    *
+    * Shape: bigrams are a per-row `transform` (never a positional
+    * self-join); the bigram/unigram count tables are model artifacts
+    * (vocab² bounded, df-cappable and broadcast-able at 100 TB) attached
+    * by equi-joins to the posting frame. Surprisal snaps to the integer
+    * micronat grid before the per-doc sum (the unigram op's order-free
+    * discipline); interpolation arithmetic is written with identical
+    * association in both engines. */
+  private val textBigramLogprob = Q(
+    (s, d) => {
+      val base = engine.ScratchCache.persist(
+        docs(s, d).select(col("doc_id"), tokens(col("text")).as("w")))
+      val th = explodeNonNull(base, col("w"), "term", col("doc_id"))
+      val uni = engine.ScratchCache.persist(
+        th.groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+      val tot = uni.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val bgArr = when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          struct(element_at(col("w"), i).as("l"),
+            element_at(col("w"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val bg = engine.ScratchCache.persist(
+        base.select(col("doc_id"), explode(bgArr).as("b"))
+          .select(col("doc_id"), col("b.l").as("l"), col("b.r").as("r")))
+      val bcnt = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("cb"))
+      val pbi = col("cb").cast("double") / col("lcnt")
+      val pun = col("rcnt").cast("double") / col("n_total")
+      val mInterp = round(-log(lit(0.75) * pbi + lit(0.25) * pun) * 1e6, 0)
+        .cast("long")
+      val scored2 = bg
+        .join(bcnt, Seq("l", "r"))
+        .join(uni.select(col("term").as("l"), col("cnt").as("lcnt")), "l")
+        .join(uni.select(col("term").as("r"), col("cnt").as("rcnt")), "r")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), mInterp.as("m"))
+      val mUni = round(-log(col("cnt").cast("double") / col("n_total"))
+        * 1e6, 0).cast("long")
+      val scored1 = base.filter(size(col("w")) >= 1)
+        .select(col("doc_id"), element_at(col("w"), 1).as("term"))
+        .join(uni, "term").crossJoin(broadcast(tot))
+        .select(col("doc_id"), mUni.as("m"))
+      scored1.union(scored2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r4(sum(col("m")) / 1e6 / count(lit(1))).as("avg_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+      th AS (SELECT doc_id, unnest(w) term FROM base),
+      uni AS (SELECT term, count(*) cnt FROM th GROUP BY term),
+      tot AS (SELECT sum(cnt)::DOUBLE n_total FROM uni),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) l,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) r
+             FROM base WHERE len(w) >= 2),
+      bcnt AS (SELECT l, r, count(*) cb FROM bg GROUP BY l, r),
+      s2 AS (SELECT bg.doc_id,
+               round(-ln(0.75 * (bcnt.cb::DOUBLE / ul.cnt) +
+                         0.25 * (ur.cnt::DOUBLE / tot.n_total)) * 1e6, 0)
+                 ::BIGINT m
+             FROM bg JOIN bcnt USING (l, r)
+               JOIN uni ul ON ul.term = bg.l
+               JOIN uni ur ON ur.term = bg.r
+               CROSS JOIN tot),
+      s1 AS (SELECT base.doc_id,
+               round(-ln(uni.cnt::DOUBLE / tot.n_total) * 1e6, 0)::BIGINT m
+             FROM base JOIN uni ON uni.term = w[1] CROSS JOIN tot
+             WHERE len(w) >= 1),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(sum(m)::DOUBLE / 1e6 / count(*), 4) AS avg_surprisal
+      FROM u GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Deterministic hash-bucket sampling — the only sampling that is
     * reproducible at 100 TB: membership depends on md5(salt|id) alone, so
     * the same 10% sample falls out on any cluster size, any partitioning,
@@ -1976,6 +2059,7 @@ object LlmQueries {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_bigram_logprob" -> textBigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++
     MultimodalQueries.queries ++ IncrementalDedup.queries ++
