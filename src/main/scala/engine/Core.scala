@@ -29,9 +29,15 @@ object Core {
     *   - TIMESTAMP_NTZ: cast to session-TZ timestamp. Every harness pins
     *     spark.sql.session.timeZone=UTC, so the naive datetimes map to the
     *     same instants DuckDB reads from the same file.
-    * The `nanosAsLong` conf is only touched on the legacy-NANOS retry
-    * path, never on the steady-state read.
-    */
+    * The `nanosAsLong` conf must hold at SCAN time, not just schema
+    * inference — the parquet reader re-reads the session conf at action
+    * time, so a set-read-restore around the lazy frame would throw at
+    * execution, and leaving it set session-wide makes every LATER
+    * nanos-typed parquet silently read as raw longs (r11 advisor). The
+    * retry therefore normalizes the legacy file ONCE into a scratch copy
+    * (ts as plain BIGINT nanos) under [[publishOnce]], with the conf
+    * scoped strictly to that eager write job and restored in a finally —
+    * subsequent loads and every other read run with the flag off. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
@@ -41,8 +47,18 @@ object Core {
           case e: org.apache.spark.sql.AnalysisException
               if e.getCondition != null &&
                 e.getCondition.contains("PARQUET_TYPE_ILLEGAL") =>
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(s"$dir/$name.parquet")
+            val key = "spark.sql.legacy.parquet.nanosAsLong"
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$dir/$name".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val scratch = s"/tmp/graft_nanos_norm_$digest"
+            publishOnce(scratch) { tmp =>
+              val prev = spark.conf.getOption(key)
+              spark.conf.set(key, "true")
+              try spark.read.parquet(s"$dir/$name.parquet").write.parquet(tmp)
+              finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+            }
+            spark.read.parquet(scratch)
         }
       raw.schema("ts").dataType match {
         case LongType => // nanos surfaced as long (legacy testdata)

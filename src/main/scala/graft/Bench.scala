@@ -78,11 +78,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedIds = results.collect { case (k, v) if v < 0 => k }
     val failedList = failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    // the FULL record (with the per-query map) goes to the file; stdout
+    // gets a SHORT line (< 1 KB at any query count). The driver's stdout
+    // capture truncated the r10/r11 tails mid-JSON because the per-query
+    // map pushed the metric line past the capture window — data that
+    // exists ONLY on stdout must fit the window, so the map lives in
+    // bench_out.json (committed per round) and stdout just points there.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"sf":"$sfDir"}"""
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries_in":"$out","sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }

@@ -84,6 +84,19 @@ class TestdataDriftSpec extends AnyFunSuite {
       .orderBy("event_id").select(unix_micros(col("ts")))
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1700000000123456L, 1700000000123456L))
+    // the retry must not leak nanosAsLong session-wide (r11 advisor): a
+    // LATER nanos-typed parquet read outside the loader still fails
+    // loudly instead of silently surfacing raw longs
+    // getOption surfaces the registered DEFAULT ("false") — the leak
+    // check is that the retry left the resolved value non-true
+    assert(!spark.conf
+        .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "legacy retry leaked nanosAsLong into the session")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$dir/events.parquet").collect()
+    }
+    assert(e.getCondition != null &&
+      e.getCondition.contains("PARQUET_TYPE_ILLEGAL"))
   }
 
   test("legacy nanos-as-long events still rescale to micros") {
