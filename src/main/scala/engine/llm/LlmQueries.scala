@@ -483,52 +483,65 @@ object LlmQueries {
   def simhashOf(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"), SimHash60(tokens(col("text"))).as("sim"))
 
-  /** Band-bucket occupancy cap for simhash candidate generation. A
-    * (band, value) bucket holding k docs proposes k(k-1)/2 candidate
-    * pairs, so hot buckets make the pair frame quadratic-in-bucket:
-    * the r10 scale probe measured 50× runtime growth (7.5 M pairs) on
-    * 10× docs because the testdata's 30-word vocabulary packs hundreds
-    * of unrelated docs into single buckets. Buckets over the cap are
-    * DROPPED — the same df-cap discipline as [[ContainDfCap]]'s shingle
-    * postings: an over-occupied signature band carries no discriminating
-    * information (it is the band-space analogue of a stopword), while
-    * genuine near-dup groups (bounded clique size) stay under it. Bounds
-    * candidates at cap²/2 per bucket × ≤ 640 possible buckets
-    * (10 bands × 2^6 values) regardless of corpus size. Replayed
-    * verbatim in every consuming oracle, so the DuckDB gate sees the
-    * identical pair list. */
-  private[llm] val SimhashBandCap = 16
+  /** Band-bucket occupancy cap for simhash candidate generation,
+    * counted in DISTINCT SIGNATURES per (band, value) bucket — not
+    * documents (r11 advisor). A bucket holding k distinct signatures
+    * proposes k(k-1)/2 signature-pair candidates, so hot buckets make
+    * the candidate frame quadratic-in-bucket: the r10 scale probe
+    * measured 50× runtime growth (7.5 M pairs) on 10× docs because the
+    * testdata's 30-word vocabulary packs hundreds of unrelated docs
+    * into single buckets. Buckets over the cap are DROPPED — the same
+    * df-cap discipline as [[ContainDfCap]]'s shingle postings: a band
+    * value shared by MANY DIFFERENT signatures carries no
+    * discriminating information (the band-space analogue of a
+    * stopword), while genuine near-dup groups stay under it. Counting
+    * doc occupancy instead (the r11 form) mis-fired on exactly the
+    * dedup target: k > cap IDENTICAL documents fill all ten of their
+    * own buckets, every bucket reads 'hot', and the most-duplicated
+    * content in the corpus emits no pairs at all. Under the
+    * distinct-signature count a single repeated signature contributes
+    * occupancy 1, and identical-signature groups additionally pair
+    * through an uncapped exact-equality pass (hamming 0 needs no
+    * banding). Bounds signature-pair candidates at cap²/2 per bucket ×
+    * ≤ 640 buckets (10 bands × 2^6 values) regardless of corpus size.
+    * Replayed verbatim in every consuming oracle, so the DuckDB gate
+    * sees the identical pair list. A fixed parameter, not a session
+    * conf (r11 advisor): the oracles are static SQL, so a runtime knob
+    * could silently diverge the gate — callers needing a different cap
+    * pass it to [[simhashPairs]] explicitly, outside the oracle-pinned
+    * canned queries. */
+  private[engine] val SimhashBandCap = 16
 
-  /** Simhash near-dup pairs (hamming <= maxHamming <= 9) via banded
-    * candidate generation — exact per the pigeonhole bound for pairs
-    * whose shared bands survive the [[SimhashBandCap]] occupancy cap. */
-  def simhashPairs(docsDf: DataFrame, maxHamming: Int): DataFrame = {
+  /** Simhash near-dup pairs (hamming <= maxHamming <= 9): exact
+    * equality pass for identical signatures + banded candidate
+    * generation between DISTINCT signatures — exact per the pigeonhole
+    * bound for signature pairs whose shared bands survive the
+    * [[SimhashBandCap]] occupancy cap.
+    *
+    * Candidate enumeration runs at the distinct-signature level, then
+    * expands verified signature pairs back to document pairs: band
+    * postings, the band self-join, and the hamming verification all
+    * scale with |distinct signatures|, never with corpus replication —
+    * a corpus of k-fold duplicated documents pays the band join ONCE
+    * and the expansion is output-bound (every expanded pair is a real
+    * hamming≤k result). The signature frame (doc_id, 60-bit code) is
+    * the only corpus-scale exchange. */
+  def simhashPairs(docsDf: DataFrame, maxHamming: Int,
+      cap: Int = SimhashBandCap): DataFrame = {
     require(maxHamming <= 9, "10 bands of 6 bits are exact only to hamming 9")
-    // deployment knob (the dedupEmbedding.mode precedent): raise the cap
-    // on corpora whose genuine near-dup groups exceed it, at quadratic
-    // per-bucket cost. The DEFAULT is what every oracle replays — the
-    // canned queries never override it.
-    val cap = docsDf.sparkSession.conf
-      .getOption("spark.graft.simhash.bandCap")
-      .map(_.toInt).getOrElse(SimhashBandCap)
-    // both sides of the band self-join consume the signature frame; persist
-    // it (|docs| rows of (id, 60-bit code)) or the token pipeline runs
-    // twice. Hash-spread BEFORE the persist: the projection-based
-    // signature inherits the scan's split count, and the band self-join's
-    // parallelism is the cached frame's partition count (a 10-split 10x
-    // corpus ran the ~200M-candidate probe on 10 tasks — 36 s vs 11 s;
-    // the pre-r7 aggregate form got 32 partitions for free from its
-    // exchange, this restores exactly that). Spread AFTER the projection,
-    // deliberately (r8, measured both ways): moving it before would
-    // parallelize the md5 digesting but puts `text` on the exchange —
-    // 750 MB at the 10x corpus vs 8 MB of (id, sim) — and measured
-    // WORSE at both scales (3.4 vs 3.1 s sf0.1; 16.7 vs ~13 s probe).
-    val banded = engine.ScratchCache.persist(
+    // the signature frame feeds the distinct, the equality pass and the
+    // expansion joins; persist it (|docs| rows of (id, 60-bit code)) or
+    // the token pipeline runs once per consumer. Hash-spread AFTER the
+    // projection, deliberately (r8, measured both ways): spreading
+    // before would parallelize the md5 digesting but put `text` on the
+    // exchange — 750 MB at the 10x corpus vs 8 MB of (id, sim).
+    val sigs = engine.ScratchCache.persist(
       simhashOf(docsDf).repartition(col("doc_id")))
-      .select(col("doc_id"), col("sim"),
-        explode(codeBands(col("sim"), 10, 6)).as("bb"))
-      .select(col("doc_id"), col("sim"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val dsig = sigs.filter(col("sim").isNotNull)
+      .select(col("sim")).distinct()
+    val banded = dsig
+      .select(col("sim"), explode(codeBands(col("sim"), 10, 6)).as("bb"))
+      .select(col("sim"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     // hot-bucket removal costs NO extra shuffle: the (band, bv) key space
     // is at most 640 values, so the occupancy aggregate collapses to a
     // ≤ 640-row frame at any corpus size and rides a broadcast anti-join
@@ -537,16 +550,44 @@ object LlmQueries {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > cap)
       .select(col("band"), col("bv"))
-    val capped = banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
-    val ham = bit_count(col("a.sim").bitwiseXOR(col("b.sim")))
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        ham.cast("int").as("hamming"))
+    val ok = banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    // signature pairs: banded candidates, hamming-verified BEFORE the
+    // doc-level expansion (one bit_count per signature pair, not per
+    // doc pair). Bounded by cap²/2 × 640 buckets → broadcastable.
+    val spairs = ok.as("x")
+      .join(ok.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.sim") < col("y.sim"))
+      .select(col("x.sim").as("sa"), col("y.sim").as("sb"))
       .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+    // expansion: docs carrying a paired signature (broadcast semi-join —
+    // no corpus shuffle), then the cross product of each signature
+    // pair's two groups. Disjoint groups + distinct signature pairs ⇒
+    // every doc pair surfaces exactly once, no pair-level distinct.
+    val rel = engine.ScratchCache.persist(
+      sigs.join(broadcast(spairs.select(col("sa").as("sim"))
+          .union(spairs.select(col("sb").as("sim"))).distinct()),
+        Seq("sim"), "leftsemi"))
+    val cross = rel.as("m")
+      .join(broadcast(spairs), col("m.sim") === col("sa"))
+      .join(rel.as("n"), col("sb") === col("n.sim"))
+      .select(least(col("m.doc_id"), col("n.doc_id")).as("da"),
+        greatest(col("m.doc_id"), col("n.doc_id")).as("db"),
+        col("hamming"))
+    // identical-signature groups: exact equality self-join (hamming 0),
+    // NEVER capped — duplicate mega-groups are the primary dedup target
+    // and need no banding to find each other. One shuffle of the
+    // 16-byte signature frame on the 8-byte signature key.
+    val within = sigs.as("m")
+      .join(sigs.as("n"),
+        col("m.sim") === col("n.sim") &&
+          col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("da"), col("n.doc_id").as("db"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(within)
   }
 
   /** The simhash signature CTE chain (tokens → ±1 bit sums → 60-bit code,
@@ -564,44 +605,51 @@ object LlmQueries {
                sum(CASE WHEN sgn >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT sim
              FROM bits GROUP BY 1)"""
 
-  /** The banded, occupancy-capped, hamming≤8 pair CTE chain (appends to
-    * [[simhashSqlCtes]]'s `simh`, ends in `prs(da, db, hamming)`) — the
-    * exact SQL replay of [[simhashPairs]] including [[SimhashBandCap]]:
-    * same band extraction (`(sim >> j*6) & 63` = codeBands), same
-    * hot-bucket drop, same candidate dedup. Shared VERBATIM by the
-    * dedup_simhash, dedup_clusters and dedup_edit_distance oracles so
-    * all three gates compare against the identical pair list. */
+  /** The distinct-signature, occupancy-capped, hamming≤8 pair CTE chain
+    * (appends to [[simhashSqlCtes]]'s `simh`, ends in
+    * `prs(da, db, hamming)`) — the exact SQL replay of [[simhashPairs]]
+    * including [[SimhashBandCap]]: same band extraction
+    * (`(sim >> j*6) & 63` = codeBands), same hot-bucket drop counted in
+    * distinct signatures, same signature-pair verification + group
+    * expansion, same uncapped identical-signature equality pass.
+    * Shared VERBATIM by the dedup_simhash, dedup_clusters,
+    * sample_cluster_weighted and dedup_edit_distance oracles so all
+    * four gates compare against the identical pair list. */
   private val simhashPairsSqlCtes = simhashSqlCtes + s""",
-      bnd AS (SELECT doc_id, j, (sim >> (j * 6)) & 63 bv
-              FROM simh CROSS JOIN generate_series(0, 9) t(j)),
+      dsig AS (SELECT DISTINCT sim FROM simh),
+      bnd AS (SELECT sim, j, (sim >> (j * 6)) & 63 bv
+              FROM dsig CROSS JOIN generate_series(0, 9) t(j)),
       hot AS (SELECT j, bv FROM bnd GROUP BY j, bv
               HAVING count(*) > $SimhashBandCap),
-      bok AS (SELECT b.doc_id, b.j, b.bv FROM bnd b
+      bok AS (SELECT b.sim, b.j, b.bv FROM bnd b
               WHERE NOT EXISTS (SELECT 1 FROM hot h
                                 WHERE h.j = b.j AND h.bv = b.bv)),
-      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+      scand AS (SELECT DISTINCT a.sim sa, b.sim sb
                FROM bok a JOIN bok b
-               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      prs AS (SELECT c.da, c.db,
-                CAST(bit_count(xor(x.sim, y.sim)) AS INT) hamming
-              FROM cand c JOIN simh x ON x.doc_id = c.da
-                          JOIN simh y ON y.doc_id = c.db
-              WHERE bit_count(xor(x.sim, y.sim)) <= 8)"""
+               ON a.j = b.j AND a.bv = b.bv AND a.sim < b.sim),
+      spair AS (SELECT sa, sb,
+                CAST(bit_count(xor(sa, sb)) AS INT) hamming
+              FROM scand WHERE bit_count(xor(sa, sb)) <= 8),
+      prs AS (SELECT least(x.doc_id, y.doc_id) da,
+                greatest(x.doc_id, y.doc_id) db, p.hamming
+              FROM spair p JOIN simh x ON x.sim = p.sa
+                           JOIN simh y ON y.sim = p.sb
+              UNION ALL
+              SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+              FROM simh a JOIN simh b
+              ON a.sim = b.sim AND a.doc_id < b.doc_id)"""
 
   /** The hamming≤8 simhash pair list, shared VERBATIM by dedup_simhash,
     * dedup_clusters (its edges) and dedup_edit_distance (its candidates)
     * — one signature + banded self-join per session per sf (keyed
     * persist), the pair table a real pipeline materializes once and
     * feeds every downstream consumer from. */
-  private def simhashPairs8(s: SparkSession, d: String): DataFrame = {
-    // the resolved band cap is part of the cache identity: without it,
-    // raising spark.graft.simhash.bandCap mid-session would silently
-    // return the stale pair table built under the old cap (r11 review)
-    val cap = s.conf.getOption("spark.graft.simhash.bandCap")
-      .map(_.toInt).getOrElse(SimhashBandCap)
-    engine.ScratchCache.persistKeyed(s"simhash_pairs8:$d:$cap")(
+  private def simhashPairs8(s: SparkSession, d: String): DataFrame =
+    // no conf in the cache identity: the cap is a fixed parameter on the
+    // oracle-pinned path (see [[SimhashBandCap]]), so one pair table per
+    // sf dir is always current
+    engine.ScratchCache.persistKeyed(s"simhash_pairs8:$d")(
       simhashPairs(docs(s, d), 8))
-  }
 
   private val dedupSimhash = Q(
     (s, d) => simhashPairs8(s, d).orderBy("da", "db"),

@@ -457,18 +457,36 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     (30L to 32L).foreach(v => assert(out(v) == (30L, 3L), s"vee node $v"))
   }
 
-  test("simhash band cap knob: cap=1 drops shared buckets, default keeps " +
-      "the near-dup pair") {
+  test("simhash band cap counts DISTINCT signatures: a duplicate " +
+      "mega-group larger than the cap still pairs in full") {
+    // 20 identical docs (> SimhashBandCap = 16): under the r11 doc-count
+    // cap every bucket they occupied read 'hot' and the most-duplicated
+    // content emitted NO pairs (r11 advisor). The equality pass must
+    // surface all 190 hamming-0 pairs regardless of any cap.
+    val base = (0 until 200).map(i => s"w${i % 120}").mkString(" ")
+    val df = (0L until 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = LlmQueries.simhashPairs(df, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 190, s"expected C(20,2)=190, got ${pairs.length}")
+    assert(pairs.forall(_._3 == 0), "identical docs pair at hamming 0")
+  }
+
+  test("simhash band cap parameter: cap=0 drops banded CROSS-signature " +
+      "pairs but never the identical-signature pass") {
     val base = (0 until 200).map(i => s"w${i % 120}")
-    val df = Seq((0L, base.mkString(" ")), (3L, base.mkString(" ")))
-      .toDF("doc_id", "text")
-    def pairs() = LlmQueries.simhashPairs(df, 8).collect()
+    val near = base.updated(3, "x1").updated(50, "x2").updated(99, "x3")
+    val df = Seq((0L, base.mkString(" ")), (1L, near.mkString(" ")),
+      (3L, base.mkString(" "))).toDF("doc_id", "text")
+    def pairs(cap: Int) = LlmQueries.simhashPairs(df, 8, cap).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs().contains((0L, 3L)))
-    spark.conf.set("spark.graft.simhash.bandCap", "1")
-    try assert(pairs().isEmpty,
-      "identical docs share every bucket; cap=1 must drop them all")
-    finally spark.conf.unset("spark.graft.simhash.bandCap")
+    // default cap: the near-dup (cross-signature) pair AND the
+    // identical pair both surface
+    assert(pairs(LlmQueries.SimhashBandCap)
+      .intersect(Set((0L, 1L), (0L, 3L), (1L, 3L))).size == 3)
+    // cap=0: every bucket is hot, so banded cross-signature candidates
+    // vanish — but the identical docs still pair via the equality pass
+    assert(pairs(0) == Set((0L, 3L)),
+      "equality pass must survive any cap; banded candidates must not")
   }
 
   test("sample_cluster_weighted: singletons always survive; clique members " +
