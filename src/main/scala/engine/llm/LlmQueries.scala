@@ -808,25 +808,63 @@ object LlmQueries {
       FROM jw WHERE u < w ORDER BY doc_id"""))
 
   /** SRP-LSH band-collision candidate pairs over unit vectors
-    * `e(vec_id, u)`: 16-bit code, 4 bands × 4 bits; candidate ids are
-    * deduped bare (a pair surfacing in several bands dedups on the id
-    * pair, never by shuffling the vectors), then both vectors re-attach
-    * for exact-cosine verification under the `a`/`b` aliases. Shared by
-    * dedup_embedding's `banded` mode and dedup_embedding_banded. */
+    * `e(vec_id, u)`: 16-bit code, 4 bands × 4 bits; both vectors
+    * re-attach for exact-cosine verification under the `a`/`b` aliases.
+    * Shared by dedup_embedding's `banded` mode, dedup_embedding_banded
+    * and dedup_embedding_clusters.
+    *
+    * Candidate enumeration runs at the DISTINCT-CODE level (the
+    * simhashPairs discipline): whether two vectors share a band bucket
+    * is purely a property of their 16-bit codes, so the band postings
+    * and the band self-join are built over `SELECT DISTINCT code` —
+    * bounded by the 2^16 code space at ANY corpus size — and code
+    * pairs expand back to id pairs through equi-joins on the 8-byte
+    * code key; identical-code groups pair via an exact equality
+    * self-join (they collide in every band by definition). The
+    * expanded pair set is PROVABLY IDENTICAL to the per-vector banded
+    * self-join, so the declarative oracle SQL is unchanged — but the
+    * plan no longer degenerates under replication: the r11 shape paid
+    * a per-vector band join (each code collision × up to 4 bands) plus
+    * a pair-level distinct over that 4×-inflated frame, so a 10×
+    * replicated corpus exchanged ~400× the rows of the sf0.1 run;
+    * here the band join is constant in replication and the expansion
+    * emits each candidate pair exactly once (distinct code pairs ×
+    * disjoint groups ⇒ no pair-level dedup exchange at all).
+    *
+    * Occupancy capping (the simhash mega-bucket discipline) is
+    * deliberately ABSENT here: a (band, bv) bucket holds at most
+    * 2^12 distinct codes — the code space itself bounds the band join
+    * absolutely — and with 16 values per band real corpora fill every
+    * bucket within ~2^4 distinct codes, so any cap small enough to
+    * ever fire would gut recall wholesale rather than drop outlier
+    * buckets. At larger deployments the knob that scales this operator
+    * is the code width (more planes/bands via [[VectorFunctions
+    * .srpCode]]), not a cap. */
   private def srpCandidatePairs(e: DataFrame): DataFrame = {
-    val banded = e
-      .withColumn("code", srpCode(col("u"), 16, 64))
-      .select(col("vec_id"),
-        explode(codeBands(col("code"), 4, 4)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
-    val candIds = banded.as("x")
+    val codes = engine.ScratchCache.persist(
+      e.select(col("vec_id"), srpCode(col("u"), 16, 64).as("code"))
+        .filter(col("code").isNotNull))
+    val banded = codes.select(col("code")).distinct()
+      .select(col("code"), explode(codeBands(col("code"), 4, 4)).as("bb"))
+      .select(col("code"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cpairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ai"), col("y.vec_id").as("bi"))
-      .distinct() // id-pair dedup only — vectors re-attached below
-    candIds.join(e.as("a"), col("ai") === col("a.vec_id"))
+          col("x.code") < col("y.code"))
+      .select(col("x.code").as("ca"), col("y.code").as("cb"))
+      .distinct() // code-pair dedup at distinct-code scale, never id scale
+    val cross = cpairs
+      .join(codes.toDF("ai", "ca"), "ca")
+      .join(codes.toDF("bi", "cb"), "cb")
+      .select(least(col("ai"), col("bi")).as("ai"),
+        greatest(col("ai"), col("bi")).as("bi"))
+    val within = codes.as("m")
+      .join(codes.as("n"),
+        col("m.code") === col("n.code") &&
+          col("m.vec_id") < col("n.vec_id"))
+      .select(col("m.vec_id").as("ai"), col("n.vec_id").as("bi"))
+    cross.union(within)
+      .join(e.as("a"), col("ai") === col("a.vec_id"))
       .join(e.as("b"), col("bi") === col("b.vec_id"))
   }
 
@@ -1022,32 +1060,43 @@ object LlmQueries {
     * SQL: SparkEntry collapses newlines.) */
   private val simSearchAnn = Q(
     (s, d) => {
-      val e = unitEmbeddings(s, d)
-        .withColumnRenamed("u", "v")
-        .withColumn("code", srpCode(col("v"), 16, 64))
-      // band postings carry ONLY ids — a pair surfacing in several bands
-      // is deduped on the (qid, cid) key, never by hashing/shuffling the
-      // 64-dim vectors themselves (a wide-payload group key is the
-      // anti-pattern: the dedup exchange would carry |cands| full vectors)
-      val banded = e.select(col("vec_id"),
+      // Candidate generation at the DISTINCT-CODE level (the
+      // srpCandidatePairs discipline — collision is a property of the
+      // codes alone, so the result set is unchanged): the ≤ 2^16
+      // distinct codes band once, collide with the ≤ 20 broadcast query
+      // band keys, and the surviving (qid, code) set — absolutely
+      // bounded by queries × 2^16, a few MB at ANY corpus size — rides
+      // a broadcast hash join back onto the corpus scan. The r11 shape
+      // banded every VECTOR (4 posting rows per vector), deduped
+      // (qid, cid) over the collision-inflated frame, and broadcast a
+      // candidate-ID list that grew LINEARLY with the corpus — the
+      // 14.2×-at-10× probe trend and a driver-memory cliff at scale.
+      // One code per vector × distinct (qid, code) ⇒ (qid, cid) needs
+      // no dedup, and the corpus never shuffles at all.
+      val e = engine.ScratchCache.persist(
+        unitEmbeddings(s, d)
+          .withColumnRenamed("u", "v")
+          .withColumn("code", srpCode(col("v"), 16, 64))
+          .filter(col("code").isNotNull))
+      val banded = e.select(col("code")).distinct()
+        .select(col("code"), explode(codeBands(col("code"), 4, 4)).as("bb"))
+        .select(col("code"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val qb = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
           explode(codeBands(col("code"), 4, 4)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-      val q = banded.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("band"), col("bv"))
-      val candIds = banded.join(broadcast(q), Seq("band", "bv"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"))
+        .select(col("qid"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val candCodes = banded.join(broadcast(qb), Seq("band", "bv"))
+        .select(col("qid"), col("code"))
         .distinct()
-      // re-attach vectors: candidate ids broadcast against the corpus (no
-      // corpus shuffle), query vectors broadcast (tiny set)
       val qv = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val cand = e.join(broadcast(candIds), col("vec_id") === col("cid"))
+      val cand = e.join(broadcast(candCodes), Seq("code"))
+        .filter(col("vec_id") =!= col("qid"))
         .join(broadcast(qv), Seq("qid"))
       val c = dot(col("qv"), col("v"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
-      cand.select(col("qid"), col("cid"), c.as("cos"))
+      cand.select(col("qid"), col("vec_id").as("cid"), c.as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
