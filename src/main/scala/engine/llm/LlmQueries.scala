@@ -167,13 +167,16 @@ object LlmQueries {
       val sh = hashedShingles(s, d)
       val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"), col("sz"))
       // global canonical order = (document frequency asc, shingle asc):
-      // rarest shingles first, so prefixes index the most selective keys
-      val df = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+      // rarest shingles first, so prefixes index the most selective
+      // keys. df is a window count over the posting frame — ONE
+      // exchange (r11 lesson 8); the groupBy+join form paid two.
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("sh"))
       // persist: consumed twice by the candidate self-join below
       val prefix = engine.ScratchCache.persist(
-        posts.join(df, "sh")
+        posts
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("sh"))))
           .withColumn("rn", row_number().over(byRarity))
           .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
           .select(col("doc_id"), col("sz"), col("sh")))
@@ -181,21 +184,43 @@ object LlmQueries {
       // |∩| ≤ min ⇒ t·max(|x|,|y|) ≤ min(|x|,|y|), so size-mismatched
       // pairs can never verify — dropping them AT the join cuts the
       // candidate frame 11.05M → 4.31M at the 10× probe before the
-      // expensive full-set intersection runs
+      // exact intersection runs
       val candIds = prefix.as("a")
         .join(prefix.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
             col("b.sz") * t <= col("a.sz") && col("a.sz") * t <= col("b.sz"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .select(col("a.doc_id").as("da"), col("a.sz").as("sza"),
+          col("b.doc_id").as("db"), col("b.sz").as("szb"))
         .distinct()
-      // exact verification on the full shingle sets (candidates only)
-      val sa = sh.select(col("doc_id").as("da"), col("s").as("sa"),
-        col("sz").as("sza"))
-      val sb = sh.select(col("doc_id").as("db"), col("s").as("sb"),
-        col("sz").as("szb"))
+      // bound-prune before the exact verify (the dedup_containment
+      // discipline): the shared [[rarePairCounts]] table supplies each
+      // pair's exact rare-intersection count (0 when the pair shares
+      // no rare shingle — the bound degrades to the trivial min-size
+      // cap and keeps the pair), rare counts per doc supply the hot
+      // remainder, and  inter ≤ n_rare + min(hotA, hotB)  bounds J
+      // from above. At sf0.1 this prunes 43.5 k candidates → 256
+      // survivors, so the exact array intersection runs on a frame of
+      // OUTPUT size — the r11 verify attached both full shingle arrays
+      // to every candidate.
+      val rc = rareCounts(s, d)
+      val imax = col("n_rare") +
+        least(col("sza") - col("nra"), col("szb") - col("nrb"))
+      val jmax = imax / (col("sza") + col("szb") - imax)
+      val maybe = candIds
+        .join(rarePairCounts(s, d).select(col("da"), col("db"),
+          col("n_rare")), Seq("da", "db"), "left")
+        .join(rc.select(col("doc_id").as("da"), col("nr").as("nra")),
+          Seq("da"), "left")
+        .join(rc.select(col("doc_id").as("db"), col("nr").as("nrb")),
+          Seq("db"), "left")
+        .na.fill(0L, Seq("n_rare", "nra", "nrb"))
+        .filter(jmax >= t)
+        .select(col("da"), col("db"), col("sza"), col("szb"))
       val inter = size(array_intersect(col("sa"), col("sb")))
       val j = inter / (col("sza") + col("szb") - inter)
-      candIds.join(sa, "da").join(sb, "db")
+      maybe
+        .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("s").as("sb")), "db")
         .filter(j >= t)
         .select(col("da"), col("db"), r4(j).as("jaccard"))
         .orderBy("da", "db")
@@ -224,27 +249,73 @@ object LlmQueries {
     * the exact containment over full shingle sets, candidates only. */
   private[llm] val ContainDfCap = 20
 
+  /** Rare-shingle postings (df ≤ [[ContainDfCap]]) over the hashed
+    * shingle sets, with the set size riding each posting. The df is a
+    * window count — ONE posting exchange (r11 lesson 8; the
+    * groupBy+join form paid two) — and the cached frame stays
+    * hash-partitioned on `sh`, so the candidate self-joins below reuse
+    * its partitioning exchange-free. Shared (session-keyed) by
+    * dedup_containment, decontaminate and dedup_ngram_jaccard. */
+  private def rarePosts(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(s"rareposts:$d")(
+      explodeNonNull(hashedShingles(s, d), col("s"), "sh",
+        col("doc_id"), col("sz"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("df") <= ContainDfCap)
+        .select(col("doc_id"), col("sz"), col("sh")))
+
+  /** Per-doc rare-shingle count — the `hot = sz - nr` side of the
+    * intersection bound below. One row per doc with ≥ 1 rare shingle. */
+  private def rareCounts(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(s"rarecounts:$d")(
+      rarePosts(s, d).groupBy(col("doc_id")).agg(count(lit(1)).as("nr")))
+
+  /** All doc pairs sharing ≥ 1 rare shingle, with their exact
+    * RARE-intersection count — `(da, sza, db, szb, n_rare)`. The
+    * groupBy IS the pair-dedup exchange the r11 `.distinct()` already
+    * paid; n_rare falls out free (sizes are functionally dependent on
+    * the ids — riding the keys changes no groups). This is the
+    * df-capped candidate table of dedup_containment, the
+    * train×eval-filtered candidate source of decontaminate, and the
+    * bound input of dedup_ngram_jaccard's verify — the pair table a
+    * real pipeline materializes once per corpus. */
+  private def rarePairCounts(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(s"rarepairs:$d")(
+      rarePosts(s, d).as("a")
+        .join(rarePosts(s, d).as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("a.sz").as("sza"),
+          col("b.doc_id").as("db"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("n_rare")))
+
   private val dedupContainment = Q(
     (s, d) => {
+      // Candidates = [[rarePairCounts]]; then the EXACT upper bound
+      //   inter ≤ n_rare + min(hotA, hotB),  hot = sz − nr
+      // prunes every pair that cannot reach the threshold BEFORE any
+      // shingle array attaches — at sf0.1 that is 1.12 M candidates →
+      // 256 survivors, so the exact array verify runs on a frame of
+      // OUTPUT size, not candidate size. Exactness: n_rare counts the
+      // full rare intersection, hot overlap is at most the smaller hot
+      // set, and the final exact filter is unchanged — the bound only
+      // discards pairs provably below thr, so the oracle's declarative
+      // rare-candidates + full-intersection replay still matches.
       val thr = 0.9
       val sh = hashedShingles(s, d)
-      val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"))
-      val rare = posts.join(
-        posts.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-        .filter(col("df") <= ContainDfCap)
-        .select(col("doc_id"), col("sh"))
-      val candIds = rare.as("a")
-        .join(rare.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
+      val rc = rareCounts(s, d)
+      val bound = (col("n_rare") +
+        least(col("sza") - col("nra"), col("szb") - col("nrb"))) /
+        least(col("sza"), col("szb"))
+      val maybe = rarePairCounts(s, d)
+        .join(rc.select(col("doc_id").as("da"), col("nr").as("nra")), "da")
+        .join(rc.select(col("doc_id").as("db"), col("nr").as("nrb")), "db")
+        .filter(bound >= thr)
+        .select(col("da"), col("db"), col("sza"), col("szb"))
       val inter = size(array_intersect(col("sa"), col("sb")))
       val cont = inter / least(col("sza"), col("szb"))
-      candIds
-        .join(sh.select(col("doc_id").as("da"), col("s").as("sa"),
-          col("sz").as("sza")), "da")
-        .join(sh.select(col("doc_id").as("db"), col("s").as("sb"),
-          col("sz").as("szb")), "db")
+      maybe
+        .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("s").as("sb")), "db")
         .filter(cont >= thr)
         .select(col("da"), col("db"), r4(cont).as("containment"))
         .orderBy("da", "db")
@@ -288,23 +359,39 @@ object LlmQueries {
 
   private val decontaminate = Q(
     (s, d) => {
+      // [[rarePairCounts]] restricted to mixed train×eval pairs and
+      // re-oriented (the pair table is symmetric in its canonical
+      // da < db form; membership is f(doc_id), so the filter is a
+      // per-row projection) — the shared pair table feeds exact-dedup,
+      // containment AND decontamination, exactly how a production
+      // pipeline materializes it once. Then the dedup_containment
+      // bound, scaled to the eval side:
+      //   cov ≤ (n_rare + min(hotT, hotE)) / esz
+      // prunes to ~output size before the arrays attach.
       val thr = 0.8
       def isEval(c: Column): Column = evalBucket(c)
       val sh = hashedShingles(s, d)
-      val posts = explodeNonNull(sh, col("s"), "sh", col("doc_id"))
-      val rare = posts.join(
-        posts.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-        .filter(col("df") <= ContainDfCap)
-        .select(col("doc_id"), col("sh"))
-      val candIds = rare.filter(!isEval(col("doc_id"))).toDF("tid", "sh")
-        .join(rare.filter(isEval(col("doc_id"))).toDF("eid", "sh2"),
-          col("sh") === col("sh2"))
-        .select(col("tid"), col("eid")).distinct()
+      val rc = rareCounts(s, d)
+      val cand = rarePairCounts(s, d)
+        .filter(isEval(col("da")) =!= isEval(col("db")))
+        .select(
+          when(isEval(col("da")), col("db")).otherwise(col("da")).as("tid"),
+          when(isEval(col("da")), col("szb")).otherwise(col("sza")).as("tsz"),
+          when(isEval(col("da")), col("da")).otherwise(col("db")).as("eid"),
+          when(isEval(col("da")), col("sza")).otherwise(col("szb")).as("esz"),
+          col("n_rare"))
+      val bound = (col("n_rare") +
+        least(col("tsz") - col("nrt"), col("esz") - col("nre"))) /
+        col("esz")
+      val maybe = cand
+        .join(rc.select(col("doc_id").as("tid"), col("nr").as("nrt")), "tid")
+        .join(rc.select(col("doc_id").as("eid"), col("nr").as("nre")), "eid")
+        .filter(bound >= thr)
+        .select(col("tid"), col("eid"), col("esz"))
       val cov = size(array_intersect(col("ts"), col("es"))) / col("esz")
-      candIds
+      maybe
         .join(sh.select(col("doc_id").as("tid"), col("s").as("ts")), "tid")
-        .join(sh.select(col("doc_id").as("eid"), col("s").as("es"),
-          col("sz").as("esz")), "eid")
+        .join(sh.select(col("doc_id").as("eid"), col("s").as("es")), "eid")
         .filter(cov >= thr)
         .select(col("tid").as("doc_id"), col("eid").as("eval_id"),
           r4(cov).as("coverage"))
