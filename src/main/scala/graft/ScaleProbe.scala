@@ -56,7 +56,9 @@ object ScaleProbe {
       // r11 additions: linear quality gate, per-stratum data card,
       // cluster-weighted soft dedup
       "quality_classifier", "corpus_report", "sample_cluster_weighted",
-      "multimodal_resize", "text_bigram_logprob")
+      "multimodal_resize", "text_bigram_logprob",
+      // r12 addition: the tokenizer encode path
+      "tokenize_bpe_apply")
       // BENCH-IDENTICAL run order via the SHARED key (see
       // SparkEntry.benchOrderKey): unordered, dedup_simhash paid the
       // pair-table build in the probe but read dedup_clusters' cache in

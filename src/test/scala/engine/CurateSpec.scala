@@ -64,6 +64,33 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       (3, "aa", "aa</w>", 1L)))
   }
 
+  test("tokenize_bpe_apply: train→apply round-trips the golden merges") {
+    // same corpus as the golden-merges test (ab×3, abc×2), shipped as
+    // documents: the trained table is (a,b)(ab,</w>)(ab,c)(abc,</w>),
+    // whose greedy rank-order application collapses both words to a
+    // single symbol — ab→[ab</w>], abc→[abc</w>]. Vocabulary by corpus
+    // frequency: ab</w> (cf 3) = id 1, abc</w> (cf 2) = id 2.
+    val dir = java.nio.file.Files.createTempDirectory("bpeapply").toString
+    Seq((0L, "ab ab abc"), (1L, "ab abc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurateQueries.queries("tokenize_bpe_apply").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    engine.ScratchCache.drain()
+    assert(got.toSeq == Seq((0L, 3L, "1 1 2"), (1L, 2L, "1 2")))
+    // the applied per-word states must re-concatenate to word + </w>
+    // (symbols PARTITION the word — the invariant that makes the
+    // encoding lossless)
+    val merges = CurateQueries.trainedMerges(spark, dir)
+      .map(m => (m._2, m._3))
+    val fin = CurateQueries.bpeApply(
+        Seq("ab", "abc").toDF("word"), merges)
+      .orderBy("word", "rn").collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) => w -> rows.map(_.getString(2)).mkString }
+    assert(fin == Map("ab" -> "ab</w>", "abc" -> "abc</w>"))
+  }
+
   test("pii_scrub redacts every planted span and nothing else") {
     val out = CurateQueries.queries("pii_scrub").fn(spark, sf).collect()
     out.foreach { r =>
