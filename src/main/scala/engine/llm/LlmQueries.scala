@@ -894,29 +894,26 @@ object LlmQueries {
       SELECT doc_id, cluster_size, round(w, 4) AS weight
       FROM jw WHERE u < w ORDER BY doc_id"""))
 
-  /** SRP-LSH band-collision candidate pairs over unit vectors
-    * `e(vec_id, u)`: 16-bit code, 4 bands × 4 bits; both vectors
-    * re-attach for exact-cosine verification under the `a`/`b` aliases.
-    * Shared by dedup_embedding's `banded` mode, dedup_embedding_banded
-    * and dedup_embedding_clusters.
+  /** SRP-LSH near-dup pairs over unit vectors `e(vec_id, u)`: 16-bit
+    * code, 4 bands × 4 bits, exact-cosine verification at `thr`;
+    * returns `(va, vb, cos)` with va < vb. Shared by dedup_embedding's
+    * `banded` mode, dedup_embedding_banded and
+    * dedup_embedding_clusters.
     *
-    * Candidate enumeration runs at the DISTINCT-CODE level (the
-    * simhashPairs discipline): whether two vectors share a band bucket
-    * is purely a property of their 16-bit codes, so the band postings
-    * and the band self-join are built over `SELECT DISTINCT code` —
-    * bounded by the 2^16 code space at ANY corpus size — and code
-    * pairs expand back to id pairs through equi-joins on the 8-byte
-    * code key; identical-code groups pair via an exact equality
-    * self-join (they collide in every band by definition). The
-    * expanded pair set is PROVABLY IDENTICAL to the per-vector banded
-    * self-join, so the declarative oracle SQL is unchanged — but the
-    * plan no longer degenerates under replication: the r11 shape paid
-    * a per-vector band join (each code collision × up to 4 bands) plus
-    * a pair-level distinct over that 4×-inflated frame, so a 10×
-    * replicated corpus exchanged ~400× the rows of the sf0.1 run;
-    * here the band join is constant in replication and the expansion
-    * emits each candidate pair exactly once (distinct code pairs ×
-    * disjoint groups ⇒ no pair-level dedup exchange at all).
+    * The pipeline runs at two reduced cardinalities (the simhashPairs
+    * distinct-signature discipline, taken one level further):
+    * EQUIVALENCE CLASSES of identical vectors for the verify, and
+    * DISTINCT CODES for the band join — whether two vectors share a
+    * band bucket is purely a property of their 16-bit codes (bounded
+    * by the 2^16 code space at ANY corpus size), and their cosine is
+    * purely a property of their vector contents. The emitted pair set
+    * is PROVABLY IDENTICAL to the r11 per-vector banded self-join +
+    * per-pair verify, so the declarative oracle SQL is unchanged — but
+    * replication no longer multiplies work: the r11 shape paid k²
+    * through the band join, a pair-level distinct over the 4×-inflated
+    * collision frame, AND one cosine per expanded pair (47.5 M
+    * SortMergeJoin'd verifications at the 10× probe); here only the
+    * output-bound final expansion scales with replication.
     *
     * Occupancy capping (the simhash mega-bucket discipline) is
     * deliberately ABSENT here: a (band, bv) bucket holds at most
@@ -927,11 +924,27 @@ object LlmQueries {
     * buckets. At larger deployments the knob that scales this operator
     * is the code width (more planes/bands via [[VectorFunctions
     * .srpCode]]), not a cap. */
-  private def srpCandidatePairs(e: DataFrame): DataFrame = {
-    val codes = engine.ScratchCache.persist(
-      e.select(col("vec_id"), srpCode(col("u"), 16, 64).as("code"))
-        .filter(col("code").isNotNull))
-    val banded = codes.select(col("code")).distinct()
+  private def srpNearDupPairs(e: DataFrame, thr: Double): DataFrame = {
+    // EQUIVALENCE CLASSES by vector content: one groupBy(u) exchange
+    // (the same bytes the unitEmbeddings repartition already moved)
+    // collapses exact-duplicate vectors — the most-replicated content
+    // in a crawl corpus — to one representative row carrying its
+    // member-id list. Everything downstream (codes, bands, the band
+    // self-join, the cosine verify) runs at CLASS cardinality; member
+    // expansion happens only for VERIFIED pairs, so that last step is
+    // output-bound by construction. A k-fold exact-replicated corpus
+    // pays the sf-sized pipeline plus |output| expansion — the r11
+    // per-vector form paid k² through the band join, the pair-level
+    // distinct AND the cosine verify (the 10× probe's 47.5 M
+    // SortMergeJoin'd verifications).
+    val cls = engine.ScratchCache.persist(
+      e.filter(col("u").isNotNull)
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("vids"))
+        .withColumn("code", srpCode(col("u"), 16, 64))
+        .filter(col("code").isNotNull)
+        .withColumn("rid", element_at(col("vids"), 1)))
+    val banded = cls.select(col("code")).distinct()
       .select(col("code"), explode(codeBands(col("code"), 4, 4)).as("bb"))
       .select(col("code"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cpairs = banded.as("x")
@@ -940,19 +953,43 @@ object LlmQueries {
           col("x.code") < col("y.code"))
       .select(col("x.code").as("ca"), col("y.code").as("cb"))
       .distinct() // code-pair dedup at distinct-code scale, never id scale
-    val cross = cpairs
-      .join(codes.toDF("ai", "ca"), "ca")
-      .join(codes.toDF("bi", "cb"), "cb")
-      .select(least(col("ai"), col("bi")).as("ai"),
-        greatest(col("ai"), col("bi")).as("bi"))
-    val within = codes.as("m")
-      .join(codes.as("n"),
-        col("m.code") === col("n.code") &&
-          col("m.vec_id") < col("n.vec_id"))
-      .select(col("m.vec_id").as("ai"), col("n.vec_id").as("bi"))
-    cross.union(within)
-      .join(e.as("a"), col("ai") === col("a.vec_id"))
-      .join(e.as("b"), col("bi") === col("b.vec_id"))
+    // class pairs whose codes collide: distinct-code pairs expanded to
+    // the classes carrying each code, plus distinct classes sharing one
+    // code (identical codes collide in every band by definition) —
+    // together exactly the class pairs the per-vector band join would
+    // propose, verified ONCE per class pair
+    val crossCls = cpairs
+      .join(cls.select(col("code").as("ca"), col("u").as("ua"),
+        col("vids").as("va")), "ca")
+      .join(cls.select(col("code").as("cb"), col("u").as("ub"),
+        col("vids").as("vb")), "cb")
+      .select(col("ua"), col("va"), col("ub"), col("vb"))
+    val withinCode = cls.as("m")
+      .join(cls.as("n"),
+        col("m.code") === col("n.code") && col("m.rid") < col("n.rid"))
+      .select(col("m.u").as("ua"), col("m.vids").as("va"),
+        col("n.u").as("ub"), col("n.vids").as("vb"))
+    val verified = crossCls.union(withinCode)
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .filter(col("cos") >= thr)
+      .select(col("va"), col("vb"), col("cos"))
+    // expansion of verified pairs only: cross-class members pairwise
+    // (disjoint classes ⇒ each unordered pair once), plus the members
+    // of every multi-member class among themselves (identical vectors:
+    // cos = dot(u,u), subject to the same threshold — never assumed)
+    val cross = verified
+      .select(col("cos"), col("vb"), explode(col("va")).as("ai"))
+      .select(col("cos"), col("ai"), explode(col("vb")).as("bi"))
+      .select(least(col("ai"), col("bi")).as("va"),
+        greatest(col("ai"), col("bi")).as("vb"), col("cos"))
+    val withinCls = cls.filter(size(col("vids")) > 1)
+      .withColumn("cos", dot(col("u"), col("u")))
+      .filter(col("cos") >= thr)
+      .select(col("cos"), col("vids"), explode(col("vids")).as("ai"))
+      .select(col("cos"), col("ai"), explode(col("vids")).as("bi"))
+      .filter(col("ai") < col("bi"))
+      .select(col("ai").as("va"), col("bi").as("vb"), col("cos"))
+    cross.union(withinCls)
   }
 
   /** SRP plane/code/band CTE chain over `e(vec_id, u)` — 16 md5-derived
@@ -998,16 +1035,16 @@ object LlmQueries {
   private val dedupEmbedding = Q(
     (s, d) => {
       val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
-      val c = dot(col("a.u"), col("b.u"))
-      val pairs =
-        if (s.conf.get(EmbeddingModeKey, "banded") == "exact")
+      val out =
+        if (s.conf.get(EmbeddingModeKey, "banded") == "exact") {
+          val c = dot(col("a.u"), col("b.u"))
           e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        else srpCandidatePairs(e)
-      pairs
-        .filter(c >= 0.45)
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          r4(c).as("cosine"))
-        .orderBy("va", "vb")
+            .filter(c >= 0.45)
+            .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+              r4(c).as("cosine"))
+        } else srpNearDupPairs(e, 0.45)
+          .select(col("va"), col("vb"), r4(col("cos")).as("cosine"))
+      out.orderBy("va", "vb")
     },
     Some(unitSql + srpSqlCtes + """,
       cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
@@ -1038,11 +1075,8 @@ object LlmQueries {
   private val dedupEmbeddingBanded = Q(
     (s, d) => {
       val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
-      val c = dot(col("a.u"), col("b.u"))
-      srpCandidatePairs(e)
-        .filter(c >= 0.45)
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          r4(c).as("cosine"))
+      srpNearDupPairs(e, 0.45)
+        .select(col("va"), col("vb"), r4(col("cos")).as("cosine"))
         .orderBy("va", "vb")
     },
     Some(unitSql + srpSqlCtes + """,
@@ -1074,10 +1108,8 @@ object LlmQueries {
   private val dedupEmbeddingClusters = Q(
     (s, d) => {
       val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
-      val c = dot(col("a.u"), col("b.u"))
-      clusterPairs(srpCandidatePairs(e)
-          .filter(c >= 0.45)
-          .select(col("a.vec_id").as("da"), col("b.vec_id").as("db")))
+      clusterPairs(srpNearDupPairs(e, 0.45)
+          .select(col("va").as("da"), col("vb").as("db")))
         .select(col("doc_id").as("vec_id"), col("rep_id"),
           col("cluster_size"))
         .orderBy("vec_id")
