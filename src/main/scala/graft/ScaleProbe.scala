@@ -1,70 +1,71 @@
 package graft
 import org.apache.spark.sql.functions._
 
-/** 10×-corpus scaling probe over the LLM-pipeline operators — the
-  * committed artifact (`scaleprobe.json` in the repo root) is the
-  * round-over-round regression gate: each run loads the previous
-  * committed timings and fails loudly (exit 1) if any operator's
-  * runtime grew more than [[ScaleProbe.RegressionFactor]]× — the signal
-  * that a plan quietly lost its banding/broadcast/pruning and went
-  * super-linear. Timings on this box carry ±1-2 s noise (see bench
-  * discipline note, SURVEY §4.2), hence the deliberately loose factor:
-  * the gate catches complexity-class regressions, not jitter. */
+/** Scaled-corpus probe over the LLM-pipeline operators — the committed
+  * artifacts (`scaleprobe.json`, `scaleprobe30.json` in the repo root)
+  * are the round-over-round regression gate: each 10× run loads the
+  * previous committed timings and fails loudly (exit 1) if any
+  * operator's runtime grew more than [[ScaleProbe.RegressionFactor]]× —
+  * the signal that a plan quietly lost its banding/broadcast/pruning
+  * and went super-linear. Timings on this box carry ±1-2 s noise (see
+  * bench discipline note, SURVEY §4.2), hence the deliberately loose
+  * factor: the gate catches complexity-class regressions, not jitter.
+  *
+  * `runMain graft.ScaleProbe 30` runs the FRONTIER probe instead: the
+  * top-8 ops by committed 10× probe time, on a 30× corpus, written to
+  * `scaleprobe30.json` with each op's t30/t10 ratio. The 15× gate at
+  * 10× says nothing about the 100× trend for ops in the 11-14× band
+  * (r11 verdict); ~linear scaling predicts t30/t10 ≈ 3, so any ratio
+  * above [[FrontierFactor]] is flagged in the artifact and on stdout —
+  * verdict-visible, not a hard failure (absolute times at 30× carry
+  * proportionally more noise). */
 object ScaleProbe {
   /** Loose on purpose: ~constant-factor noise passes, O(n²) does not. */
   val RegressionFactor = 15.0
-  private val ArtifactPath = "/root/repo/scaleprobe.json"
+  /** 30×/10× ratio above which an op's scaling trend is flagged:
+    * linear = 3.0, plus the same ~10% slack the 15×-at-10× gate uses. */
+  val FrontierFactor = 3.3
+  private def artifactPath(scale: Int): String =
+    if (scale == 10) "/root/repo/scaleprobe.json"
+    else s"/root/repo/scaleprobe$scale.json"
 
   def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_scale10"
-    // 10x documents: replicas get distinct ids and a salt token so
+    val out = s"/tmp/graft_scale$scale"
+    // scaled documents: replicas get distinct ids and a salt token so
     // replicas are near-dups of each other only within plant groups
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val n = 100000L
-    val big = (0 until 10).map { k =>
+    val big = (0 until scale).map { k =>
       docs.withColumn("doc_id", col("doc_id") + lit(k * n))
         .withColumn("text", concat(col("text"), lit(s" salt$k")))
     }.reduce(_ unionAll _)
     big.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    (0 until 10).map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
+    (0 until scale).map(k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println("SCALE wrote 10x corpus: " +
+    println(s"SCALE wrote ${scale}x corpus: " +
       spark.read.parquet(s"$out/documents.parquet").count() + " docs")
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
-    val ops = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
-      "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_banded",
-      "dedup_clusters", "dedup_containment", "dedup_edit_distance",
-      "dedup_incremental", "sim_search_topk",
-      "sim_search_ann", "sim_search_ivf", "text_analysis",
-      "text_token_stats", "text_fingerprint", "text_unigram_logprob",
-      "sample_hash", "dedup_lines", "pii_scrub", "pack_sequences",
-      "dedup_spans", "sample_stratified", "tokenize_ids",
-      "embedding_quantize", "embedding_pq",
-      // r8 additions: url canon/caps, temperature resample, persisted
-      // ANN index + ADC probes, cross-run stores, z-order rewrite
-      "dedup_url", "sample_temperature", "sim_search_ivf_indexed",
-      "sim_search_pq_adc", "decontaminate_incremental",
-      "dedup_embedding_incremental", "stream_ann_probe",
-      "pipeline_pretrain",
-      // r11 additions: linear quality gate, per-stratum data card,
-      // cluster-weighted soft dedup
-      "quality_classifier", "corpus_report", "sample_cluster_weighted",
-      "multimodal_resize", "text_bigram_logprob",
-      // r12 addition: the tokenizer encode path
-      "tokenize_bpe_apply")
+    val tenProbe = readPrev(artifactPath(10))
+    val ops = (if (scale == 10) fullOps
+      // frontier probe: the top-8 ops by committed 10× probe time —
+      // the worst absolute trends are exactly where a super-linear
+      // term shows first
+      else tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1))
       // BENCH-IDENTICAL run order via the SHARED key (see
       // SparkEntry.benchOrderKey): unordered, dedup_simhash paid the
       // pair-table build in the probe but read dedup_clusters' cache in
       // the bench — a 20× "growth" that was pure accounting.
       .sortBy(SparkEntry.benchOrderKey)
-    val prev = readPrev()
+    val prev = readPrev(artifactPath(scale))
     val results = ops.map { q =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
@@ -73,18 +74,32 @@ object ScaleProbe {
       engine.ScratchCache.drain(); System.gc()
       (q, sec, c)
     }
+    val flagged = if (scale == 10) Nil
+      else results.flatMap { case (q, sec, _) =>
+        tenProbe.get(q).filter(t10 => t10 > 0 && sec / t10 > FrontierFactor)
+          .map(t10 => (q, sec / t10))
+      }
     val json = results.map { case (q, sec, c) =>
-      f"""    "$q": {"sec": $sec%.2f, "rows": $c}"""
+      val ratio = if (scale == 10) ""
+        else tenProbe.get(q).map(t10 =>
+          f""", "vs10x": ${sec / t10}%.2f""").getOrElse("")
+      f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio}"""
     }.mkString(
-      "{\n  \"sf_base\": \"sf0.1\", \"scale\": 10,\n  \"ops\": {\n",
+      s"""{\n  "sf_base": "sf0.1", "scale": $scale,""" +
+        s""" "flagged": [${flagged.map("\"" + _._1 + "\"").mkString(", ")}],""" +
+        "\n  \"ops\": {\n",
       ",\n", "\n  }\n}\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(ArtifactPath), json)
-    println(s"SCALE wrote $ArtifactPath")
-    val regressions = results.flatMap { case (q, sec, _) =>
-      prev.get(q).filter(p => p > 0 && sec / p > RegressionFactor)
-        .map(p => f"$q: ${p}%.2f -> $sec%.2f s (${sec / p}%.1fx)")
+      java.nio.file.Paths.get(artifactPath(scale)), json)
+    println(s"SCALE wrote ${artifactPath(scale)}")
+    flagged.foreach { case (q, r) =>
+      println(f"SCALE FRONTIER FLAG $q: ${r}%.1fx its 10x time (linear = ${scale / 10.0}%.1f)")
     }
+    val regressions = if (scale != 10) Nil
+      else results.flatMap { case (q, sec, _) =>
+        prev.get(q).filter(p => p > 0 && sec / p > RegressionFactor)
+          .map(p => f"$q: ${p}%.2f -> $sec%.2f s (${sec / p}%.1fx)")
+      }
     spark.stop()
     if (regressions.nonEmpty) {
       regressions.foreach(r => println(s"SCALE REGRESSION $r"))
@@ -92,10 +107,32 @@ object ScaleProbe {
     }
   }
 
+  private val fullOps = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_banded",
+    "dedup_clusters", "dedup_containment", "dedup_edit_distance",
+    "dedup_incremental", "sim_search_topk",
+    "sim_search_ann", "sim_search_ivf", "text_analysis",
+    "text_token_stats", "text_fingerprint", "text_unigram_logprob",
+    "sample_hash", "dedup_lines", "pii_scrub", "pack_sequences",
+    "dedup_spans", "sample_stratified", "tokenize_ids",
+    "embedding_quantize", "embedding_pq",
+    // r8 additions: url canon/caps, temperature resample, persisted
+    // ANN index + ADC probes, cross-run stores, z-order rewrite
+    "dedup_url", "sample_temperature", "sim_search_ivf_indexed",
+    "sim_search_pq_adc", "decontaminate_incremental",
+    "dedup_embedding_incremental", "stream_ann_probe",
+    "pipeline_pretrain",
+    // r11 additions: linear quality gate, per-stratum data card,
+    // cluster-weighted soft dedup
+    "quality_classifier", "corpus_report", "sample_cluster_weighted",
+    "multimodal_resize", "text_bigram_logprob",
+    // r12 addition: the tokenizer encode path
+    "tokenize_bpe_apply")
+
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
-  private def readPrev(): Map[String, Double] = {
-    val f = java.nio.file.Paths.get(ArtifactPath)
+  private def readPrev(path: String): Map[String, Double] = {
+    val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
     val txt = java.nio.file.Files.readString(f)
     """"([a-z0-9_]+)": \{"sec": ([0-9.]+)""".r.findAllMatchIn(txt)
