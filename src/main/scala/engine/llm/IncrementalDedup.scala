@@ -324,41 +324,68 @@ object IncrementalDedup {
       val src0 = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val storeSchema = sigOf(src0.limit(0)).schema
         .add("kept", "boolean", nullable = false)
-      def bandsOf(t: DataFrame): DataFrame = t
-        .filter(col("code").isNotNull)
-        .select(col("vec_id"), explode(codeBands(col("code"), 4, 4)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"),
+      // Per-trigger candidates run at EQUIVALENCE-CLASS level (the
+      // srpNearDupPairs discipline applied to the serving path — the
+      // 30× frontier probe flagged the per-vector form at 11.3× its
+      // 10× time): batch vectors collapse to (u, code) classes with
+      // their min member id, the store contributes its DISTINCT
+      // classes (an exact-replicated store of any size has the same
+      // class set), band joins and the cosine verify run once per
+      // class pair, and verdicts expand back per member:
+      //   b dropped ⟺ its class collides-and-verifies with ANY store
+      //   class (ordered admission ⇒ every store id < every batch id)
+      //   ∨ b > min id of some verified batch partner class (the
+      //   class itself included — identical in-batch vectors keep
+      //   exactly their smallest member, subject to the threshold).
+      // Pair-for-pair identical to the per-vector form: band collision
+      // is a property of the codes, cosine of the contents, "∃ smaller
+      // partner" of the partner class's min id.
+      def cbandsOf(t: DataFrame): DataFrame = t
+        .select(col("u"), col("code"),
+          explode(codeBands(col("code"), 4, 4)).as("bb"))
+        .select(col("u"), col("code"), col("bb.band").as("band"),
           col("bb.bv").as("bv"))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         val sig = sigOf(batch).persist()
+        val bcls = sig.filter(col("code").isNotNull)
+          .groupBy(col("u"), col("code"))
+          .agg(min(col("vec_id")).as("mn")).persist()
         try {
-          val bands = bandsOf(sig)
           val prevSig = engine.stream.AppendTable.read(sp, store, storeSchema)
-          val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
-              col("n.band") === col("o.band") && col("n.bv") === col("o.bv") &&
-                col("o.vec_id") < col("n.vec_id"))
-            .select(col("o.vec_id").as("va"), col("n.vec_id").as("vb"))
-          val candBatch = bands.as("x").join(bands.as("y"),
-              col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-                col("x.vec_id") < col("y.vec_id"))
-            .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-          val uOnly = (t: DataFrame) => t.select(col("vec_id"), col("u"))
-          // no pair-level distinct (the dedup_incremental reasoning): a
-          // pair colliding in several of the 4 bands re-verifies a few
-          // times; the dropped-id distinct dedups, cheaper than an extra
-          // exchange per trigger
-          val dropped = candStore.unionByName(candBatch)
-            .join(uOnly(prevSig).unionByName(uOnly(sig)).toDF("va", "ua"),
-              "va")
-            .join(uOnly(sig).toDF("vb", "ub"), "vb")
-            .filter(dot(col("ua"), col("ub")) >= 0.45)
-            .select(col("vb").as("vec_id")).distinct()
-          engine.stream.AppendTable.append(
-            sig.join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
-              .withColumn("kept", col("_d").isNull).drop("_d"),
-            store, batchId)
-        } finally { sig.unpersist(); () }
+          val scls = prevSig.filter(col("code").isNotNull)
+            .select(col("u"), col("code")).distinct()
+          // batch × store: EXISTS any verified store partner — flags
+          // the whole batch class (no per-band dedup needed for EXISTS)
+          val hitStore = cbandsOf(bcls).as("n")
+            .join(cbandsOf(scls).as("o"),
+              col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
+            .filter(dot(col("n.u"), col("o.u")) >= 0.45)
+            .select(col("n.u").as("u"), col("n.code").as("code"))
+            .distinct().withColumn("hs", lit(true))
+          // batch × batch, BOTH directions and self included: the min
+          // member id over verified partner classes bounds which of a
+          // class's own members survive
+          val pb = bcls
+            .select(col("u").as("pu"), col("mn").as("pmn"),
+              explode(codeBands(col("code"), 4, 4)).as("bb"))
+            .select(col("pu"), col("pmn"),
+              col("bb.band").as("band"), col("bb.bv").as("bv"))
+          val mB = cbandsOf(bcls)
+            .join(pb, Seq("band", "bv"))
+            .filter(dot(col("u"), col("pu")) >= 0.45)
+            .groupBy(col("u"), col("code"))
+            .agg(min(col("pmn")).as("mb"))
+          val verdictOf = sig
+            .join(hitStore, Seq("u", "code"), "left")
+            .join(mB, Seq("u", "code"), "left")
+            .withColumn("kept",
+              !(coalesce(col("hs"), lit(false)) ||
+                (col("mb").isNotNull && col("vec_id") > col("mb"))))
+            .select((storeSchema.fieldNames.dropRight(1).map(col) :+
+              col("kept")): _*)
+          engine.stream.AppendTable.append(verdictOf, store, batchId)
+        } finally { sig.unpersist(); bcls.unpersist(); () }
       }
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"incrvecs_$san", orderedBy = Some("vec_id"),

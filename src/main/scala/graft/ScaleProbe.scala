@@ -23,7 +23,13 @@ object ScaleProbe {
   /** Loose on purpose: ~constant-factor noise passes, O(n²) does not. */
   val RegressionFactor = 15.0
   /** 30×/10× ratio above which an op's scaling trend is flagged:
-    * linear = 3.0, plus the same ~10% slack the 15×-at-10× gate uses. */
+    * linear = 3.0, plus the same ~10% slack the 15×-at-10× gate uses.
+    * An op whose OUTPUT grows faster than the corpus (pair emitters
+    * under replication: every salted replica of a train doc covers
+    * every replica of an eval doc) is held to its output growth
+    * instead — time tracking true result size is output-bound, not a
+    * plan pathology; the flag is for super-linearity BEYOND what the
+    * result itself forces. */
   val FrontierFactor = 3.3
   private def artifactPath(scale: Int): String =
     if (scale == 10) "/root/repo/scaleprobe.json"
@@ -74,9 +80,14 @@ object ScaleProbe {
       engine.ScratchCache.drain(); System.gc()
       (q, sec, c)
     }
+    val tenRows = readPrevRows(artifactPath(10))
     val flagged = if (scale == 10) Nil
-      else results.flatMap { case (q, sec, _) =>
-        tenProbe.get(q).filter(t10 => t10 > 0 && sec / t10 > FrontierFactor)
+      else results.flatMap { case (q, sec, c) =>
+        val outGrowth = tenRows.get(q).filter(_ > 0)
+          .map(r10 => c.toDouble / r10).getOrElse(1.0)
+        tenProbe.get(q)
+          .filter(t10 => t10 > 0 && sec / t10 > FrontierFactor &&
+            sec / t10 > 1.1 * outGrowth)
           .map(t10 => (q, sec / t10))
       }
     val json = results.map { case (q, sec, c) =>
@@ -137,5 +148,16 @@ object ScaleProbe {
     val txt = java.nio.file.Files.readString(f)
     """"([a-z0-9_]+)": \{"sec": ([0-9.]+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Per-op output row counts from a committed artifact — the
+    * denominator of the output-growth allowance in the frontier flag. */
+  private def readPrevRows(path: String): Map[String, Long] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
+    val txt = java.nio.file.Files.readString(f)
+    """"([a-z0-9_]+)": \{"sec": [0-9.]+, "rows": ([0-9]+)""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 }
