@@ -1055,6 +1055,206 @@ object CurateQueries {
     },
     Some(pqAdcOracleSql))
 
+  // ----------------------------------------------- sim_search_ivfpq_indexed
+  /** Number of coarse cells a query probes (of [[PqK]] = 16 total). */
+  private val IvfPqNProbe = 4
+
+  /** One full-dimension L2 Lloyd round — the coarse-quantizer twin of
+    * [[pqRound]] (same seeds-refined-by-member-means math, same argmin
+    * tie-break on (d, cent_id), same integer NANO-grid sums so DuckDB
+    * replays training bit-exactly, same memberless-cell-keeps-centroid
+    * rule), over the whole 64-dim vector instead of a subspace. Distinct
+    * from [[LlmQueries]]'s spherical `lloydRound` (cosine argmax +
+    * re-normalized means): IVF-PQ scores raw L2 end-to-end, so the
+    * coarse cells must live in the same un-normalized Euclidean space as
+    * the PQ fine stage or cell membership and ADC would rank in
+    * different geometries. */
+  private def coarseRound(e: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cdf = cents.toDF("cent_id", "cu")
+    val dimSums = (0 until PqM * PqD).map(i =>
+      sum(round(element_at(col("v"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
+    val upd = e.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        l2sq(col("v"), col("cu")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(expr("min_by(cent_id, struct(d, cent_id))").as("cent_id"),
+        first(col("v")).as("v"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"), dimSums: _*)
+      .select(col("cent_id"), array((0 until PqM * PqD).map(i =>
+        col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("cu"))
+      .as[(Long, Seq[Double])].collect().toMap
+    cents.map { case (id, cu) => (id, upd.getOrElse(id, cu)) }
+  }
+
+  /** The offline IVF-PQ indexing job — the layout FAISS's IndexIVFPQ
+    * ships for billion-vector serving, composing the two index halves
+    * this engine already builds separately: a coarse cell structure
+    * (sim_search_ivf_indexed) whose inverted lists store PQ CODES
+    * instead of raw vectors (sim_search_pq_indexed). Train the PQ
+    * codebooks + encode the corpus ([[pqTrainEncode]], shared), train
+    * the [[PqK]]-cell coarse quantizer (the same md5-sampled seeds
+    * refined by one [[coarseRound]]), assign every vector to its single
+    * argmin-L2 cell, and write three co-versioned tables under one
+    * atomic pointer: `codebook` (coarse cells), `codebooks` (PQ model),
+    * and `postings` — (vec_id, m, k) code rows PARTITIONED BY the cell
+    * id. Codes are encoded from the RAW vector (FAISS `by_residual =
+    * false`), which is what keeps the oracle a pure composition of the
+    * two already-pinned replay chains.
+    *
+    * Why this is THE 100 TB serving layout: the index holds M·log2(K)
+    * = 16 BITS of payload per corpus vector (vs 2048 for the float32
+    * postings of sim_search_ivf_indexed — a 128x cut), a probe reads
+    * nprobe/K of the partition directories, and scoring is M LUT
+    * lookups per candidate. The raw corpus is never read at serve time
+    * at all. */
+  private def ivfPqBuildIndex(s: SparkSession, d: String)
+      : (String, String, String, org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    val (e, kdf, encBs) = pqTrainEncode(s, d)
+    val seeds = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("vec_id").as("cent_id"), col("v").as("cu"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val cents = coarseRound(e, seeds).toDF("cent_id", "cu")
+    // argmin-L2 cell per vector: hash-agg argmax (the pqRound shape),
+    // never a window sort over the corpus
+    val asg = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        l2sq(col("v"), col("cu")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(expr("min_by(cent_id, struct(d, cent_id))").as("cent_id"))
+    // the inverted lists: code rows carrying their cell — 16 bits of
+    // payload per vector once partitioned by cent_id
+    val posts = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
+      .join(asg, "vec_id")
+    val postSchema = posts.schema
+    val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = new java.io.File(s"/tmp/graft_ivfpq_index_$san")
+    val id = engine.stream.VersionedTable.currentDir(root)
+      .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
+    engine.stream.VersionedTable.commitDir(root, id) { dir =>
+      cents.write.parquet(new java.io.File(dir, "codebook").getPath)
+      kdf.write.parquet(new java.io.File(dir, "codebooks").getPath)
+      posts.write.partitionBy("cent_id")
+        .parquet(new java.io.File(dir, "postings").getPath)
+    }
+    val cur = engine.stream.VersionedTable.currentDir(root).get
+    (new java.io.File(cur, "codebook").getPath,
+      new java.io.File(cur, "codebooks").getPath,
+      new java.io.File(cur, "postings").getPath, postSchema)
+  }
+
+  /** B49h: the combined IVF-PQ serving path — the remaining rung of the
+    * retrieval ladder (brute → SRP → IVF → persisted IVF → PQ ADC →
+    * persisted PQ → THIS): probe reads ONLY the prebuilt index. Queries
+    * rank the read coarse codebook (broadcast, K rows) by exact L2 and
+    * keep their [[IvfPqNProbe]] nearest cells; the postings scan is
+    * PARTITION-PRUNED to the probed cell set (PlanSpec pins the
+    * PartitionFilters line — at cluster scale DPP prunes without the
+    * collect); candidates score by ADC against the broadcast per-query
+    * LUT — (m, k) equi-join + fixed-slot sum, no training argmin
+    * anywhere in the serving plan. Scan fraction nprobe/K AND 16-bit
+    * payloads: the two index compressions multiply.
+    *
+    * Deterministic end-to-end (md5 seeds, tie-broken argmins, nano-grid
+    * means, fixed-slot double sums), and parquet round-trips doubles
+    * bit-exactly, so the oracle replays build + probe as a composition
+    * of the two pinned chains: [[pqSqlPrefix]] (PQ train/encode → LUT
+    * CTEs e$m + picks) plus the coarse chain (seeds → one L2 round →
+    * assignment → nprobe probe → candidate restriction). */
+  private val simSearchIvfPqIndexed = Q(
+    (s, d) => {
+      import VectorFunctions.asDouble
+      import s.implicits._
+      val TopK = 5
+      val (cbPath, pqPath, postPath, postSchema) = ivfPqBuildIndex(s, d)
+      val qv = t(s, d, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      val cb = s.read.parquet(cbPath)
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cd"), col("cent_id"))
+      val qprobe = qv.crossJoin(broadcast(cb))
+        .select(col("qid"), col("cent_id"),
+          l2sq(col("qv"), col("cu")).as("cd"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= IvfPqNProbe)
+        .select(col("qid"), col("cent_id"))
+      val cells = qprobe.select(col("cent_id")).distinct()
+        .as[Long].collect().sorted.toSeq
+      val posts = s.read.schema(postSchema).parquet(postPath)
+        .filter(col("cent_id").isin(cells: _*))
+      val lut = broadcast(qv.crossJoin(s.read.parquet(pqPath))
+        .select(col("qid"), col("m"), col("k"),
+          l2sq(slice(col("qv"), col("m") * PqD + 1, lit(PqD)), col("cu"))
+            .as("dd")))
+      val slots = (0 until PqM).map(m =>
+        sum(when(col("m") === m, col("dd"))).as(s"s$m"))
+      val sc = posts.join(broadcast(qprobe), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(lut, Seq("qid", "m", "k"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(slots.head, slots.tail: _*)
+        .select(col("qid"), col("vec_id").as("cid"),
+          (0 until PqM).map(m => col(s"s$m")).reduce(_ + _).as("adc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      sc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("rank"),
+          (floor(col("adc") * 1e8 + lit(0.5)) / 1e8).as("adc_l2sq"))
+        .orderBy("qid", "rank")
+    },
+    Some(pqSqlPrefix + s""",
+      gax0 AS (SELECT s.vec_id, c.cent_id,
+               list_sum(list_transform(list_zip(s.v, c.cu),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+             FROM ev s CROSS JOIN seeds c),
+      gasg0 AS (SELECT vec_id, cent_id FROM gax0
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cent_id) = 1),
+      gs AS (SELECT a.cent_id, g.i,
+               sum(CAST(round(e.v[g.i] * 1e9, 0) AS BIGINT)) AS sx,
+               count(*) AS n
+             FROM gasg0 a JOIN ev e USING (vec_id)
+             CROSS JOIN generate_series(1, ${PqM * PqD}) g(i)
+             GROUP BY 1, 2),
+      gm AS (SELECT cent_id, list((sx::DOUBLE / 1e9) / n ORDER BY i) AS mv
+             FROM gs GROUP BY cent_id),
+      gc1 AS (SELECT c.cent_id, COALESCE(m.mv, c.cu) AS cu
+             FROM seeds c LEFT JOIN gm m USING (cent_id)),
+      gax AS (SELECT s.vec_id, c.cent_id,
+               list_sum(list_transform(list_zip(s.v, c.cu),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+             FROM ev s CROSS JOIN gc1 c),
+      gasg AS (SELECT vec_id, cent_id FROM gax
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cent_id) = 1),
+      gprobe AS (SELECT vec_id AS qid, cent_id FROM gax WHERE vec_id < 5
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY d, cent_id) <= $IvfPqNProbe),
+      gcand AS (SELECT q.qid, a.vec_id AS cid
+             FROM gasg a JOIN gprobe q USING (cent_id)
+             WHERE a.vec_id <> q.qid),
+      gsc AS (SELECT c.qid, c.cid,
+               ${(1 until PqM).foldLeft("l0.d")((a, m) => s"$a + l$m.d")}
+                 AS adc
+             FROM gcand c
+             ${(0 until PqM).map(m =>
+               s"JOIN pick$m p$m ON p$m.vec_id = c.cid").mkString(" ")}
+             ${(0 until PqM).map(m =>
+               s"JOIN e$m l$m ON l$m.k = p$m.k$m AND l$m.vec_id = c.qid")
+               .mkString(" ")})
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank,
+        floor(adc * 1e8 + 0.5) / 1e8 AS adc_l2sq
+      FROM gsc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+
   // ------------------------------------------------------------ dedup_url
   /** Per-domain unique-URL budget: beyond this many distinct pages a
     * domain contributes nothing further (anti-spam / diversity cap). */
@@ -1373,6 +1573,124 @@ object CurateQueries {
       FROM documents g LEFT JOIN agg USING (doc_id)
       ORDER BY g.doc_id"""))
 
+  // ----------------------------------------------- quality_classifier_train
+  /** Feature buckets for the hashing-trick featurization (shared shape
+    * with [[qualityClassifier]]'s scorer) and full-batch training
+    * rounds. */
+  private val QcF = 64
+  private val QcRounds = 3
+
+  /** TRAIN the model-based quality filter — the half [[qualityClassifier]]
+    * stood in for with digest-derived weights (the tokenize_bpe /
+    * tokenize_bpe_apply pairing, applied to the classifier): a linear
+    * classifier over hashed-bigram COUNT features ([[QcF]] buckets),
+    * trained by [[QcRounds]] full-batch perceptron rounds against weak
+    * labels distilled from the heuristic composite gate (quality >= 0.3
+    * — pipeline_curate's own threshold). Distill-the-heuristic is how
+    * real corpus classifiers bootstrap (CCNet/GPT-3 train
+    * reference-vs-crawl; with no reference corpus in the testdata, the
+    * already-pinned heuristic plays "reference"). The perceptron (not
+    * logistic GD) is the deliberate determinism choice: weights, margins
+    * and gradients stay EXACT INTEGERS end-to-end — order-free parallel
+    * sums, no sigmoid whose libm ulp could diverge between engines.
+    *
+    * Shape at 100 TB: the feature frame is (doc_id, bucket, count) —
+    * integers, never text — built once and persisted; each round is one
+    * broadcast-weights margin aggregation + one misclassified-gradient
+    * aggregation collapsing to [[QcF]] rows (a model artifact, the
+    * Lloyd/BPE driver-fold shape); emit = one final margin pass. Rounds
+    * are driver-sequenced like every iterative trainer here, but all
+    * per-round work is map-side aggregation over the feature frame. */
+  private val qualityClassifierTrain = Q(
+    (s, d) => {
+      import s.implicits._
+      val tok = tokens(col("text"))
+      val bigrams = when(size(tok) >= 2,
+        transform(sequence(lit(1), size(tok) - 1), i =>
+          concat_ws("_", element_at(tok, i), element_at(tok, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val feats = engine.ScratchCache.persist(docs(s, d)
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"),
+          pmod(tokenHash60(col("b")), lit(QcF.toLong)).as("j"))
+        .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x")))
+      val labels = engine.ScratchCache.persist(docs(s, d)
+        .select(col("doc_id"),
+          when(LlmQueries.qualityScore >= 0.3, 1L).otherwise(-1L).as("y")))
+      def wdf(w: Map[Long, Long]) = broadcast(
+        (0L until QcF).map(j => (j, w.getOrElse(j, 0L))).toDF("j", "w"))
+      def margins(w: Map[Long, Long]): DataFrame = labels.join(
+          feats.join(wdf(w), "j").groupBy(col("doc_id"))
+            .agg(sum(col("w") * col("x")).as("mg")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("y"),
+          coalesce(col("mg"), lit(0L)).as("mg"))
+      // ŷ = +1 iff margin > 0; misclassified docs push their features
+      // toward their label. Integer weights, batch update, no LR knob —
+      // the classic perceptron whose every quantity replays exactly.
+      val w = (1 to QcRounds).foldLeft(Map.empty[Long, Long]) { (w0, _) =>
+        val grad = margins(w0)
+          .filter((col("y") === 1 && col("mg") <= 0) ||
+            (col("y") === -1 && col("mg") > 0))
+          .join(feats, "doc_id")
+          .groupBy(col("j")).agg(sum(col("y") * col("x")).as("g"))
+          .as[(Long, Long)].collect().toMap
+        (0L until QcF).map(j =>
+          j -> (w0.getOrElse(j, 0L) + grad.getOrElse(j, 0L))).toMap
+      }
+      margins(w)
+        .select(col("doc_id"), col("y"), col("mg").as("margin"),
+          when(col("mg") > 0, 1L).otherwise(-1L).as("predicted"))
+        .withColumn("correct", col("predicted") === col("y"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // one perceptron round as CTEs: margins under w{r-1}, gradient
+      // over misclassified docs, w{r} — the tokenize_bpe unrolled-round
+      // oracle discipline; the final round emits only its margin CTE
+      def marginCte(r: Int): String = s""",
+      m$r AS (SELECT l.doc_id, l.y, coalesce(sum(w.w * f.x), 0) mg
+             FROM lab l LEFT JOIN feats f USING (doc_id)
+                        LEFT JOIN w${r - 1} w USING (j)
+             GROUP BY 1, 2)"""
+      def round(r: Int): String = marginCte(r) + s""",
+      g$r AS (SELECT f.j, sum(m.y * f.x) g
+             FROM m$r m JOIN feats f USING (doc_id)
+             WHERE (m.y = 1 AND m.mg <= 0) OR (m.y = -1 AND m.mg > 0)
+             GROUP BY 1),
+      w$r AS (SELECT w.j, (w.w + coalesce(g.g, 0))::BIGINT w
+             FROM w${r - 1} w LEFT JOIN g$r g USING (j))"""
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') t
+               FROM documents),
+      bgl AS (SELECT doc_id,
+                CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                    i -> t[i] || '_' || t[i + 1])
+                  ELSE [] END AS bg FROM tok),
+      feats AS (SELECT doc_id,
+                ('0x' || substr(md5(b), 1, 15))::BIGINT % $QcF j,
+                count(*)::BIGINT x
+              FROM (SELECT doc_id, unnest(bg) b FROM bgl) GROUP BY 1, 2),
+      q AS (SELECT doc_id, len(t) AS n_tokens,
+              (length(text) - (len(t) - 1)) / len(t) AS avg_token_len,
+              len(list_filter(t, x -> list_contains(['the','a'], x)))
+                / len(t) AS stopword_ratio
+            FROM documents JOIN tok USING (doc_id)),
+      lab AS (SELECT doc_id, CASE WHEN
+                floor((least(1.0, n_tokens / 100.0) * 0.6
+                  + stopword_ratio * 0.2
+                  + (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) * 0.2)
+                  * 10000 + 0.5) / 10000.0 >= 0.3
+                THEN 1 ELSE -1 END y FROM q),
+      w0 AS (SELECT j, 0::BIGINT w FROM generate_series(0, ${QcF - 1}) t(j))
+      ${(1 to QcRounds).map(round).mkString}
+      ${marginCte(QcRounds + 1)}
+      SELECT m.doc_id, m.y, m.mg::BIGINT AS margin,
+        CASE WHEN m.mg > 0 THEN 1 ELSE -1 END AS predicted,
+        (CASE WHEN m.mg > 0 THEN 1 ELSE -1 END) = m.y AS correct
+      FROM m${QcRounds + 1} m ORDER BY m.doc_id"""
+    })
+
   // --------------------------------------------------------- corpus_report
   /** Per-(source, lang) corpus data card — the mixture-design surface a
     * pretraining run reads before setting sample_mixture / temperature
@@ -1419,6 +1737,7 @@ object CurateQueries {
 
   val queries: Map[String, Q] = Map(
     "quality_classifier" -> qualityClassifier,
+    "quality_classifier_train" -> qualityClassifierTrain,
     "corpus_report" -> corpusReport,
     "dedup_lines" -> dedupLines,
     "dedup_url" -> dedupUrl,
@@ -1433,5 +1752,6 @@ object CurateQueries {
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,
-    "sim_search_pq_indexed" -> simSearchPqIndexed)
+    "sim_search_pq_indexed" -> simSearchPqIndexed,
+    "sim_search_ivfpq_indexed" -> simSearchIvfPqIndexed)
 }

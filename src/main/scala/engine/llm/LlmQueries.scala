@@ -1600,7 +1600,7 @@ object LlmQueries {
     * disagree by one ulp of output; floor(x*1e4 + 0.5)/1e4 is the
     * identical IEEE op sequence in both engines, so the same input double
     * always rounds the same way. */
-  private def qualityScore: Column = {
+  private[llm] def qualityScore: Column = {
     val nTok = size(tokens(col("text")))
     val quality = least(lit(1.0), nTok / lit(100.0)) * 0.6 +
       stopwordRatio * 0.2 +

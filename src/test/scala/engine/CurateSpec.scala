@@ -267,6 +267,63 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert((bf & adc).size.toDouble / bf.size >= 0.04)
   }
 
+  test("quality_classifier_train: predictions are margin-consistent and " +
+      "the trained margin separates the weak labels") {
+    val out = CurateQueries.queries("quality_classifier_train").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mg = r.getAs[Long]("margin")
+      val pred = r.getAs[Long]("predicted")
+      assert(pred == (if (mg > 0) 1L else -1L), s"pred/margin disagree: $r")
+      assert(r.getAs[Boolean]("correct") == (pred == r.getAs[Long]("y")))
+    }
+    val (pos, neg) = out.partition(_.getAs[Long]("y") == 1L)
+    // training moved the model: the zero-weight start predicts -1 for
+    // every doc; after the rounds accuracy must beat that baseline...
+    val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+    val base = neg.length.toDouble / out.length
+    assert(acc > base, s"accuracy $acc does not beat zero-weight $base")
+    // ...and the learned margin must RANK quality even where the 0
+    // threshold doesn't separate (the weak labels are heavily positive;
+    // the margin is the score a deployment thresholds per-corpus)
+    if (pos.nonEmpty && neg.nonEmpty) {
+      def meanMargin(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.getAs[Long]("margin").toDouble).sum / rs.length
+      assert(meanMargin(pos) > meanMargin(neg),
+        "trained margin does not separate the weak labels")
+    }
+  }
+
+  test("sim_search_ivfpq_indexed: ranked ADC within probed cells; scores " +
+      "agree with the cell-free ADC ranking where pairs overlap") {
+    val out = CurateQueries.queries("sim_search_ivfpq_indexed").fn(spark, sf)
+      .collect()
+    assert(out.length == 25)
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toList == (1 to 5).toList)
+      val adc = byRank.map(_.getAs[Double]("adc_l2sq"))
+      assert(adc.forall(_ >= 0))
+      assert(adc.sliding(2).forall(p => p(0) <= p(1)), "adc must ascend")
+      assert(!g.exists(r => r.getAs[Long]("cid") == r.getAs[Long]("qid")))
+    }
+    // cell restriction prunes CANDIDATES, never rescores: any (qid, cid)
+    // this probe shares with the cell-free ADC top-k must carry the
+    // identical adc — the IVF stage and the PQ stage compose without
+    // interfering
+    val full = CurateQueries.queries("sim_search_pq_adc").fn(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) ->
+        r.getAs[Double]("adc_l2sq")).toMap
+    val shared = out.flatMap { r =>
+      full.get((r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+        .map(_ == r.getAs[Double]("adc_l2sq"))
+    }
+    assert(shared.nonEmpty, "no overlap with the cell-free ADC top-k at all")
+    assert(shared.forall(identity), "cell restriction changed an ADC score")
+  }
+
   test("pipeline_pretrain: funnel is monotone per stage and the mixture " +
       "rebalances the cleaned corpus") {
     val out = CurateQueries.queries("pipeline_pretrain").fn(spark, sf)

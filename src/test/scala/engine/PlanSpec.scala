@@ -308,6 +308,25 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
   }
 
+  test("sim_search_ivfpq_indexed: probe is partition-pruned to the probed " +
+      "cells AND trains nothing") {
+    val p = plan("sim_search_ivfpq_indexed")
+    // the probe half must read the prebuilt IVF-PQ index tables
+    assert(p.contains("graft_ivfpq_index"), "probe does not read the index")
+    // the inverted-list scan prunes to the nprobe probed cells: a static
+    // PartitionFilters INSET over the cell id, so only nprobe/K of the
+    // code-row directories are read
+    val scanBlock = p.linesIterator.dropWhile(!_.contains("postings"))
+      .take(8).mkString("\n")
+    assert(scanBlock.contains("PartitionFilters: [cent_id"), scanBlock)
+    assert(scanBlock.contains("INSET"), scanBlock)
+    // and the serving plan contains no training argmin (coarse AND fine
+    // training both argmin via min_by) — a min_by here means an index
+    // half retrained per query
+    assert(!p.contains("min_by"), "probe plan contains a training argmin")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+  }
+
   test("dedup_url and agg_funnel: no cartesian; exchanges never carry " +
       "document text") {
     for (q <- Seq("dedup_url", "agg_funnel")) {
