@@ -422,8 +422,88 @@ object IncrementalDedup {
       WHERE vec_id NOT IN (SELECT bi FROM pr WHERE cos >= 0.45)
       ORDER BY vec_id"""))
 
+  // ----------------------------------------------- dedup_exact_incremental
+  /** CROSS-RUN EXACT dedup against a persisted digest store — the most
+    * common incremental dedup a production ingest runs ("have we ever
+    * seen this content hash?"), completing the incremental family
+    * (minhash [[dedupIncremental]], SRP [[dedupEmbeddingIncremental]],
+    * eval-index [[decontaminateIncremental]] — exact was the missing
+    * modality). Per batch: digest = md5 of the normalized text (the
+    * dedup_exact key, computed ONCE per doc ever); a batch doc is kept
+    * iff its digest has never been ingested (anti-join the store — every
+    * prior row counts, kept or dropped: content seen twice is dup even
+    * if its first copy was itself dropped... which for EXACT dedup can
+    * only mean an even-earlier identical copy, so the rule degenerates
+    * to "first ingestion of the digest wins", exactly dedup_exact's
+    * lowest-id rule under ordered admission) AND it is the smallest
+    * doc_id of its digest within the batch; all batch rows append with
+    * their verdicts, O(batch) per trigger.
+    *
+    * Shape at 100 TB: the probe is a 16-byte-digest anti-join — text
+    * never rides the exchange; the store is the append-only digest
+    * archive every dedup service keeps (at scale bucketed by digest
+    * prefix so a probe prunes to matching buckets, with a Bloom filter
+    * fronting the scan — both pure layout, same verdicts). Ordered
+    * admission makes the streamed run hash-match the whole-corpus
+    * dedup_exact oracle for ANY trigger split (`spark.graft.exactIncr
+    * .mft` sizes triggers for the LlmSpec decomposition pin). */
+  private val dedupExactIncremental = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(s"/tmp/graft_dg_store_$san")
+      engine.stream.AppendTable.destroy(store) // fresh replay
+      def sigOf(batch: DataFrame): DataFrame = batch
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("dg"))
+      val src0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val storeSchema = sigOf(src0.limit(0)).schema
+        .add("kept", "boolean", nullable = false)
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val sig = sigOf(batch)
+        val seen = engine.stream.AppendTable.read(sp, store, storeSchema)
+          .select(col("dg")).distinct()
+        val wMin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dg")).orderBy(col("doc_id"))
+        val verdicts = sig
+          .withColumn("rn", row_number().over(wMin))
+          .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
+          .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+          .select(col("doc_id"), col("dg"), col("kept"))
+        engine.stream.AppendTable.append(verdicts, store, batchId)
+      }
+      val mft = s.conf.get("spark.graft.exactIncr.mft", "11").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, src0,
+        s"incrdg_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_incrdg_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8")
+        src.writeStream.foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      val kept = engine.stream.AppendTable.read(s, store, storeSchema)
+        .filter(col("kept"))
+        .select(col("doc_id"))
+      t(s, d, "documents")
+        .join(kept, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    // whole-corpus oracle: dedup_exact's own rule — lowest doc_id per
+    // normalized-text digest survives
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        ORDER BY doc_id) = 1
+      ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> dedupIncremental,
     "decontaminate_incremental" -> decontaminateIncremental,
-    "dedup_embedding_incremental" -> dedupEmbeddingIncremental)
+    "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
+    "dedup_exact_incremental" -> dedupExactIncremental)
 }

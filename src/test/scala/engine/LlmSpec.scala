@@ -181,6 +181,24 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batched.nonEmpty, "fixture plants contaminated train docs")
   }
 
+  test("dedup_exact_incremental: batch decomposition does not change " +
+      "survivors, and streamed == single-pass dedup_exact") {
+    // ordered admission makes "first ingestion of the digest" ≡ "lowest
+    // doc_id of the digest", so any trigger split must reproduce the
+    // whole-corpus exact-dedup survivor set
+    def run(): Seq[Long] =
+      LlmQueries.queries("dedup_exact_incremental").fn(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val batched = run()
+    spark.conf.set("spark.graft.exactIncr.mft", "32")
+    val single = try run()
+      finally spark.conf.unset("spark.graft.exactIncr.mft")
+    assert(batched == single)
+    val exact = LlmQueries.queries("dedup_exact").fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batched == exact, "incremental store diverged from dedup_exact")
+  }
+
   test("dedup_embedding_incremental: streamed survivors == whole-corpus " +
       "banded screen") {
     // decomposition invariance in Spark alone: survivors of the batched
