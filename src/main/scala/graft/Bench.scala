@@ -40,9 +40,15 @@ object Bench {
     // queries cannot undo fragmentation from 90 earlier queries. The
     // rest run alphabetically. The key is SHARED with ScaleProbe
     // (SparkEntry.benchOrderKey) — see its doc for why that matters.
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      SparkEntry.benchOrderKey(name)
-    }
+    // builder iteration only (the driver never sets it): restrict the
+    // timed sweep to a comma-separated id list — same warm-up, same
+    // best-of-2 semantics, so a targeted number is comparable to the
+    // full sweep's
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) => SparkEntry.benchOrderKey(name) }
     val results = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
