@@ -61,7 +61,7 @@ object LlmQueries {
     * ONCE per row turns every downstream pairwise cosine into a single
     * dot product — the pair loop is the O(n²)/O(candidates) hot path, the
     * per-row prep is O(n); never burn 3 array traversals per pair. */
-  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+  private[engine] def unitEmbeddings(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .repartition(col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1255,7 +1255,7 @@ object LlmQueries {
     * every round into one broadcast-subquery lineage that re-plans ~10
     * serial micro-stages at serving time (measured 3x the whole query's
     * wall time at sf0.1). Exact doubles survive the round-trip. */
-  private def lloydRound(e: DataFrame,
+  private[llm] def lloydRound(e: DataFrame,
       cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     val s = e.sparkSession
     import s.implicits._
@@ -1285,10 +1285,50 @@ object LlmQueries {
     cents.map { case (id, cu) => (id, upd.getOrElse(id, cu)) }
   }
 
+  /** The 16-cell spherical coarse codebook, memoized per (corpus dir,
+    * rounds) — the CurateQueries `coarseModelCache` discipline applied
+    * to the cosine-geometry quantizer: md5-sampled seeds + `rounds`
+    * [[lloydRound]]s, trained ONCE per corpus and served to every
+    * consumer (sim_search_ivf, the ivf index build, cluster_kmeans). A
+    * bounded model artifact (16 × 64 doubles); retraining per query
+    * would model a pipeline that rebuilds its quantizer every time it
+    * answers a search. The rounds knob (`spark.graft.ivf.rounds`,
+    * recall/cost experiments ONLY — the oracles replay exactly 2) is
+    * part of the cache key, so an override can never serve a stale
+    * default-rounds codebook. */
+  private val sphericalCellCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Double])]]()
+
+  private[engine] def trainedSphericalCells(s: SparkSession, d: String,
+      e: DataFrame): Seq[(Long, Seq[Double])] = {
+    val nr = s.conf.get("spark.graft.ivf.rounds", "2").toInt
+    sphericalCellCache.computeIfAbsent(s"$d#$nr", _ => {
+      import s.implicits._
+      val seeds = e
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      (1 to nr).foldLeft(seeds)((c, _) => lloydRound(e, c))
+    })
+  }
+
+  /** The trained spherical coarse quantizer as oracle SQL: unit vectors →
+    * md5-sampled seeds → two Lloyd rounds, ending in `c2(cent_id, cu)`
+    * over `eu(vec_id, u)` — the shared prefix of every consumer of the
+    * 16-cell spherical codebook ([[simSearchIvf]], its indexed variant,
+    * and [[SearchQueries]]' cluster_kmeans). */
+  private[llm] def coarseChainSql: String =
+    unitSql + s""",
+      eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      c0 AS (SELECT vec_id AS cent_id, u AS cu FROM eu
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
+      lloydSqlRound("c0", 1) + lloydSqlRound("c1", 2)
+
   /** The Lloyd round as oracle SQL: CTEs a/asg/s/m/c<k> refining `prev`
     * into `c<k>` — the DuckDB replay of [[lloydRound]] (same argmax
     * tie-break, same nano-grid integer sums, same left-to-right norm). */
-  private def lloydSqlRound(prev: String, k: Int): String = s""",
+  private[llm] def lloydSqlRound(prev: String, k: Int): String = s""",
       a$k AS (SELECT eu.vec_id, c.cent_id,
                list_sum(list_transform(list_zip(eu.u, c.cu),
                  p -> p[1] * p[2])) AS cd
@@ -1330,22 +1370,12 @@ object LlmQueries {
     * LlmSpec. */
   private val simSearchIvf = Q(
     (s, d) => {
-      val K = 16; val NProbe = 4; val TopK = 5
+      val NProbe = 4; val TopK = 5
       // e consumed 5x (codebook, assignment, probes, both re-attach sides)
       val e = engine.ScratchCache.persist(
         unitEmbeddings(s, d).filter(col("u").isNotNull))
       import s.implicits._
-      val seeds = e
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(K)
-        .select(col("vec_id").as("cent_id"), col("u").as("cu"))
-        .as[(Long, Seq[Double])].collect().toSeq
-      // rounds=2 is what the oracle replays; the conf knob exists for
-      // recall/cost experiments (ScaleProbe) ONLY — changing it under the
-      // gate would hash-mismatch by design, loudly
-      val nr = s.conf.get("spark.graft.ivf.rounds", "2").toInt
-      val cents = (1 to nr).foldLeft(seeds)((c, _) => lloydRound(e, c))
-        .toDF("cent_id", "cu")
+      val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
       // nearest-centroid ranks, computed ONCE for the whole corpus and
       // persisted: broadcast the codebook, rank the K dots per vector.
       // rk=1 is the cell assignment; rk<=NProbe on the query subset is the
@@ -1390,11 +1420,7 @@ object LlmQueries {
     * codebook and cell postings through parquet between build and probe,
     * which preserves every double bit-exactly, so one replay pins both. */
   private def ivfOracleSql(qPred: String = "vec_id < 5"): String =
-    unitSql + s""",
-      eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
-      c0 AS (SELECT vec_id AS cent_id, u AS cu FROM eu
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
-      lloydSqlRound("c0", 1) + lloydSqlRound("c1", 2) + s""",
+    coarseChainSql + s""",
       asgx AS (SELECT eu.vec_id, c.cent_id,
                  list_sum(list_transform(list_zip(eu.u, c.cu),
                    p -> p[1] * p[2])) AS cd
@@ -1450,17 +1476,10 @@ object LlmQueries {
     * partition-column type inference downcasts cent_id to INT). */
   private def ivfBuildIndex(s: SparkSession, d: String)
       : (String, String, org.apache.spark.sql.types.StructType) = {
-    val K = 16
     import s.implicits._
     val e = engine.ScratchCache.persist(
       unitEmbeddings(s, d).filter(col("u").isNotNull))
-    val seeds = e
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(K)
-      .select(col("vec_id").as("cent_id"), col("u").as("cu"))
-      .as[(Long, Seq[Double])].collect().toSeq
-    val cents = (1 to 2).foldLeft(seeds)((c, _) => lloydRound(e, c))
-      .toDF("cent_id", "cu")
+    val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"/tmp/graft_ivf_index_$san")
     // hash-agg argmax (the lloydRound shape) — no window sort over

@@ -1,0 +1,404 @@
+package engine.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import engine.Core.{t, r4}
+import engine.Q
+import TextFunctions._
+import VectorFunctions._
+
+/** Retrieval + corpus-structuring surface (SURVEY.md §2 B53): the
+  * operators a RAG / pretraining-curation stack runs AROUND the dedup
+  * and vector-search ladder that [[LlmQueries]]/[[CurateQueries]] carry —
+  * document chunking, lexical (BM25) retrieval, hybrid lexical+vector
+  * fusion, k-means corpus clustering, and the Matryoshka two-stage
+  * (prefix-dim coarse → full-dim rerank) serving path.
+  *
+  * Generalizes the reference's retrieval surface (GetNmeaData
+  * class.nmea.parser.php:369-371 — "hand back what was ingested") the
+  * same way the B49 family does: retrieval over corpus-scale text and
+  * vector columns instead of an in-memory array.
+  *
+  * Scale posture mirrors the house rules: query-side artifacts (query
+  * term lists, query vectors, trained centroids) are bounded and ride
+  * broadcasts; corpus-side frames shuffle only skinny derived keys
+  * (term hashes, ids, micronat scores), never document text; every
+  * scoring sum is an integer-micronat aggregation so it is order-free
+  * and engine-portable (the text_unigram_logprob discipline).
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+
+  // ------------------------------------------------------ B53a text_chunk
+  /** Chunk window / stride (tokens). 32/24 gives 1-4 overlapping chunks
+    * per driver-testdata doc (10-99 tokens); the 8-token overlap is the
+    * context-continuity margin a RAG splitter keeps. */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** B53a: sliding token-window document chunking — the splitter that
+    * feeds embedding / indexing jobs (RAG ingestion) and the
+    * context-length packer. Chunk i of a doc covers tokens
+    * [i·S, i·S + W); the last chunk starts at the last stride boundary
+    * that still adds tokens, so every token lands in ≥ 1 chunk and no
+    * chunk is empty.
+    *
+    * Pure per-row projection + bounded explode (fan-out = tokens/S, a
+    * property of the document, not the corpus): no shuffle anywhere —
+    * at 100 TB this is a map-only pass whose output partitioning
+    * inherits the scan's, exactly what the downstream embedding UDF
+    * wants. The final ORDER BY exists only for the oracle hash. */
+  private val textChunk = Q(
+    (s, d) => {
+      val tk = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+      // last chunk index = ceil((n-W)/S) = (n - W + S - 1) div S for
+      // n > W; 0 otherwise. Ints are tiny, so the double division under
+      // floor() is exact.
+      val lastIdx = when(col("n") <= ChunkW, lit(0)).otherwise(
+        floor((col("n") - lit(ChunkW) + lit(ChunkS - 1)) / lit(ChunkS))
+          .cast("int"))
+      tk.select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), lastIdx)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("w"), col("chunk_id") * lit(ChunkS) + lit(1),
+            lit(ChunkW)).as("cw"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("cw")).as("n_tok"),
+          array_join(col("cw"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+      nn AS (SELECT doc_id, w, len(w) n FROM tok),
+      ch AS (SELECT doc_id, w, unnest(generate_series(0,
+               CASE WHEN n <= $ChunkW THEN 0
+                 ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) chunk_id
+             FROM nn)
+      SELECT doc_id, chunk_id,
+        len(w[chunk_id*$ChunkS+1 : chunk_id*$ChunkS+$ChunkW]) AS n_tok,
+        array_to_string(w[chunk_id*$ChunkS+1 : chunk_id*$ChunkS+$ChunkW],
+          ' ') AS chunk
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
+  // ----------------------------------------------------- B53b search_bm25
+  /** BM25 parameters (the Robertson/Lucene defaults) and the retrieval
+    * depth. Written as literal doubles on BOTH engines so the constant
+    * folding is bit-identical. */
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+  private val Bm25TopK = 10
+
+  /** The corpus posting table (doc_id, term, tf, dl), built once per
+    * corpus and session-cached — the inverted-index base every lexical
+    * consumer (search_bm25, search_hybrid_rrf) shares. dl rides each
+    * posting via a window over the groupBy's own doc grouping (the
+    * lesson-8 one-exchange form; a separate length agg + join would pay
+    * a second shuffle). */
+  private def bm25Postings(docsDf: DataFrame,
+      cacheKey: Option[String]): DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    cacheKey.fold(base)(k => engine.ScratchCache.persistKeyed(k)(base))
+  }
+
+  /** The BM25 scoring pipeline to ranked top-k, shared by [[searchBm25]]
+    * and [[searchHybridRrf]]. Queries are the first `nq` documents (the
+    * vec_id < 5 convention of the vector ladder); a query contributes
+    * each of its DISTINCT terms once (the standard bag-of-query-terms
+    * form with query-side tf = 1).
+    *
+    * Per-term partial = idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * quantized to an integer micronat-style 1e-6 grid BEFORE the
+    * per-(query, doc) sum — the sum is over integers, so it is
+    * order-free across partitions and bit-identical in DuckDB.
+    *
+    * Shape at 100 TB: postings restricted to query terms FIRST (an
+    * equi-join against the ≤ queries × query-length broadcast term
+    * list), then df/glob attach as broadcasts — the only corpus-scale
+    * exchanges are the posting build (one shuffle on (doc_id, term))
+    * and the (qid, cid) score aggregation, which is bounded by matches,
+    * not by |corpus| × |queries|. */
+  private[engine] def bm25TopK(docsDf: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    val posts = bm25Postings(docsDf, cacheKey)
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = posts.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    // df of query terms only — the broadcastable slice of the vocabulary
+    val qdf = dfs.join(qt.select(col("term")).distinct(), "term")
+    // literal doubles mirror the oracle's $k1::DOUBLE / $b::DOUBLE casts
+    // (1.2 / 0.75 parse to the identical nearest-double in both engines)
+    val k1 = lit(1.2); val b = lit(0.75)
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfw = (col("tf") * (k1 + lit(1.0))) /
+      (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+    val m = round(idf * tfw * lit(1e6), 0).cast("long")
+    posts.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(glob))
+      .select(col("qid"), col("doc_id").as("cid"), m.as("m"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("m")).as("ms"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("ms").desc, col("cid"))))
+      .filter(col("rank") <= Bm25TopK)
+  }
+
+  /** The BM25 chain as oracle CTEs ending in
+    * `ltop(qid, cid, ms, rank)` — appended after a WITH opener. */
+  private def bm25SqlCtes: String = s""",
+      bposts AS (SELECT doc_id, term, count(*) tf
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+                       FROM documents)
+                 GROUP BY 1, 2),
+      bpdl AS (SELECT doc_id, term, tf,
+                 sum(tf) OVER (PARTITION BY doc_id) dl FROM bposts),
+      bdfs AS (SELECT term, count(*) df FROM bposts GROUP BY 1),
+      bglob AS (SELECT count(*) n_docs, avg(dl) avgdl
+                FROM (SELECT doc_id, any_value(dl) dl FROM bpdl
+                      GROUP BY 1)),
+      bqt AS (SELECT doc_id qid, term FROM bposts WHERE doc_id < 5),
+      bsc AS (SELECT q.qid, p.doc_id cid,
+               CAST(round(
+                 ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.dl / g.avgdl))) * 1e6, 0)
+                 AS BIGINT) m
+              FROM bpdl p JOIN bqt q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN bdfs f ON f.term = p.term
+              CROSS JOIN bglob g),
+      bagg AS (SELECT qid, cid, sum(m) ms FROM bsc GROUP BY 1, 2),
+      ltop AS (SELECT qid, cid, ms,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ms DESC, cid) rank
+               FROM bagg QUALIFY rank <= $Bm25TopK)"""
+
+  /** B53b: BM25 top-k lexical retrieval over the corpus posting table —
+    * the keyword half of a hybrid retrieval stack. */
+  private val searchBm25 = Q(
+    (s, d) => bm25TopK(docs(s, d), Some(s"bm25posts:$d"))
+      .select(col("qid"), col("cid"), col("rank"),
+        r4(col("ms") / lit(1e6)).as("score"))
+      .orderBy("qid", "rank"),
+    Some(("WITH " + bm25SqlCtes.trim.stripPrefix(",")) + s"""
+      SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
+      FROM ltop ORDER BY qid, rank"""))
+
+  // ----------------------------------------------- B53c search_hybrid_rrf
+  /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * (RRF, k=60): score(q,doc) = Σ_modality 1/(60 + rank_modality) over
+    * the BM25 top-10 ([[bm25TopK]]) and the brute-force cosine top-10
+    * (the sim_search_topk plan at depth 10) — the fusion every serious
+    * retrieval stack runs because rank-space fusion needs no score
+    * normalization across modalities. doc_id and vec_id index the same
+    * items (TESTDATA: row i of `documents` ↔ row i of `embeddings`).
+    *
+    * RRF arithmetic is two exact IEEE divisions + one two-term sum, so
+    * the doubles are bit-identical in DuckDB with no quantization
+    * needed. Both inputs are top-k frames (≤ queries × k rows); the
+    * fusion join and final rank are driver-trivial at any corpus size —
+    * the heavy lifting stays inside the two modality chains. */
+  private val searchHybridRrf = Q(
+    (s, d) => {
+      val lex = bm25TopK(docs(s, d), Some(s"bm25posts:$d"))
+        .select(col("qid"), col("cid"), col("rank").as("lr"))
+      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
+        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val vec = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("vr") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("vr"))
+      lex.join(vec, Seq("qid", "cid"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("cid"))))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("rrf")).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(LlmQueries.unitSql + bm25SqlCtes + s""",
+      hq AS (SELECT vec_id qid, u qu FROM e WHERE vec_id < 5),
+      hsc AS (SELECT hq.qid, e.vec_id cid,
+               list_sum(list_transform(list_zip(hq.qu, e.u),
+                 p -> p[1] * p[2])) cos
+              FROM hq, e WHERE e.vec_id <> hq.qid),
+      vtop AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) vr
+               FROM hsc QUALIFY vr <= $Bm25TopK),
+      fused AS (SELECT coalesce(l.qid, v.qid) qid,
+                  coalesce(l.cid, v.cid) cid,
+                  coalesce(1.0::DOUBLE / (60 + l.rank), 0.0::DOUBLE) +
+                  coalesce(1.0::DOUBLE / (60 + v.vr), 0.0::DOUBLE) rrf
+                FROM ltop l FULL OUTER JOIN vtop v
+                  ON l.qid = v.qid AND l.cid = v.cid)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) rank,
+        round(rrf, 4) AS score
+      FROM fused QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
+
+  // -------------------------------------------------- B53d cluster_kmeans
+  /** B53d: partitional corpus clustering — assign every embedding to its
+    * nearest trained spherical centroid (the memoized 16-cell codebook
+    * of the IVF family, [[LlmQueries.trainedSphericalCells]]) and report
+    * the assignment cosine + cluster size. This is the domain-discovery
+    * / SemDeDup-prep view of the corpus: dedup_embedding_clusters gives
+    * connected components of near-dup PAIRS; k-means gives a total
+    * partition of ALL vectors, duplicates or not.
+    *
+    * Plan: broadcast codebook → one map-side hash-agg argmax per vector
+    * (the lloydRound max_by shape — no window sort over the corpus) →
+    * cluster sizes via one ≤K-row agg broadcast back. The corpus never
+    * shuffles; at 100 TB the assignment is a map-only pass over the
+    * embedding scan. */
+  private val clusterKmeans = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
+        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+        .toDF("cent_id", "cu")
+      val asg = engine.ScratchCache.persist(
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+            dot(col("u"), col("cu")).as("cd"))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(struct(cent_id, cd), struct(cd, -cent_id))")
+            .as("b"))
+          .select(col("vec_id"), col("b.cent_id").as("cent_id"),
+            col("b.cd").as("cd")))
+      val sizes = asg.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      asg.join(broadcast(sizes), "cent_id")
+        .select(col("vec_id"), col("cent_id"), r4(col("cd")).as("cos"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+    Some(LlmQueries.coarseChainSql + s""",
+      kasgx AS (SELECT eu.vec_id, c.cent_id,
+                 list_sum(list_transform(list_zip(eu.u, c.cu),
+                   p -> p[1] * p[2])) AS cd
+                FROM eu CROSS JOIN c2 c),
+      kasg AS (SELECT vec_id, cent_id, cd FROM kasgx
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cd DESC, cent_id) = 1)
+      SELECT vec_id, cent_id, round(cd, 4) AS cos,
+        count(*) OVER (PARTITION BY cent_id) AS cluster_size
+      FROM kasg ORDER BY vec_id"""))
+
+  // ------------------------------------------ B53e sim_search_matryoshka
+  /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
+    * embedding concentrates signal in a short prefix (P of 8-16 serves
+    * well); the driver's synthetic embeddings are isotropic, so the
+    * prefix carries only P/64 of the direction — P=32 (half the bytes)
+    * at coarse depth 100 holds recall@5 ≈ 0.88 on them (SearchSpec
+    * pins ≥ 0.8). The I/O shape is what matters: stage 1 reads P/64 of
+    * the vector bytes, stage 2 reads C full vectors per query. */
+  private val MrlP = 32
+  private val MrlC = 100
+  private val MrlTopK = 5
+
+  /** B53e: two-stage Matryoshka retrieval — coarse-rank the corpus by
+    * the RE-NORMALIZED first-[[MrlP]]-dim prefix cosine (an MRL
+    * embedding's low-dim head), keep the top-[[MrlC]] per query, rerank
+    * those by full-dimension cosine. The standard accuracy/IO trade of
+    * MRL serving: stage 1 touches P/64 of the vector bytes (a columnar
+    * scan of a prefix column at rest), stage 2 touches C full vectors
+    * per query instead of the corpus. Recall vs the exact top-k is
+    * asserted in SearchSpec; determinism is the vector ladder's —
+    * exact-order dots, sqrt, tie-broken ranks. Vectors whose prefix is
+    * identically zero have no coarse direction and are excluded by the
+    * pn > 0 guard on BOTH engines. */
+  private val simSearchMatryoshka = Q(
+    (s, d) => {
+      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
+        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val pe = e
+        .select(col("vec_id"), slice(col("u"), 1, MrlP).as("p"))
+        .withColumn("pn", norm(col("p")))
+        .filter(col("pn") > 0)
+        .select(col("vec_id"),
+          transform(col("p"), x => x / col("pn")).as("pu"))
+      val qp = pe.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("pu").as("qpu"))
+      val coarse = pe.join(broadcast(qp), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qpu"), col("pu")).as("pcos"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("pcos").desc, col("cid"))))
+        .filter(col("crk") <= MrlC)
+        .select(col("qid"), col("cid"))
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      e.join(broadcast(coarse), col("vec_id") === col("cid"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("cid"), dot(col("qu"), col("u")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rank") <= MrlTopK)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("cos")).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(LlmQueries.unitSql + s""",
+      meu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      mpp AS (SELECT vec_id, u[1:$MrlP] p FROM meu),
+      mpn AS (SELECT vec_id, p,
+               sqrt(list_sum(list_transform(p, x -> x * x))) pn FROM mpp),
+      mpe AS (SELECT vec_id, list_transform(p, x -> x / pn) pu
+              FROM mpn WHERE pn > 0),
+      mq AS (SELECT vec_id qid, pu qpu FROM mpe WHERE vec_id < 5),
+      ms1 AS (SELECT mq.qid, mpe.vec_id cid,
+               list_sum(list_transform(list_zip(mq.qpu, mpe.pu),
+                 p -> p[1] * p[2])) pcos
+              FROM mq, mpe WHERE mpe.vec_id <> mq.qid),
+      mc1 AS (SELECT qid, cid FROM ms1
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY pcos DESC, cid) <= $MrlC),
+      ms2 AS (SELECT mc1.qid, mc1.cid,
+               list_sum(list_transform(list_zip(a.u, b.u),
+                 p -> p[1] * p[2])) cos
+              FROM mc1 JOIN meu a ON a.vec_id = mc1.qid
+                       JOIN meu b ON b.vec_id = mc1.cid)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) rank,
+        round(cos, 4) AS cosine
+      FROM ms2 QUALIFY rank <= $MrlTopK ORDER BY qid, rank"""))
+
+  val queries: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
+    "search_bm25" -> searchBm25,
+    "search_hybrid_rrf" -> searchHybridRrf,
+    "cluster_kmeans" -> clusterKmeans,
+    "sim_search_matryoshka" -> simSearchMatryoshka)
+}

@@ -14,7 +14,8 @@ object SparkEntry {
     engine.rel.UdafQueries.queries ++
     engine.rel.GpsQueries.queries ++
     engine.stream.StreamQueries.queries ++
-    engine.llm.LlmQueries.queries
+    engine.llm.LlmQueries.queries ++
+    engine.llm.SearchQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full NMEA pipeline: synthesize sentences → parse → assemble fixes

@@ -1,0 +1,173 @@
+package engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+import engine.llm.SearchQueries
+
+/** Retrieval / corpus-structuring operator tests (SURVEY.md §2 B53):
+  * chunk coverage algebra, BM25 against a hand-computed oracle, RRF
+  * fusion consistency, k-means assignment optimality, and Matryoshka
+  * two-stage recall vs the exact top-k. */
+class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = engine.ScratchCache.drain()
+
+  test("text_chunk covers every token, respects window/stride geometry") {
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = SearchQueries.queries("text_chunk").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    val (w, s) = (32, 24)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id).split(" ")
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..k contiguous; each chunk is exactly the token
+      // window [i*s, i*s+w) of the source doc
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      sorted.foreach { case (_, ci, nTok, chunk) =>
+        val expect = toks.slice(ci * s, ci * s + w)
+        assert(nTok == expect.length, s"doc $id chunk $ci token count")
+        assert(chunk == expect.mkString(" "), s"doc $id chunk $ci text")
+      }
+      // coverage: the last chunk reaches the end of the document, and
+      // every non-final chunk is full-width
+      val last = sorted.last
+      assert(last._2 * s + last._3 == toks.length,
+        s"doc $id: final chunk must end at the last token")
+      sorted.init.foreach(c => assert(c._3 == w))
+    }
+  }
+
+  test("search_bm25 matches a hand-computed BM25 on a 4-doc corpus") {
+    val tiny = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple banana cherry cherry"),
+      (2L, "banana banana banana date"),
+      (3L, "cherry date egg")).toDF("doc_id", "text")
+    val got = SearchQueries.bm25TopK(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // reference BM25 (k1=1.2, b=0.75, query terms = distinct terms of
+    // the query doc, micronat-quantized per-term partials)
+    val corpus = Map(
+      0L -> Seq("apple", "banana", "apple"),
+      1L -> Seq("apple", "banana", "cherry", "cherry"),
+      2L -> Seq("banana", "banana", "banana", "date"),
+      3L -> Seq("cherry", "date", "egg"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum / n
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    def score(q: Long, c: Long): Long = {
+      val qts = corpus(q).distinct
+      val tfs = corpus(c).groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toDouble }
+      qts.flatMap { t =>
+        tfs.get(t).map { tf =>
+          val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          val dl = corpus(c).size.toDouble
+          val tfw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          math.round(idf * tfw * 1e6)
+        }
+      }.sum
+    }
+    for (q <- corpus.keys; c <- corpus.keys if q != c) {
+      val exp = score(q, c)
+      if (exp != 0L)
+        assert(got((q, c))._1 == exp, s"bm25($q, $c)")
+      else assert(!got.contains((q, c)), s"bm25($q, $c) should be absent")
+    }
+    // ranks are dense 1..k per query in micronat-sum order
+    got.groupBy(_._1._1).values.foreach { perQ =>
+      val byRank = perQ.values.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) == (1 to byRank.size))
+      assert(byRank.map(-_._1) == byRank.map(-_._1).sorted,
+        "rank order must follow descending micronat score")
+    }
+  }
+
+  test("search_hybrid_rrf fuses exactly the two modality top-10 lists") {
+    val fused = SearchQueries.queries("search_hybrid_rrf").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    val lex = SearchQueries.queries("search_bm25").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val e = Core.t(spark, sf, "embeddings")
+    val vec = {
+      import engine.llm.VectorFunctions._
+      val u = e.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("u", transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))))
+      val q = u.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      u.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("vr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("vr") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    }
+    assert(fused.nonEmpty && lex.nonEmpty && vec.nonEmpty)
+    fused.foreach { case (key @ (q, c), (_, s)) =>
+      val exp = lex.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vec.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(exp > 0.0, s"fused pair $key must come from some modality")
+      assert(math.abs(s - exp) < 5e-5, s"rrf($q, $c): got $s want $exp")
+    }
+  }
+
+  test("cluster_kmeans assigns each vector to its max-cosine centroid " +
+      "and sizes partition the corpus") {
+    val asg = SearchQueries.queries("cluster_kmeans").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val nVec = Core.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull).count()
+    assert(asg.length.toLong == nVec, "every vector must be assigned")
+    assert(asg.map(_._2).distinct.length > 1, "multiple clusters in use")
+    // sizes are consistent with the assignment itself and sum to n
+    val bySize = asg.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    asg.foreach { case (v, c, _, sz) =>
+      assert(sz == bySize(c), s"vec $v cluster-size")
+    }
+    assert(bySize.values.sum.toLong == nVec)
+    // the reported cosine is the max over the trained codebook
+    val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
+      .filter(col("u").isNotNull)
+    val cents = engine.llm.LlmQueries
+      .trainedSphericalCells(spark, sf, e)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    asg.foreach { case (v, c, cosR, _) =>
+      val best = cents.map { case (cid, cu) =>
+        vecs(v).zip(cu).map { case (a, b) => a * b }.sum -> cid
+      }.maxBy(x => (x._1, -x._2))
+      assert(best._2 == c, s"vec $v assigned $c but argmax is ${best._2}")
+      assert(math.abs(cosR - best._1) < 5e-4, s"vec $v cosine")
+    }
+  }
+
+  test("sim_search_matryoshka reranks into high recall vs exact top-k") {
+    val exact = engine.llm.LlmQueries.queries("sim_search_topk")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = SearchQueries.queries("sim_search_matryoshka").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrl.nonEmpty)
+    val recall = (exact intersect mrl).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"matryoshka recall@5 $recall vs exact top-5 (coarse depth 100)")
+  }
+}
