@@ -395,10 +395,64 @@ object SearchQueries {
         round(cos, 4) AS cosine
       FROM ms2 QUALIFY rank <= $MrlTopK ORDER BY qid, rank"""))
 
+  // ------------------------------------------- B53f ann_recall_report
+  /** B53f: in-engine retrieval QA — recall@5 of every approximate
+    * search rung (SRP-ANN, IVF, PQ-ADC, Matryoshka) against the exact
+    * brute-force top-5, per query and per method. The eval harness a
+    * production vector-serving stack runs after every index rebuild:
+    * index-quality regressions (a bad codebook round, an over-pruned
+    * probe list) surface as recall drops BEFORE queries do. Composes
+    * the already-verified search operators — both here and in the
+    * oracle, which nests each rung's full replayed SQL chain as a CTE
+    * (DuckDB scopes nested WITHs per subquery, so the chains compose
+    * without renaming).
+    *
+    * Cost/scale: the expensive part IS the searches (each already
+    * plan-audited); this report adds only top-k-frame joins —
+    * ≤ methods × queries × 5 rows. */
+  private val annRecallReport = Q(
+    (s, d) => {
+      val brute = LlmQueries.queries("sim_search_topk").fn(s, d)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      val rungs = Seq(
+        "ann" -> LlmQueries.queries("sim_search_ann").fn(s, d),
+        "ivf" -> LlmQueries.queries("sim_search_ivf").fn(s, d),
+        "matryoshka" -> simSearchMatryoshka.fn(s, d),
+        "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d))
+      rungs.map { case (m, f) =>
+          f.select(lit(m).as("method"), col("qid"), col("cid")) }
+        .reduce(_ unionAll _)
+        .join(brute, Seq("qid", "cid"), "left")
+        .groupBy(col("method"), col("qid"))
+        .agg(count(col("hit")).as("hits"))
+        .select(col("method"), col("qid"), col("hits"),
+          r4(col("hits").cast("double") / lit(5.0)).as("recall"))
+        .orderBy("method", "qid")
+    },
+    Some {
+      def nest(q: Q): String = q.oracle.get
+      s"""WITH arb AS (${nest(LlmQueries.queries("sim_search_topk"))}),
+        arm1 AS (${nest(LlmQueries.queries("sim_search_ann"))}),
+        arm2 AS (${nest(LlmQueries.queries("sim_search_ivf"))}),
+        arm3 AS (${nest(simSearchMatryoshka)}),
+        arm4 AS (${nest(LlmQueries.queries("sim_search_pq_adc"))}),
+        arsel AS (SELECT 'ann' AS method, qid, cid FROM arm1
+          UNION ALL SELECT 'ivf', qid, cid FROM arm2
+          UNION ALL SELECT 'matryoshka', qid, cid FROM arm3
+          UNION ALL SELECT 'pq_adc', qid, cid FROM arm4),
+        arhits AS (SELECT s.method, s.qid, count(b.cid) hits
+                   FROM arsel s LEFT JOIN arb b
+                     ON b.qid = s.qid AND b.cid = s.cid
+                   GROUP BY 1, 2)
+      SELECT method, qid, hits, round(hits::DOUBLE / 5.0, 4) AS recall
+      FROM arhits ORDER BY method, qid"""
+    })
+
   val queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
     "search_hybrid_rrf" -> searchHybridRrf,
     "cluster_kmeans" -> clusterKmeans,
-    "sim_search_matryoshka" -> simSearchMatryoshka)
+    "sim_search_matryoshka" -> simSearchMatryoshka,
+    "ann_recall_report" -> annRecallReport)
 }

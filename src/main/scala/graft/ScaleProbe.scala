@@ -137,8 +137,10 @@ object ScaleProbe {
     // cluster-weighted soft dedup
     "quality_classifier", "corpus_report", "sample_cluster_weighted",
     "multimodal_resize", "text_bigram_logprob",
-    // r12 addition: the tokenizer encode path
-    "tokenize_bpe_apply")
+    // r12 additions: the tokenizer encode path + the B53 retrieval
+    // family (chunking, lexical/hybrid retrieval, clustering, MRL)
+    "tokenize_bpe_apply", "text_chunk", "search_bm25",
+    "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -464,4 +464,47 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       exec.toString.contains("ShuffledHashJoin"), exec.toString)
     assert(exec.toString.contains("Bucketed: true"), "scan did not use buckets")
   }
+
+  private def unwrapped(q: String) =
+    graft.SparkEntry.queries(q)(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+
+  test("text_chunk: map-only — the only exchange is the determinism sort") {
+    unwrapped("text_chunk").collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(e.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "text_chunk shuffled data before the final sort"))
+  }
+
+  test("search_bm25: query-side joins broadcast; no exchange ships text") {
+    val exec = unwrapped("search_bm25")
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-side shuffled join crept into the scoring path")
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach(e => assert(!e.output.map(_.name).contains("text"),
+      s"bm25 exchange carries the document body: ${e.output.map(_.name)}"))
+  }
+
+  test("cluster_kmeans and sim_search_matryoshka: corpus-side joins are " +
+      "broadcast, never shuffled") {
+    // the centroid / query / candidate frames are bounded model
+    // artifacts: every join against the corpus must be a broadcast
+    // (hash for equi-keys, nested-loop only for the deliberate tiny
+    // broadcast crosses — the simSearchTopk shape), never a sort-merge
+    // that re-exchanges the vector column
+    for (q <- Seq("cluster_kmeans", "sim_search_matryoshka")) {
+      val p = unwrapped(q).toString
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffled a corpus join")
+    }
+  }
 }

@@ -159,6 +159,36 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("ann_recall_report covers every (rung, query) cell with a " +
+      "consistent hits/recall pair") {
+    val rows = SearchQueries.queries("ann_recall_report").fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet ==
+      Set("ann", "ivf", "matryoshka", "pq_adc"))
+    val nq = engine.llm.LlmQueries.queries("sim_search_topk").fn(spark, sf)
+      .select(col("qid")).distinct().count()
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).toSet.size.toLong == nq,
+        "one row per (method, query)"))
+    rows.foreach { case (m, q, hits, rec) =>
+      assert(hits >= 0 && hits <= 5, s"$m/$q hits=$hits")
+      assert(math.abs(rec - hits / 5.0) < 5e-5, s"$m/$q recall")
+    }
+    // the report's matryoshka row must agree with a direct recompute
+    // against the exact top-k
+    val exact = engine.llm.LlmQueries.queries("sim_search_topk")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = SearchQueries.queries("sim_search_matryoshka").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = mrl.groupBy(_._1).map { case (q, xs) =>
+      q -> xs.count(exact.contains).toLong }
+    rows.filter(_._1 == "matryoshka").foreach { case (_, q, hits, _) =>
+      assert(hits == byQ.getOrElse(q, 0L), s"matryoshka q$q hits")
+    }
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
