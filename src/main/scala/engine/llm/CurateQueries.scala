@@ -1773,7 +1773,63 @@ object CurateQueries {
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
       FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // --------------------------------------------------- corpus_mixture_plan
+  /** Per-(source, lang) MIXTURE PLAN — the design half corpus_report's
+    * data card feeds: temperature-flatten the stratum token distribution
+    * (τ = 0.5, the sqrt form — sqrt is IEEE-correctly-rounded in both
+    * engines, pow is not) and allocate a token budget of half the corpus
+    * across strata. Each stratum reports its raw mass, its flattened
+    * target weight, the per-document sampling RATE that realizes the
+    * allocation (rate > 1 = upsample/epoch the rare stratum — exactly
+    * what temperature mixing is for), and the planned token count.
+    * sample_mixture / sample_temperature EXECUTE a plan like this;
+    * this op is the artifact a data-mixture review actually signs off.
+    *
+    * Shape: one corpus pass to stratum aggregates (map-side partial),
+    * then all arithmetic on the ~|sources × langs| frame with two 1-row
+    * broadcast totals — nothing downstream of the scan is corpus-scale.
+    * Weights snap to a 1e-9 integer grid before the denominator sum
+    * (the temperatureEmit discipline) so the plan is engine-exact. */
+  private val corpusMixturePlan = Q(
+    (s, d) => {
+      val st = docs(s, d)
+        .select(col("source"), col("lang"),
+          size(tokens(col("text"))).as("n_toks"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val tot = st.agg(sum(col("n_tokens")).as("t"))
+      val w = st.crossJoin(broadcast(tot))
+        .withColumn("wi",
+          round(sqrt(col("n_tokens").cast("double") / col("t")) * 1e9, 0)
+            .cast("long"))
+      val dw = w.agg(sum(col("wi")).as("dw"))
+      val bud = floor(col("t") / lit(2)).cast("double")
+      w.crossJoin(broadcast(dw))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          Core.r4(col("wi").cast("double") / col("dw")).as("weight"),
+          Core.r4(bud * col("wi") / col("dw") / col("n_tokens")).as("rate"),
+          round(bud * col("wi") / col("dw"), 0).cast("long")
+            .as("planned_tokens"))
+        .orderBy("source", "lang")
+    },
+    Some("""WITH tk AS (SELECT source, lang,
+                len(string_split(text, ' ')) n_toks FROM documents),
+      st AS (SELECT source, lang, count(*) n_docs,
+               sum(n_toks)::BIGINT n_tokens FROM tk GROUP BY 1, 2),
+      tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) t FROM st),
+      w AS (SELECT st.*, t,
+              CAST(round(sqrt(n_tokens::DOUBLE / t) * 1e9, 0) AS BIGINT) wi
+            FROM st CROSS JOIN tt),
+      dn AS (SELECT CAST(sum(wi) AS BIGINT) dw FROM w)
+      SELECT source, lang, n_docs, n_tokens,
+        round(wi::DOUBLE / dw, 4) AS weight,
+        round((t // 2)::DOUBLE * wi / dw / n_tokens, 4) AS rate,
+        CAST(round((t // 2)::DOUBLE * wi / dw, 0) AS BIGINT)
+          AS planned_tokens
+      FROM w CROSS JOIN dn ORDER BY source, lang"""))
+
   val queries: Map[String, Q] = Map(
+    "corpus_mixture_plan" -> corpusMixturePlan,
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_train" -> qualityClassifierTrain,
     "corpus_report" -> corpusReport,

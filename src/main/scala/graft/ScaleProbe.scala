@@ -140,7 +140,8 @@ object ScaleProbe {
     // r12 additions: the tokenizer encode path + the B53 retrieval
     // family (chunking, lexical/hybrid retrieval, clustering, MRL)
     "tokenize_bpe_apply", "text_chunk", "search_bm25",
-    "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka")
+    "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka",
+    "corpus_mixture_plan")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

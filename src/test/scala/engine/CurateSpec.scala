@@ -411,4 +411,31 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(book.getAs[Long]("n_docs") == 1)
     assert(book.getAs[Double]("dup_rate") == 0.0)
   }
+
+  test("corpus_mixture_plan: weights normalize, the budget is conserved, " +
+      "and temperature flattens toward rare strata") {
+    val rows = CurateQueries.queries("corpus_mixture_plan").fn(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = totTokens / 2
+    // weights are a distribution; planned tokens realize the budget
+    // (per-stratum rounding slack only)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weight sum $wsum")
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    assert(math.abs(planned - budget).toDouble <= rows.length,
+      s"planned $planned vs budget $budget")
+    rows.foreach { r =>
+      // rate realizes the stratum's planned allocation
+      val viaRate = r.getAs[Double]("rate") * r.getAs[Long]("n_tokens")
+      assert(math.abs(viaRate - r.getAs[Long]("planned_tokens")) <=
+        1e-4 * r.getAs[Long]("n_tokens") + 1, s"rate/planned mismatch: $r")
+    }
+    // τ=0.5 flattening: the largest stratum is downsampled relative to
+    // the smallest (rate monotone DECREASING in stratum mass)
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.last.getAs[Double]("rate") < bySize.head.getAs[Double]("rate"),
+      "temperature must favor rare strata")
+  }
 }
