@@ -111,8 +111,8 @@ object SearchQueries {
   }
 
   /** The BM25 scoring pipeline to ranked top-k, shared by [[searchBm25]]
-    * and [[searchHybridRrf]]. Queries are the first `nq` documents (the
-    * vec_id < 5 convention of the vector ladder); a query contributes
+    * and [[searchHybridRrf]]. Queries are the first five documents (the
+    * id < 5 convention of the vector ladder); a query contributes
     * each of its DISTINCT terms once (the standard bag-of-query-terms
     * form with query-side tf = 1).
     *

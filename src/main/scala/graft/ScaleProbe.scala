@@ -59,6 +59,14 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"SCALE wrote ${scale}x corpus: " +
       spark.read.parquet(s"$out/documents.parquet").count() + " docs")
+    // GC barrier between the corpus-build job and the timed loop: the
+    // ops run bench-ordered with the allocation-sensitive streaming/
+    // store ops FIRST precisely to see a fresh heap (Bench doc), but in
+    // this JVM the scaled-corpus write just churned it — without the
+    // barrier dedup_incremental measured 18-22 s here vs 7-14 s
+    // standalone (MiniBench) on the identical corpus
+    engine.ScratchCache.drain()
+    System.gc()
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
     val tenProbe = readPrev(artifactPath(10))
     val ops = (if (scale == 10) fullOps
