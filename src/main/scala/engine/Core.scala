@@ -48,8 +48,19 @@ object Core {
               if e.getCondition != null &&
                 e.getCondition.contains("PARQUET_TYPE_ILLEGAL") =>
             val key = "spark.sql.legacy.parquet.nanosAsLong"
+            // scratch key = path + source length + mtime: a regenerated
+            // events.parquet at the same path (the doc'd testdata drift)
+            // gets a FRESH normalization instead of silently serving the
+            // previous generation's rows from the old scratch copy
+            val srcMeta = {
+              val f = new java.io.File(s"$dir/$name.parquet")
+              val parts = if (f.isDirectory)
+                f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+              parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+                .mkString(",")
+            }
             val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$dir/$name".getBytes("UTF-8"))
+              .digest(s"$dir/$name|$srcMeta".getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
             val scratch = s"/tmp/graft_nanos_norm_$digest"
             publishOnce(scratch) { tmp =>

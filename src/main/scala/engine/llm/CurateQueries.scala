@@ -428,17 +428,11 @@ object CurateQueries {
   private[engine] def bpeTrain(wf: DataFrame, rounds: Int): DataFrame = {
     val s = wf.sparkSession
     import s.implicits._
-    val w = Window.partitionBy("word").orderBy("rn")
-    var f = wf.select(col("word"), col("freq"),
-        posexplode(concat(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), array(lit("</w>"))))
-          .as(Seq("rn0", "sym")))
-      .select(col("word"), col("freq"), (col("rn0") + 1).as("rn"), col("sym"))
-      .transform(Core.checkpointFresh)
+    var f = bpeInit(wf, carry = Seq("freq"))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1; var exhausted = false
     while (r <= rounds && !exhausted) {
-      val nx = f.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val nx = bpeWithNext(f)
       val best = nx.filter(col("nxt").isNotNull)
         .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
         .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
@@ -447,27 +441,53 @@ object CurateQueries {
       else {
         val (ml, mr, wt) = best(0)
         merges += ((r, ml, mr, wt))
-        // greedy leftmost application: islands of adjacent matches keep
-        // even offsets; each kept match fuses (rn, rn+1)
-        val kp = nx.filter(col("sym") === ml && col("nxt") === mr)
-          .withColumn("grp", col("rn") - row_number().over(w))
-          .withColumn("mn",
-            min(col("rn")).over(Window.partitionBy(col("word"), col("grp"))))
-          .filter((col("rn") - col("mn")) % 2 === 0)
-          .select(col("word"), col("rn"))
-        f = nx.join(kp.withColumn("k", lit(1)), Seq("word", "rn"), "left")
-          .join(kp.select(col("word"), (col("rn") + 1).as("rn"),
-            lit(1).as("c")), Seq("word", "rn"), "left")
-          .filter(col("c").isNull)
-          .select(col("word"), col("freq"),
-            row_number().over(w).as("rn"),
-            when(col("k") === 1, concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .transform(Core.checkpointFresh)
+        f = bpeFuse(nx, ml, mr, carry = Seq("freq"))
       }
       r += 1
     }
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_weight")
+  }
+
+  /** Chars + `</w>` start state: one (word[, carry...], rn, sym) row per
+    * symbol position — THE shared start state of training and encoding. */
+  private def bpeInit(words: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = col("word") +: carry.map(col)
+    words.select(keep :+
+        posexplode(concat(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), array(lit("</w>"))))
+          .as(Seq("rn0", "sym")): _*)
+      .select(keep ++ Seq((col("rn0") + 1).as("rn"), col("sym")): _*)
+      .transform(Core.checkpointFresh)
+  }
+
+  private def bpeWithNext(f: DataFrame): DataFrame =
+    f.withColumn("nxt",
+      lead(col("sym"), 1).over(Window.partitionBy("word").orderBy("rn")))
+
+  /** ONE greedy-leftmost fusion of merge (ml, mr) over a symbol frame
+    * with `nxt` attached ([[bpeWithNext]]) — THE fusion rule (islands of
+    * adjacent matches keep even offsets; each kept match fuses
+    * (rn, rn+1)), extracted so training and [[bpeApply]] can never
+    * drift: the train→apply round-trip invariant CurateSpec pins is a
+    * statement about this one function. */
+  private def bpeFuse(nx: DataFrame, ml: String, mr: String,
+      carry: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("rn")
+    val kp = nx.filter(col("sym") === ml && col("nxt") === mr)
+      .withColumn("grp", col("rn") - row_number().over(w))
+      .withColumn("mn",
+        min(col("rn")).over(Window.partitionBy(col("word"), col("grp"))))
+      .filter((col("rn") - col("mn")) % 2 === 0)
+      .select(col("word"), col("rn"))
+    nx.join(kp.withColumn("k", lit(1)), Seq("word", "rn"), "left")
+      .join(kp.select(col("word"), (col("rn") + 1).as("rn"),
+        lit(1).as("c")), Seq("word", "rn"), "left")
+      .filter(col("c").isNull)
+      .select((col("word") +: carry.map(col)) ++ Seq(
+        row_number().over(w).as("rn"),
+        when(col("k") === 1, concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym")): _*)
+      .transform(Core.checkpointFresh)
   }
 
   /** The trained merge table, memoized per sf dir: the merge table IS
@@ -582,31 +602,9 @@ object CurateQueries {
     * rounds are pure dataflow over the known merge list. */
   private[engine] def bpeApply(words: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val w = Window.partitionBy("word").orderBy("rn")
-    var f = words.select(col("word"),
-        posexplode(concat(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))), array(lit("</w>"))))
-          .as(Seq("rn0", "sym")))
-      .select(col("word"), (col("rn0") + 1).as("rn"), col("sym"))
-      .transform(Core.checkpointFresh)
-    for ((ml, mr) <- merges) {
-      val nx = f.withColumn("nxt", lead(col("sym"), 1).over(w))
-      val kp = nx.filter(col("sym") === ml && col("nxt") === mr)
-        .withColumn("grp", col("rn") - row_number().over(w))
-        .withColumn("mn",
-          min(col("rn")).over(Window.partitionBy(col("word"), col("grp"))))
-        .filter((col("rn") - col("mn")) % 2 === 0)
-        .select(col("word"), col("rn"))
-      f = nx.join(kp.withColumn("k", lit(1)), Seq("word", "rn"), "left")
-        .join(kp.select(col("word"), (col("rn") + 1).as("rn"),
-          lit(1).as("c")), Seq("word", "rn"), "left")
-        .filter(col("c").isNull)
-        .select(col("word"),
-          row_number().over(w).as("rn"),
-          when(col("k") === 1, concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        .transform(Core.checkpointFresh)
-    }
+    var f = bpeInit(words, carry = Nil)
+    for ((ml, mr) <- merges)
+      f = bpeFuse(bpeWithNext(f), ml, mr, carry = Nil)
     f
   }
 

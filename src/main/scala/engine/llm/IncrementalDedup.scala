@@ -452,8 +452,17 @@ object IncrementalDedup {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       val store = new java.io.File(s"/tmp/graft_dg_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
+      // NULL text folds to a sentinel digest (never an md5 output — md5
+      // is 32 hex chars): a NULL dg would group fine INSIDE a batch (the
+      // row_number window groups nulls) but never equi-join the store,
+      // so the second null-text doc of a later trigger would be kept —
+      // breaking the any-split ≡ dedup_exact invariant this op pins
+      // (both the batch window and the DuckDB oracle PARTITION BY group
+      // nulls together)
       def sigOf(batch: DataFrame): DataFrame = batch
-        .select(col("doc_id"), md5(lower(trim(col("text")))).as("dg"))
+        .select(col("doc_id"),
+          coalesce(md5(lower(trim(col("text")))), lit("<null-text>"))
+            .as("dg"))
       val src0 = t(s, d, "documents").select(col("doc_id"), col("text"))
       val storeSchema = sigOf(src0.limit(0)).schema
         .add("kept", "boolean", nullable = false)

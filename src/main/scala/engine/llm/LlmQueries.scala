@@ -68,6 +68,19 @@ object LlmQueries {
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
+  /** The null-filtered unit corpus, persisted ONCE per (session, sf dir)
+    * — the shared base frame of the IVF family, cluster_kmeans, the
+    * Matryoshka/hybrid retrievers. KEYED persist is load-bearing beyond
+    * dedup: Spark's CacheManager matches cache entries by plan
+    * sameResult, so if any consumer registered the identical plan via
+    * the UNKEYED ScratchCache.persist, the harness's per-query drain
+    * would unpersist that shared entry and silently kill the keyed one
+    * too — every later consumer would re-scan and re-normalize the
+    * corpus. All consumers of this exact frame must come through here. */
+  private[engine] def unitCorpus(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(s"eu:$d")(
+      unitEmbeddings(s, d).filter(col("u").isNotNull))
+
   /** Shared oracle CTE: unit vectors, same op order as unitEmbeddings so
     * the doubles are bit-identical. */
   private[llm] val unitSql =
@@ -1372,8 +1385,7 @@ object LlmQueries {
     (s, d) => {
       val NProbe = 4; val TopK = 5
       // e consumed 5x (codebook, assignment, probes, both re-attach sides)
-      val e = engine.ScratchCache.persist(
-        unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val e = unitCorpus(s, d)
       import s.implicits._
       val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
       // nearest-centroid ranks, computed ONCE for the whole corpus and
@@ -1477,8 +1489,7 @@ object LlmQueries {
   private def ivfBuildIndex(s: SparkSession, d: String)
       : (String, String, org.apache.spark.sql.types.StructType) = {
     import s.implicits._
-    val e = engine.ScratchCache.persist(
-      unitEmbeddings(s, d).filter(col("u").isNotNull))
+    val e = unitCorpus(s, d)
     val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"/tmp/graft_ivf_index_$san")
@@ -1545,8 +1556,7 @@ object LlmQueries {
   private val simSearchIvfIndexed = Q(
     (s, d) => {
       val (cbPath, postPath, postSchema) = ivfBuildIndex(s, d)
-      val qv = engine.ScratchCache.persist(
-          unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val qv = unitCorpus(s, d)
         .filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("u").as("qu"))
       ivfProbe(s, qv, cbPath, postPath, postSchema).orderBy("qid", "rank")

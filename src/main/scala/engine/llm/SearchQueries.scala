@@ -220,8 +220,7 @@ object SearchQueries {
     (s, d) => {
       val lex = bm25TopK(docs(s, d), Some(s"bm25posts:$d"))
         .select(col("qid"), col("cid"), col("rank").as("lr"))
-      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
-        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val e = LlmQueries.unitCorpus(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("u").as("qu"))
       val vec = e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -282,8 +281,7 @@ object SearchQueries {
   private val clusterKmeans = Q(
     (s, d) => {
       import s.implicits._
-      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
-        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val e = LlmQueries.unitCorpus(s, d)
       val cents = LlmQueries.trainedSphericalCells(s, d, e)
         .toDF("cent_id", "cu")
       val asg = engine.ScratchCache.persist(
@@ -339,8 +337,7 @@ object SearchQueries {
     * pn > 0 guard on BOTH engines. */
   private val simSearchMatryoshka = Q(
     (s, d) => {
-      val e = engine.ScratchCache.persistKeyed(s"eu:$d")(
-        LlmQueries.unitEmbeddings(s, d).filter(col("u").isNotNull))
+      val e = LlmQueries.unitCorpus(s, d)
       val pe = e
         .select(col("vec_id"), slice(col("u"), 1, MrlP).as("p"))
         .withColumn("pn", norm(col("p")))
@@ -412,6 +409,7 @@ object SearchQueries {
     * ≤ methods × queries × 5 rows. */
   private val annRecallReport = Q(
     (s, d) => {
+      import s.implicits._
       val brute = LlmQueries.queries("sim_search_topk").fn(s, d)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
       val rungs = Seq(
@@ -419,14 +417,23 @@ object SearchQueries {
         "ivf" -> LlmQueries.queries("sim_search_ivf").fn(s, d),
         "matryoshka" -> simSearchMatryoshka.fn(s, d),
         "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d))
-      rungs.map { case (m, f) =>
+      val hits = rungs.map { case (m, f) =>
           f.select(lit(m).as("method"), col("qid"), col("cid")) }
         .reduce(_ unionAll _)
         .join(brute, Seq("qid", "cid"), "left")
         .groupBy(col("method"), col("qid"))
-        .agg(count(col("hit")).as("hits"))
-        .select(col("method"), col("qid"), col("hits"),
-          r4(col("hits").cast("double") / lit(5.0)).as("recall"))
+        .agg(count(col("hit")).as("h"))
+      // every (method, query) cell must exist: a rung that emits NOTHING
+      // for a query (collision-free bands, an over-pruned probe list —
+      // exactly the regression this report exists to catch) is
+      // recall 0.0, not a silently missing row
+      val grid = brute.select(col("qid")).distinct()
+        .crossJoin(rungs.map(_._1).toDF("method"))
+      grid.join(hits, Seq("method", "qid"), "left")
+        .select(col("method"), col("qid"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          r4(coalesce(col("h"), lit(0L)).cast("double") / lit(5.0))
+            .as("recall"))
         .orderBy("method", "qid")
     },
     Some {
@@ -440,12 +447,19 @@ object SearchQueries {
           UNION ALL SELECT 'ivf', qid, cid FROM arm2
           UNION ALL SELECT 'matryoshka', qid, cid FROM arm3
           UNION ALL SELECT 'pq_adc', qid, cid FROM arm4),
-        arhits AS (SELECT s.method, s.qid, count(b.cid) hits
+        arhits AS (SELECT s.method, s.qid, count(b.cid) h
                    FROM arsel s LEFT JOIN arb b
                      ON b.qid = s.qid AND b.cid = s.cid
-                   GROUP BY 1, 2)
-      SELECT method, qid, hits, round(hits::DOUBLE / 5.0, 4) AS recall
-      FROM arhits ORDER BY method, qid"""
+                   GROUP BY 1, 2),
+        argrid AS (SELECT m.method, q.qid
+                   FROM (SELECT unnest(['ann', 'ivf', 'matryoshka',
+                     'pq_adc']) AS method) m
+                   CROSS JOIN (SELECT DISTINCT qid FROM arb) q)
+      SELECT g.method, g.qid, coalesce(h.h, 0)::BIGINT AS hits,
+        round(coalesce(h.h, 0)::DOUBLE / 5.0, 4) AS recall
+      FROM argrid g LEFT JOIN arhits h
+        ON h.method = g.method AND h.qid = g.qid
+      ORDER BY g.method, g.qid"""
     })
 
   val queries: Map[String, Q] = Map(

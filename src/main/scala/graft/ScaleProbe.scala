@@ -79,7 +79,9 @@ object ScaleProbe {
       // pair-table build in the probe but read dedup_clusters' cache in
       // the bench — a 20× "growth" that was pure accounting.
       .sortBy(SparkEntry.benchOrderKey)
-    val prev = readPrev(artifactPath(scale))
+    // the self-regression gate only runs at 10x (frontier runs are
+    // flagged by ratio, not gated), so only read the prior artifact there
+    val prev = if (scale == 10) readPrev(artifactPath(10)) else Map.empty[String, Double]
     val results = ops.map { q =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(q)(spark, out).count()
@@ -149,7 +151,8 @@ object ScaleProbe {
     // family (chunking, lexical/hybrid retrieval, clustering, MRL)
     "tokenize_bpe_apply", "text_chunk", "search_bm25",
     "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka",
-    "corpus_mixture_plan")
+    "corpus_mixture_plan", "dedup_exact_incremental",
+    "sim_search_ivfpq_indexed", "quality_classifier_train")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -199,6 +199,30 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batched == exact, "incremental store diverged from dedup_exact")
   }
 
+  test("dedup_exact_incremental: null-text docs dedup across triggers " +
+      "(sentinel digest, not a NULL join key)") {
+    // a NULL digest groups fine INSIDE a batch but never equi-joins the
+    // store — without the sentinel, the second null-text doc of a later
+    // trigger survives, diverging from dedup_exact's grouped-NULL window
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext")
+      .toFile
+    Seq((0L, "alpha beta", "en", "s", 10L),
+        (1L, null.asInstanceOf[String], "en", "s", 0L),
+        (2L, "alpha beta", "en", "s", 10L),
+        (3L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // 32 range-partitioned source files, 1 per trigger ⇒ each doc
+    // arrives in its own micro-batch: the cross-batch path is exercised
+    spark.conf.set("spark.graft.exactIncr.mft", "1")
+    val kept = try
+      LlmQueries.queries("dedup_exact_incremental").fn(spark, dir.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.exactIncr.mft")
+    assert(kept == Set(0L, 1L),
+      s"expected first copy of each content group (incl the null group), got $kept")
+  }
+
   test("dedup_embedding_incremental: streamed survivors == whole-corpus " +
       "banded screen") {
     // decomposition invariance in Spark alone: survivors of the batched
