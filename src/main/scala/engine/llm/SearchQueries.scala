@@ -1,6 +1,6 @@
 package engine.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import engine.Core.{t, r4}
@@ -137,30 +137,48 @@ object SearchQueries {
       .select(col("doc_id").as("qid"), col("term"))
     // df of query terms only — the broadcastable slice of the vocabulary
     val qdf = dfs.join(qt.select(col("term")).distinct(), "term")
-    // literal doubles mirror the oracle's $k1::DOUBLE / $b::DOUBLE casts
-    // (1.2 / 0.75 parse to the identical nearest-double in both engines)
+    bm25Rank(posts, qt, qdf, glob)
+  }
+
+  /** The per-term BM25 micronat partial over a joined frame exposing
+    * (tf, df, dl, n_docs, avgdl). Literal doubles mirror the oracle's
+    * $k1::DOUBLE / $b::DOUBLE casts (1.2 / 0.75 parse to the identical
+    * nearest-double in both engines). */
+  private def bm25Micronat: Column = {
     val k1 = lit(1.2); val b = lit(0.75)
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
     val tfw = (col("tf") * (k1 + lit(1.0))) /
       (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
-    val m = round(idf * tfw * lit(1e6), 0).cast("long")
+    round(idf * tfw * lit(1e6), 0).cast("long")
+  }
+
+  /** THE BM25 scoring join — shared by the batch ranker and the
+    * streaming probe so a scoring change can never diverge them:
+    * postings restricted to the broadcast query-term list, df/stats as
+    * broadcasts, micronat partials integer-summed per (qid, cid),
+    * tie-broken dense top-[[Bm25TopK]]. `posts` must expose (doc_id,
+    * term, tf, dl); `qt` (qid, term) distinct; `qdf` (term, df) for the
+    * query-term slice; `glob` the 1-row (n_docs, avgdl). */
+  private def bm25Rank(posts: DataFrame, qt: DataFrame, qdf: DataFrame,
+      glob: DataFrame): DataFrame =
     posts.join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("qid"))
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(glob))
-      .select(col("qid"), col("doc_id").as("cid"), m.as("m"))
+      .select(col("qid"), col("doc_id").as("cid"), bm25Micronat.as("m"))
       .groupBy(col("qid"), col("cid")).agg(sum(col("m")).as("ms"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("ms").desc, col("cid"))))
       .filter(col("rank") <= Bm25TopK)
-  }
 
   /** The BM25 chain as oracle CTEs ending in
-    * `ltop(qid, cid, ms, rank)` — appended after a WITH opener. */
-  private def bm25SqlCtes: String = s""",
+    * `ltop(qid, cid, ms, rank)` — appended after a WITH opener. `qPred`
+    * selects the query documents (batch rankers use the id < 5
+    * convention; the streaming probe serves ids < 40). */
+  private def bm25SqlCtes(qPred: String = "doc_id < 5"): String = s""",
       bposts AS (SELECT doc_id, term, count(*) tf
                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
                        FROM documents)
@@ -171,7 +189,7 @@ object SearchQueries {
       bglob AS (SELECT count(*) n_docs, avg(dl) avgdl
                 FROM (SELECT doc_id, any_value(dl) dl FROM bpdl
                       GROUP BY 1)),
-      bqt AS (SELECT doc_id qid, term FROM bposts WHERE doc_id < 5),
+      bqt AS (SELECT doc_id qid, term FROM bposts WHERE $qPred),
       bsc AS (SELECT q.qid, p.doc_id cid,
                CAST(round(
                  ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
@@ -198,7 +216,7 @@ object SearchQueries {
       .select(col("qid"), col("cid"), col("rank"),
         r4(col("ms") / lit(1e6)).as("score"))
       .orderBy("qid", "rank"),
-    Some(("WITH " + bm25SqlCtes.trim.stripPrefix(",")) + s"""
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s"""
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM ltop ORDER BY qid, rank"""))
 
@@ -243,7 +261,7 @@ object SearchQueries {
           r4(col("rrf")).as("score"))
         .orderBy("qid", "rank")
     },
-    Some(LlmQueries.unitSql + bm25SqlCtes + s""",
+    Some(LlmQueries.unitSql + bm25SqlCtes() + s""",
       hq AS (SELECT vec_id qid, u qu FROM e WHERE vec_id < 5),
       hsc AS (SELECT hq.qid, e.vec_id cid,
                list_sum(list_transform(list_zip(hq.qu, e.u),
@@ -462,11 +480,101 @@ object SearchQueries {
       ORDER BY g.method, g.qid"""
     })
 
+  // ------------------------------------------- B53g stream_bm25_probe
+  /** B53g: ONLINE lexical retrieval — the [[streamAnnProbe]] twin for
+    * the keyword modality, completing serving-time hybrid retrieval: an
+    * offline job builds the BM25 index ONCE (posting table + per-term
+    * df + corpus stats, three co-versioned tables under one
+    * [[engine.stream.VersionedTable]] atomic pointer — a probe must
+    * never see new postings with old stats), then query documents
+    * arrive as an ordered file stream and each micro-batch is answered
+    * from the static index via the SHARED [[bm25Rank]] join — results
+    * append O(batch) per trigger. A verdict is f(query text, static
+    * index), so any trigger split hash-matches the whole-query-set
+    * replay (SearchSpec pins; `spark.graft.bm25probe.mft` sizes
+    * triggers for the pin only).
+    *
+    * Shape at 100 TB: the posting table is the serving index (bucketed
+    * by term hash at rest so a probe prunes to its query terms'
+    * buckets); df-of-query-terms and the 1-row stats ride broadcasts;
+    * per-trigger work is bounded by batch query terms × matching
+    * postings, never the corpus. */
+  private val streamBm25Probe = Q(
+    (s, d) => {
+      val QMax = 40
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // ---- offline index build (once; replace-on-rebuild state)
+      val idxRoot = new java.io.File(s"/tmp/graft_bm25_index_$san")
+      val posts = bm25Postings(docs(s, d), Some(s"bm25posts:$d"))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = posts.groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val id = engine.stream.VersionedTable.currentDir(idxRoot)
+        .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
+      engine.stream.VersionedTable.commitDir(idxRoot, id) { dir =>
+        posts.write.parquet(new java.io.File(dir, "postings").getPath)
+        dfs.write.parquet(new java.io.File(dir, "dfs").getPath)
+        glob.write.parquet(new java.io.File(dir, "stats").getPath)
+      }
+      // ---- probe: pure function of (query batch, static index)
+      val resRoot = new java.io.File(s"/tmp/graft_bm25probe_res_$san")
+      engine.stream.AppendTable.destroy(resRoot) // fresh replay
+      def probe(batch: DataFrame): DataFrame = {
+        val sp = batch.sparkSession
+        val cur = engine.stream.VersionedTable.currentDir(idxRoot).get
+        val iPosts = sp.read.parquet(new java.io.File(cur, "postings").getPath)
+        val iDfs = sp.read.parquet(new java.io.File(cur, "dfs").getPath)
+        val iGlob = sp.read.parquet(new java.io.File(cur, "stats").getPath)
+        val qt = batch
+          .select(col("doc_id").as("qid"),
+            explode(tokens(col("text"))).as("term"))
+          .distinct()
+        val qdf = iDfs.join(qt.select(col("term")).distinct(), "term")
+        bm25Rank(iPosts, qt, qdf, iGlob)
+          .select(col("qid"), col("cid"), col("rank"),
+            r4(col("ms") / lit(1e6)).as("score"))
+      }
+      val src0 = docs(s, d).filter(col("doc_id") < QMax)
+        .select(col("doc_id"), col("text"))
+      val resSchema = probe(src0.limit(0)).schema
+      val mft = s.conf.get("spark.graft.bm25probe.mft", "16").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, src0,
+        s"bm25q_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_bm25probe_${java.util.UUID.randomUUID}")
+      val serveBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+        engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.foreachBatch(serveBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } finally {
+        s.conf.set(shufKey, shufPrev)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+      }
+      engine.stream.AppendTable.read(s, resRoot, resSchema)
+        .orderBy("qid", "rank")
+    },
+    Some(("WITH " + bm25SqlCtes("doc_id < 40").trim.stripPrefix(",")) + s"""
+      SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
+      FROM ltop ORDER BY qid, rank"""))
+
   val queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
     "search_hybrid_rrf" -> searchHybridRrf,
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
-    "ann_recall_report" -> annRecallReport)
+    "ann_recall_report" -> annRecallReport,
+    "stream_bm25_probe" -> streamBm25Probe)
 }

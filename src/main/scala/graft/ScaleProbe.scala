@@ -152,7 +152,8 @@ object ScaleProbe {
     "tokenize_bpe_apply", "text_chunk", "search_bm25",
     "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka",
     "corpus_mixture_plan", "dedup_exact_incremental",
-    "sim_search_ivfpq_indexed", "quality_classifier_train")
+    "sim_search_ivfpq_indexed", "quality_classifier_train",
+    "stream_bm25_probe")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

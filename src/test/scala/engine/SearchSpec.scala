@@ -189,6 +189,29 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("stream_bm25_probe: trigger split does not change verdicts, and " +
+      "the probed subset equals the batch ranker") {
+    def run(): Map[(Long, Long), (Int, Double)] =
+      SearchQueries.queries("stream_bm25_probe").fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(2), r.getDouble(3))).toMap
+    val multi = run() // default mft=16 -> 2 serving batches
+    spark.conf.set("spark.graft.bm25probe.mft", "32")
+    val single = try run()
+      finally spark.conf.unset("spark.graft.bm25probe.mft")
+    assert(multi == single,
+      "a verdict is f(query, static index) — trigger split must not matter")
+    // queries 0-4 are exactly search_bm25's query set: scores and ranks
+    // must agree with the batch ranker
+    val batch = SearchQueries.queries("search_bm25").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, v) =>
+      assert(multi.get(k).contains(v), s"probe diverged from batch at $k")
+    }
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
