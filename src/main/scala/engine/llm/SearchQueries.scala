@@ -330,6 +330,61 @@ object SearchQueries {
         count(*) OVER (PARTITION BY cent_id) AS cluster_size
       FROM kasg ORDER BY vec_id"""))
 
+  // ------------------------------------------------ B53h cluster_topics
+  /** B53h: cluster LABELING — the readout that makes [[clusterKmeans]]'s
+    * partition a domain-discovery tool: top-5 terms per cluster by
+    * term frequency over the cluster's member documents (doc_id ↔
+    * vec_id row pairing). A corpus-curation review reads exactly this
+    * table to decide which clusters are boilerplate/spam/code/prose
+    * before setting mixture weights.
+    *
+    * Shape: assignment is the broadcast-codebook map-side argmax (no
+    * corpus shuffle); term postings explode BEFORE the assignment join,
+    * so the id-keyed join and the (cent_id, term) count shuffle carry
+    * only ids, terms and counts — document text never rides an
+    * exchange. Output is ≤ K × 5 rows. */
+  private val clusterTopics = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = LlmQueries.unitCorpus(s, d)
+      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+        .toDF("cent_id", "cu")
+      val asg = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"))
+      val posts = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      posts.join(asg, col("doc_id") === col("vec_id"))
+        .groupBy(col("cent_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cent_id"))
+            .orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rank") <= 5)
+        .select(col("cent_id"), col("rank"), col("term"), col("cnt"))
+        .orderBy("cent_id", "rank")
+    },
+    Some(LlmQueries.coarseChainSql + s""",
+      tasgx AS (SELECT eu.vec_id, c.cent_id,
+                 list_sum(list_transform(list_zip(eu.u, c.cu),
+                   p -> p[1] * p[2])) AS cd
+                FROM eu CROSS JOIN c2 c),
+      tasg AS (SELECT vec_id, cent_id FROM tasgx
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cd DESC, cent_id) = 1),
+      tterms AS (SELECT a.cent_id,
+                   unnest(string_split(d.text, ' ')) term
+                 FROM documents d JOIN tasg a ON a.vec_id = d.doc_id),
+      tcnt AS (SELECT cent_id, term, count(*) cnt FROM tterms
+               GROUP BY 1, 2)
+      SELECT cent_id,
+        row_number() OVER (PARTITION BY cent_id
+          ORDER BY cnt DESC, term) AS rank,
+        term, cnt
+      FROM tcnt QUALIFY rank <= 5 ORDER BY cent_id, rank"""))
+
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
     * embedding concentrates signal in a short prefix (P of 8-16 serves
@@ -576,5 +631,6 @@ object SearchQueries {
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
     "ann_recall_report" -> annRecallReport,
-    "stream_bm25_probe" -> streamBm25Probe)
+    "stream_bm25_probe" -> streamBm25Probe,
+    "cluster_topics" -> clusterTopics)
 }

@@ -212,6 +212,33 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("cluster_topics agrees with a recount through cluster_kmeans") {
+    val topics = SearchQueries.queries("cluster_topics").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(topics.nonEmpty)
+    // ranks dense 1..<=5 per cluster, counts non-increasing in rank
+    topics.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(-_._4).toSeq == sorted.map(-_._4).sorted.toSeq)
+    }
+    // independent recount: cluster_kmeans assignment joined to document
+    // tokens must reproduce each reported (cluster, term) count
+    val asg = SearchQueries.queries("cluster_kmeans").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = docs.toSeq.flatMap { case (id, text) =>
+      asg.get(id).toSeq.flatMap(c => text.split(" ").map(t => (c, t)))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    topics.foreach { case (c, _, term, cnt) =>
+      assert(counts.get((c, term)).contains(cnt),
+        s"cluster $c term '$term': reported $cnt, recount ${counts.get((c, term))}")
+    }
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
