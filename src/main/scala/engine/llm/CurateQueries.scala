@@ -1636,19 +1636,33 @@ object CurateQueries {
   private val qualityClassifierTrain = Q(
     (s, d) => {
       import s.implicits._
-      val tok = tokens(col("text"))
-      val bigrams = when(size(tok) >= 2,
-        transform(sequence(lit(1), size(tok) - 1), i =>
-          concat_ws("_", element_at(tok, i), element_at(tok, i + 1))))
+      // Tokens MATERIALIZED as a column before the bigram lambda:
+      // element_at(tok, i) with an inline `split` re-evaluates the split
+      // per element under GenerateExec (no subexpression elimination in
+      // the generator path — measured 7x on the explode at 10x sf0.1),
+      // so the lambda must index a bound column, not an expression.
+      val tcol = col("t")
+      val bigrams = when(size(tcol) >= 2,
+        transform(sequence(lit(1), size(tcol) - 1), i =>
+          concat_ws("_", element_at(tcol, i), element_at(tcol, i + 1))))
         .otherwise(array().cast("array<string>"))
+      // Both training frames land pre-partitioned by doc_id: the
+      // per-round margin groupBy(doc_id), the labels join and the
+      // gradient's margins-to-feats join all reuse the cached
+      // HashPartitioning (one exchange at build, zero per round) —
+      // HashPartitioning(doc_id) satisfies the (doc_id, j) clustering
+      // of the feature aggregation, so the groupBy rides it too.
       val feats = engine.ScratchCache.persist(docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), explode(bigrams).as("b"))
         .select(col("doc_id"),
           pmod(tokenHash60(col("b")), lit(QcF.toLong)).as("j"))
+        .repartition(col("doc_id"))
         .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x")))
       val labels = engine.ScratchCache.persist(docs(s, d)
         .select(col("doc_id"),
-          when(LlmQueries.qualityScore >= 0.3, 1L).otherwise(-1L).as("y")))
+          when(LlmQueries.qualityScore >= 0.3, 1L).otherwise(-1L).as("y"))
+        .repartition(col("doc_id")))
       def wdf(w: Map[Long, Long]) = broadcast(
         (0L until QcF).map(j => (j, w.getOrElse(j, 0L))).toDF("j", "w"))
       def margins(w: Map[Long, Long]): DataFrame = labels.join(
