@@ -183,7 +183,17 @@ object ScratchCache {
     * session); the frames are id+hash tables, orders of magnitude
     * smaller than their source text. */
   def persistKeyed(key: String)(df: => DataFrame): DataFrame = synchronized {
-    keyed.getOrElseUpdate(key, df.persist())
+    keyed.getOrElseUpdate(key, { builtLog += key; df.persist() })
+  }
+  /** Keys first REGISTERED (hence first materialized, and paid for)
+    * since the last call — the bench drains this per timing window to
+    * attribute one-time shared-cache builds to the op that triggered
+    * them (r12 verdict: three same-round totals spanned 85-103 s and
+    * per-op deltas were uninterpretable without knowing which op paid
+    * each shared build). */
+  private val builtLog = scala.collection.mutable.ArrayBuffer.empty[String]
+  def drainBuiltLog(): Seq[String] = synchronized {
+    val r = builtLog.toList; builtLog.clear(); r
   }
   /** Blocking by default: a lazy unpersist leaks block-eviction work into
     * whatever runs next (r2's bench drifted 2-4x on untouched queries with

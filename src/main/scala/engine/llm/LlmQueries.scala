@@ -950,7 +950,8 @@ object LlmQueries {
     * buckets. At larger deployments the knob that scales this operator
     * is the code width (more planes/bands via [[VectorFunctions
     * .srpCode]]), not a cap. */
-  private def srpNearDupPairs(e: DataFrame, thr: Double): DataFrame = {
+  private def srpNearDupPairs(s: SparkSession, d: String,
+      thr: Double): DataFrame = {
     // EQUIVALENCE CLASSES by vector content: one groupBy(u) exchange
     // (the same bytes the unitEmbeddings repartition already moved)
     // collapses exact-duplicate vectors — the most-replicated content
@@ -963,8 +964,13 @@ object LlmQueries {
     // per-vector form paid k² through the band join, the pair-level
     // distinct AND the cosine verify (the 10× probe's 47.5 M
     // SortMergeJoin'd verifications).
-    val cls = engine.ScratchCache.persist(
-      e.filter(col("u").isNotNull)
+    // SESSION-KEYED (r12 bench-attribution work): the class frame
+    // depends only on the corpus, not on the caller's threshold, and
+    // three operators (dedup_embedding, dedup_embedding_banded,
+    // dedup_embedding_clusters) consume it — at 100 TB this IS the
+    // materialized signature table a dedup pipeline builds once.
+    val cls = engine.ScratchCache.persistKeyed(s"srpcls:$d")(
+      unitEmbeddings(s, d).filter(col("u").isNotNull)
         .groupBy(col("u"))
         .agg(sort_array(collect_list(col("vec_id"))).as("vids"))
         .withColumn("code", srpCode(col("u"), 16, 64))
@@ -1060,15 +1066,15 @@ object LlmQueries {
     * identical cosines and full recall at cosine ≥ 0.9. */
   private val dedupEmbedding = Q(
     (s, d) => {
-      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
       val out =
         if (s.conf.get(EmbeddingModeKey, "banded") == "exact") {
+          val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
           val c = dot(col("a.u"), col("b.u"))
           e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
             .filter(c >= 0.45)
             .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
               r4(c).as("cosine"))
-        } else srpNearDupPairs(e, 0.45)
+        } else srpNearDupPairs(s, d, 0.45)
           .select(col("va"), col("vb"), r4(col("cos")).as("cosine"))
       out.orderBy("va", "vb")
     },
@@ -1100,8 +1106,7 @@ object LlmQueries {
     * even in a session that conf-gates dedup_embedding to `exact`. */
   private val dedupEmbeddingBanded = Q(
     (s, d) => {
-      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
-      srpNearDupPairs(e, 0.45)
+      srpNearDupPairs(s, d, 0.45)
         .select(col("va"), col("vb"), r4(col("cos")).as("cosine"))
         .orderBy("va", "vb")
     },
@@ -1133,8 +1138,7 @@ object LlmQueries {
     * closure over the same SQL-replayed pair list. */
   private val dedupEmbeddingClusters = Q(
     (s, d) => {
-      val e = engine.ScratchCache.persist(unitEmbeddings(s, d))
-      clusterPairs(srpNearDupPairs(e, 0.45)
+      clusterPairs(srpNearDupPairs(s, d, 0.45)
           .select(col("va").as("da"), col("vb").as("db")))
         .select(col("doc_id").as("vec_id"), col("rep_id"),
           col("cluster_size"))
@@ -1218,7 +1222,10 @@ object LlmQueries {
       // 14.2×-at-10× probe trend and a driver-memory cliff at scale.
       // One code per vector × distinct (qid, code) ⇒ (qid, cid) needs
       // no dedup, and the corpus never shuffles at all.
-      val e = engine.ScratchCache.persist(
+      // Session-keyed: the per-vector coded corpus is the ANN serving
+      // index — built once per corpus, reused across probes (and the
+      // bench attribution column charges the build to the first op).
+      val e = engine.ScratchCache.persistKeyed(s"srp16:$d")(
         unitEmbeddings(s, d)
           .withColumnRenamed("u", "v")
           .withColumn("code", srpCode(col("v"), 16, 64))
@@ -1931,17 +1938,24 @@ object LlmQueries {
       val pun = col("rcnt").cast("double") / col("n_total")
       val mInterp = round(-log(lit(0.75) * pbi + lit(0.25) * pun) * 1e6, 0)
         .cast("long")
+      // The count tables are model artifacts (vocab / vocab² bounded,
+      // df-cappable at 100 TB) — broadcast them so the bigram posting
+      // frame streams through all three attachments with ZERO exchanges
+      // of the corpus-scale side (the cached `bg`/`uni` fragments hide
+      // their sizes from AQE, which otherwise plans sort-merge here).
       val scored2 = bg
-        .join(bcnt, Seq("l", "r"))
-        .join(uni.select(col("term").as("l"), col("cnt").as("lcnt")), "l")
-        .join(uni.select(col("term").as("r"), col("cnt").as("rcnt")), "r")
+        .join(broadcast(bcnt), Seq("l", "r"))
+        .join(broadcast(uni.select(col("term").as("l"),
+          col("cnt").as("lcnt"))), "l")
+        .join(broadcast(uni.select(col("term").as("r"),
+          col("cnt").as("rcnt"))), "r")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), mInterp.as("m"))
       val mUni = round(-log(col("cnt").cast("double") / col("n_total"))
         * 1e6, 0).cast("long")
       val scored1 = base.filter(size(col("w")) >= 1)
         .select(col("doc_id"), element_at(col("w"), 1).as("term"))
-        .join(uni, "term").crossJoin(broadcast(tot))
+        .join(broadcast(uni), "term").crossJoin(broadcast(tot))
         .select(col("doc_id"), mUni.as("m"))
       scored1.union(scored2)
         .groupBy(col("doc_id"))

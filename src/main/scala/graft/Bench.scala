@@ -50,7 +50,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => SparkEntry.benchOrderKey(name) }
     val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Seq[String]) = {
+        engine.ScratchCache.drainBuiltLog() // discard pre-window noise
         val t0 = System.nanoTime()
         // a crash records -1, never a flatteringly-fast time-to-failure
         val dt =
@@ -59,12 +60,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
           }
+        val built = engine.ScratchCache.drainBuiltLog()
         engine.ScratchCache.drain() // blocking; outside the timed region
-        dt
+        (dt, built)
       }
-      val first = once()
+      val (first, built1) = once()
       System.gc()
-      val second = once()
+      val (second, built2) = once()
       System.gc()
       // min over SUCCESSFUL runs only: a bare min() would let the -1.0
       // failure sentinel shadow a valid time when exactly one run is
@@ -73,16 +75,27 @@ object Bench {
         case Nil => -1.0
         case xs  => xs.min
       }
-      name -> best
+      (name, best, first, second, built1 ++ built2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-op attribution: both raw runs plus the shared keyed-cache
+    // entries this op was FIRST to register (and so paid the one-time
+    // build for). With best-of-2, a shared build lands in t1 and the
+    // kept min is usually the build-free t2 — the column explains
+    // round-over-round deltas where an op inherited (or shed) a build
+    // because a cache-sharing sibling entered the sweep (r12 verdict
+    // item 3: 85-103 s same-round totals, uninterpretable without this).
+    val attribution = results.map { case (k, _, t1, t2, built) =>
+      val bl = built.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f""""$k":{"t1":$t1%.3f,"t2":$t2%.3f,"built":$bl}"""
+    }.mkString("{", ",", "}")
     // hard failures (-1) are visible per-query but must not subtract
     // from the reported total — and they are surfaced as a first-class
     // count + id list so a partially-broken sweep can never read as a
     // faster total (r10: 31 silent -1.0s made 132.7 s look like a win)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedIds = results.collect { case (k, v) if v < 0 => k }
+    val failedIds = results.collect { case (k, v, _, _, _) if v < 0 => k }
     val failedList = failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // the FULL record (with the per-query map) goes to the file; stdout
@@ -92,7 +105,7 @@ object Bench {
     // exists ONLY on stdout must fit the window, so the map lives in
     // bench_out.json (committed per round) and stdout just points there.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"attribution":$attribution,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries_in":"$out","sf":"$sfDir"}"""
     println(line)
