@@ -64,16 +64,19 @@ object IncrementalDedup {
       val store = new java.io.File(s"/tmp/graft_sig_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay — this run
       // IS the full history
-      // 11 of 32 files per trigger = 3 "nightly batches" per run; each
-      // trigger pays several fixed-overhead stages (store probe, band
-      // joins, the verdict-carrying write), so trigger count — not row
-      // volume — is the bench cost driver at this sf. Decomposition
-      // invariance (LlmSpec + the whole-corpus oracle) holds for ANY
-      // split.
+      // Trigger sizing: each trigger pays several fixed-overhead stages
+      // (store probe, band joins, the verdict-carrying write), so
+      // trigger count — not row volume — is the cost driver at this sf.
+      // Decomposition invariance (LlmSpec pins the 11-files = 3-batch
+      // split against the single-pass result + the whole-corpus oracle)
+      // holds for ANY split, so the DEFAULT replay of a static corpus
+      // admits it in one trigger — a deployment sizes the knob to its
+      // arriving batch volume (r12 verdict item 5).
+      val mft = s.conf.get("spark.graft.incr.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s,
         t(s, d, "documents").select(col("doc_id"), col("text")),
         s"incrdocs_$san", orderedBy = Some("doc_id"),
-        maxFilesPerTrigger = Some(11))
+        maxFilesPerTrigger = Some(mft))
       // the store's read schema is DERIVED from the signature pipeline
       // itself (analysis-only on a limit(0) frame), never hand-written:
       // a hardcoded DDL would silently null-read every column — and
@@ -240,11 +243,12 @@ object IncrementalDedup {
       val train = t(s, d, "documents").filter(!LlmQueries.evalBucket(col("doc_id")))
         .select(col("doc_id"), col("text"))
       val resSchema = probe(train.limit(0)).schema
-      // trigger sizing knob for the LlmSpec decomposition pin ONLY (the
-      // ivf.rounds pattern): default 11 of 32 files = 3 "nightly
-      // batches"; 32 = one batch. Verdicts are f(batch doc, static
-      // index), so ANY split must produce identical output.
-      val mft = s.conf.get("spark.graft.decon.mft", "11").toInt
+      // trigger sizing knob: verdicts are f(batch doc, static index),
+      // so ANY split produces identical output (LlmSpec pins the
+      // 11-files = 3-batch split against this default); the static-
+      // corpus replay defaults to ONE trigger (r12 verdict item 5 —
+      // trigger count, not rows, was the bench cost driver)
+      val mft = s.conf.get("spark.graft.decon.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, train,
         s"decondocs_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
@@ -387,9 +391,12 @@ object IncrementalDedup {
           engine.stream.AppendTable.append(verdictOf, store, batchId)
         } finally { sig.unpersist(); bcls.unpersist(); () }
       }
+      // single-trigger default for the static-corpus replay; LlmSpec
+      // pins the 11-files = 3-batch split (r12 verdict item 5)
+      val mft = s.conf.get("spark.graft.embIncr.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"incrvecs_$san", orderedBy = Some("vec_id"),
-        maxFilesPerTrigger = Some(11))
+        maxFilesPerTrigger = Some(mft))
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_incrvec_${java.util.UUID.randomUUID}")
@@ -480,7 +487,7 @@ object IncrementalDedup {
           .select(col("doc_id"), col("dg"), col("kept"))
         engine.stream.AppendTable.append(verdicts, store, batchId)
       }
-      val mft = s.conf.get("spark.graft.exactIncr.mft", "11").toInt
+      val mft = s.conf.get("spark.graft.exactIncr.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"incrdg_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))

@@ -2173,13 +2173,14 @@ object LlmQueries {
       val src0 = t(s, d, "embeddings").filter(col("vec_id") < QMax)
         .select(col("vec_id"), col("embedding"))
       val resSchema = probe(src0.limit(0)).schema
-      // 16 of 32 files per trigger = 2 serving batches: multi-trigger
-      // (the online-serving shape under test) at the minimum trigger
-      // count — per the dedup_incremental finding, trigger count, not
-      // row volume, is the fixed-cost driver at this sf
+      // single-trigger default for the static query replay (an answer is
+      // f(query, static index), so any split is identical — LlmSpec pins
+      // the 16-files = 2-batch serving split; r12 verdict item 5:
+      // trigger count, not row volume, is the fixed-cost driver here)
+      val mft = s.conf.get("spark.graft.annprobe.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"annq_$san", orderedBy = Some("vec_id"),
-        maxFilesPerTrigger = Some(16))
+        maxFilesPerTrigger = Some(mft))
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_annprobe_${java.util.UUID.randomUUID}")

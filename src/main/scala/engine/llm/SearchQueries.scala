@@ -593,7 +593,9 @@ object SearchQueries {
       val src0 = docs(s, d).filter(col("doc_id") < QMax)
         .select(col("doc_id"), col("text"))
       val resSchema = probe(src0.limit(0)).schema
-      val mft = s.conf.get("spark.graft.bm25probe.mft", "16").toInt
+      // single-trigger default (an answer is f(query, static index);
+      // SearchSpec pins the 16-files = 2-batch serving split)
+      val mft = s.conf.get("spark.graft.bm25probe.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"bm25q_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))

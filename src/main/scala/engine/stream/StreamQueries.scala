@@ -460,11 +460,14 @@ object StreamQueries {
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id"), col("user_id"),
           col("event_type"), col("value")),
-        // 11 of 32 files per trigger = 3 merge rounds per run: enough to
-        // exercise the cross-batch fold (state ∪ batch, arg_max), while
-        // each extra trigger costs a full state read+rewrite+commit cycle
+        // single-trigger default for the static replay: last-writer-wins
+        // by a total sequence is associative, so any split folds to the
+        // same state (StreamSourceSpec pins the 11-files = 3-round split
+        // against this default); each extra trigger costs a full state
+        // read+rewrite+commit cycle (r12 verdict item 5)
         s"upsert_${san}", orderedBy = Some("event_id"),
-        maxFilesPerTrigger = Some(11))
+        maxFilesPerTrigger =
+          Some(s.conf.get("spark.graft.upsert.mft", "32").toInt))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         val prev = VersionedTable.read(sp, state).getOrElse(

@@ -128,9 +128,13 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // decomposition invariance in Spark alone (the oracle pins it vs
     // DuckDB): survivors of the batched run against the growing signature
     // store must equal "docs minus every higher id of an est>=0.5 pair"
-    // computed in one pass over the whole corpus
-    val streamed = LlmQueries.queries("dedup_incremental").fn(spark, sf)
+    // computed in one pass over the whole corpus. mft=11 forces the
+    // 3-batch cross-trigger path (the op's default replays in ONE
+    // trigger since r13 — this pin is what keeps the split exercised)
+    spark.conf.set("spark.graft.incr.mft", "11")
+    val streamed = try LlmQueries.queries("dedup_incremental").fn(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.incr.mft")
     val dropped = LlmQueries.queries("dedup_minhash").fn(spark, sf)
       .select("db").collect().map(_.getLong(0)).toSet
     val all = spark.read.parquet(s"$sf/documents.parquet")
@@ -173,10 +177,10 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     def run(): Seq[Seq[Any]] =
       LlmQueries.queries("decontaminate_incremental").fn(spark, sf)
         .collect().map(_.toSeq).toSeq
-    val batched = run()
-    spark.conf.set("spark.graft.decon.mft", "32")
-    val single = try run()
+    spark.conf.set("spark.graft.decon.mft", "11") // 3 nightly batches
+    val batched = try run()
       finally spark.conf.unset("spark.graft.decon.mft")
+    val single = run() // default: one trigger
     assert(batched == single)
     assert(batched.nonEmpty, "fixture plants contaminated train docs")
   }
@@ -189,10 +193,10 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     def run(): Seq[Long] =
       LlmQueries.queries("dedup_exact_incremental").fn(spark, sf)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
-    val batched = run()
-    spark.conf.set("spark.graft.exactIncr.mft", "32")
-    val single = try run()
+    spark.conf.set("spark.graft.exactIncr.mft", "11") // 3 batches
+    val batched = try run()
       finally spark.conf.unset("spark.graft.exactIncr.mft")
+    val single = run() // default: one trigger
     assert(batched == single)
     val exact = LlmQueries.queries("dedup_exact").fn(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -227,9 +231,12 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "banded screen") {
     // decomposition invariance in Spark alone: survivors of the batched
     // run against the growing SRP store must equal "vectors minus every
-    // higher id of a verified banded pair" from the single-pass operator
-    val streamed = LlmQueries.queries("dedup_embedding_incremental")
+    // higher id of a verified banded pair" from the single-pass operator.
+    // mft=11 forces the 3-batch cross-trigger path (default = 1 trigger)
+    spark.conf.set("spark.graft.embIncr.mft", "11")
+    val streamed = try LlmQueries.queries("dedup_embedding_incremental")
       .fn(spark, sf).collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.embIncr.mft")
     val dropped = LlmQueries.queries("dedup_embedding_banded").fn(spark, sf)
       .select("vb").collect().map(_.getLong(0)).toSet
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -363,9 +370,12 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "shared queries") {
     // a probe answer is f(query, static index): the streaming path must
     // reproduce the batch indexed probe row-for-row on the queries both
-    // serve (qid < 5), whatever trigger the query landed in
-    val streamed = LlmQueries.queries("stream_ann_probe").fn(spark, sf)
+    // serve (qid < 5), whatever trigger the query landed in. mft=16
+    // forces the 2-batch serving split (default = 1 trigger)
+    spark.conf.set("spark.graft.annprobe.mft", "16")
+    val streamed = try LlmQueries.queries("stream_ann_probe").fn(spark, sf)
       .filter("qid < 5").collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.annprobe.mft")
     val batch = LlmQueries.queries("sim_search_ivf_indexed").fn(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)

@@ -195,10 +195,10 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       SearchQueries.queries("stream_bm25_probe").fn(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1)) ->
           (r.getInt(2), r.getDouble(3))).toMap
-    val multi = run() // default mft=16 -> 2 serving batches
-    spark.conf.set("spark.graft.bm25probe.mft", "32")
-    val single = try run()
+    spark.conf.set("spark.graft.bm25probe.mft", "16") // 2 serving batches
+    val multi = try run()
       finally spark.conf.unset("spark.graft.bm25probe.mft")
+    val single = run() // default: one trigger
     assert(multi == single,
       "a verdict is f(query, static index) — trigger split must not matter")
     // queries 0-4 are exactly search_bm25's query set: scores and ranks

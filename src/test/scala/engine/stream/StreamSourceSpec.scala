@@ -28,6 +28,23 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream_upsert_sink: trigger split does not change the folded state") {
+    // last-writer-wins by a total sequence is associative, so the 3-round
+    // fold (mft=11) must land on exactly the single-trigger default's
+    // state — this pin is what keeps the cross-batch merge path exercised
+    // now that the op's default replays a static corpus in ONE trigger
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_upsert_sink")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.upsert.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.upsert.mft")
+    val single = run()
+    assert(multi == single)
+    assert(multi.nonEmpty)
+  }
+
   test("ordered publish yields >maxFilesPerTrigger contiguous-range files") {
     val df = (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
     val tag = "spec_layout_" + System.nanoTime() // unique: force a fresh publish
