@@ -845,11 +845,15 @@ object CurateQueries {
     // centroid's rank in (m, cent_id) order (stable, oracle-replayed);
     // the M picks fold back per doc via a sorted collect_list —
     // deterministic by the (m) sort key
-    val kdf = broadcast(books.groupBy(_._1).toSeq.flatMap {
+    // NO broadcast() wrapper here: kdf is also WRITTEN as the index's
+    // codebooks table (pqBuildIndex / ivfPqBuildIndex), and a join hint
+    // consumed by a write fires HintErrorLogger per run (r12 verdict
+    // item 7) — the hint belongs at the join sites, not on the frame
+    val kdf = books.groupBy(_._1).toSeq.flatMap {
       case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
         case ((_, _, cu), k) => (m, k.toLong, cu) }
-    }.toDF("m", "k", "cu"))
-    val encBs = subs.join(kdf, "m")
+    }.toDF("m", "k", "cu")
+    val encBs = subs.join(broadcast(kdf), "m")
       .select(col("vec_id"), col("m"), col("k"), col("cu"),
         l2sq(col("x"), col("cu")).as("d"))
       .groupBy(col("vec_id"), col("m"))

@@ -21,6 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The only unpartitioned windows in the engine run over bounded
+    // model-artifact frames — enumerated and enforced by PlanSpec's
+    // allowlist test — so WindowExec's per-plan "No Partition Defined"
+    // warning is pure noise here, and letting it repeat would bury a
+    // future REAL warning class in the bench tail. Silence exactly that
+    // logger; everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm-up: touch the scan path, shuffle machinery, and codegen cache
     for (w <- Seq("scan_parquet", "agg_hash"))
       try SparkEntry.queries(w)(spark, sfDir).count()

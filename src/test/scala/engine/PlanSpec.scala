@@ -507,4 +507,40 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(!p.contains("SortMergeJoin"), s"$q shuffled a corpus join")
     }
   }
+
+  test("unpartitioned-window allowlist: every Window.orderBy site runs " +
+      "over a bounded model-artifact frame") {
+    // WindowExec's "No Partition Defined" warning is benign at all FIVE
+    // current sites (per-shard offset tables <= 256 rows, vocab/symbol
+    // ranks) — but only because each input frame is model-artifact
+    // scale. This pin enumerates the allowed sites by source scan so a
+    // NEW unpartitioned window over a corpus-scale input fails the
+    // build instead of hiding in the warning noise (r12 verdict item 7).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val sites = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, _) if line.contains("Window.orderBy(") &&
+            !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
+            p.getFileName.toString
+        }
+      }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sites == Map("CurateQueries.scala" -> 3, "RelQueries.scala" -> 2),
+      s"unpartitioned-window sites drifted: $sites — if the new site's " +
+        "window input is NOT a bounded model-artifact frame, partition it; " +
+        "if it is, extend this allowlist with the boundedness argument")
+    // and the boundedness claims hold on real data: the vocab ranks run
+    // over the distinct-term inventory, the shard-offset windows over
+    // one row per 256-doc shard / per 8 z-range partitions
+    val sf = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = docs.selectExpr("explode(split(text, ' ')) t")
+      .agg(org.apache.spark.sql.functions.countDistinct("t")).head.getLong(0)
+    assert(vocab <= 1024, s"vocabulary blew past model-artifact scale: $vocab")
+    val shards = docs.selectExpr("floor(doc_id / 256) s")
+      .agg(org.apache.spark.sql.functions.countDistinct("s")).head.getLong(0)
+    assert(shards <= 4096, s"shard-offset frame is corpus-scale: $shards")
+  }
 }
