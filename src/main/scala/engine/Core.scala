@@ -59,15 +59,35 @@ object Core {
               parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
                 .mkString(",")
             }
-            val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$dir/$name|$srcMeta".getBytes("UTF-8"))
+            // scratch name = stable path-hash prefix + meta-hash suffix:
+            // the prefix lets a fresh normalization find and delete the
+            // superseded generations of the SAME source (r12 advisor —
+            // keying on the combined digest alone accumulated one
+            // scratch copy per testdata regeneration, unboundedly)
+            def md5hex(x: String) = java.security.MessageDigest
+              .getInstance("MD5").digest(x.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
-            val scratch = s"/tmp/graft_nanos_norm_$digest"
+            val pathH = md5hex(s"$dir/$name").take(16)
+            val metaH = md5hex(srcMeta).take(16)
+            val scratch = s"/tmp/graft_nanos_norm_${pathH}_$metaH"
             publishOnce(scratch) { tmp =>
               val prev = spark.conf.getOption(key)
               spark.conf.set(key, "true")
               try spark.read.parquet(s"$dir/$name.parquet").write.parquet(tmp)
               finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+              Option(new java.io.File("/tmp").listFiles()).foreach(
+                _.filter { f =>
+                  val n = f.getName
+                  n.startsWith(s"graft_nanos_norm_${pathH}_") &&
+                    n != s"graft_nanos_norm_${pathH}_$metaH" &&
+                    !n.endsWith(".lock")
+                }.foreach { stale =>
+                  def rmTree(f: java.io.File): Unit = {
+                    Option(f.listFiles()).foreach(_.foreach(rmTree))
+                    f.delete(): Unit
+                  }
+                  rmTree(stale)
+                })
             }
             spark.read.parquet(scratch)
         }
@@ -82,6 +102,22 @@ object Core {
 
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Source fingerprint of a parquet table (part names + lengths +
+    * mtimes) for driver-side model memo keys: a cache keyed by corpus
+    * DIR alone serves a stale model if the corpus is regenerated
+    * in-place during one JVM session — the same drift the events
+    * scratch-copy key above guards against (r12 advisor). Missing table
+    * → empty string (the memoized builder will fail on read anyway). */
+  def srcFingerprint(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val parts =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq
+      else if (f.exists()) Seq(f)
+      else Seq.empty
+    parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      .mkString(",")
+  }
 
   /** Eager localCheckpoint that also RESETS plan statistics.
     *

@@ -503,7 +503,8 @@ object CurateQueries {
 
   private[engine] def trainedMerges(s: SparkSession,
       d: String): Seq[(Int, String, String, Long)] =
-    bpeModelCache.computeIfAbsent(d, _ => {
+    bpeModelCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "documents")}", _ => {
       import s.implicits._
       val wf = docs(s, d)
         .select(explode(tokens(col("text"))).as("word"))
@@ -816,7 +817,8 @@ object CurateQueries {
 
   private def pqSeeds(s: SparkSession, d: String,
       e: DataFrame): Seq[(Long, Seq[Double])] =
-    pqSeedCache.computeIfAbsent(d, _ => {
+    pqSeedCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}", _ => {
       import s.implicits._
       e.withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy(col("h"), col("vec_id")).limit(PqK)
@@ -837,7 +839,8 @@ object CurateQueries {
     val subs = e.select(col("vec_id"), posexplode(
         array((0 until PqM).map(m =>
           slice(col("v"), m * PqD + 1, PqD)): _*)).as(Seq("m", "x")))
-    val books = pqModelCache.computeIfAbsent(d, _ =>
+    val books = pqModelCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}", _ =>
       pqRound(subs, for {
         m <- 0 until PqM; (id, v) <- pqSeeds(s, d, e)
       } yield (m, id, v.slice(m * PqD, m * PqD + PqD))))
@@ -1144,7 +1147,9 @@ object CurateQueries {
 
   private def ivfPqBuildIndex(s: SparkSession, d: String)
       : (String, String, String, org.apache.spark.sql.types.StructType) =
-    ivfPqIndexCache.computeIfAbsent(d, _ => ivfPqBuildIndexUncached(s, d))
+    ivfPqIndexCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}",
+      _ => ivfPqBuildIndexUncached(s, d))
 
   private def ivfPqBuildIndexUncached(s: SparkSession, d: String)
       : (String, String, String, org.apache.spark.sql.types.StructType) = {
@@ -1153,7 +1158,8 @@ object CurateQueries {
     // coarse centroids = the same md5-sampled seed vectors (shared with
     // the PQ training via pqSeedCache) refined by one full-dim round —
     // memoized like every other trained model here
-    val cents = coarseModelCache.computeIfAbsent(d, _ =>
+    val cents = coarseModelCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}", _ =>
       coarseRound(e, pqSeeds(s, d, e))).toDF("cent_id", "cu")
     // argmin-L2 cell per vector: hash-agg argmax (the pqRound shape),
     // never a window sort over the corpus
@@ -1681,7 +1687,8 @@ object CurateQueries {
       // Weights memoize per corpus ([[trainedMerges]] discipline): a
       // deployment trains the gate once and scores every consumer pass
       // with the broadcast artifact.
-      val w = qcModelCache.computeIfAbsent(d, _ =>
+      val w = qcModelCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "documents")}", _ =>
         (1 to QcRounds).foldLeft(Map.empty[Long, Long]) { (w0, _) =>
           val grad = margins(w0)
             .filter((col("y") === 1 && col("mg") <= 0) ||

@@ -1335,7 +1335,11 @@ object LlmQueries {
   private[engine] def trainedSphericalCells(s: SparkSession, d: String,
       e: DataFrame): Seq[(Long, Seq[Double])] = {
     val nr = s.conf.get("spark.graft.ivf.rounds", "2").toInt
-    sphericalCellCache.computeIfAbsent(s"$d#$nr", _ => {
+    // key carries the embeddings fingerprint (Core.srcFingerprint): a
+    // corpus regenerated in-place mid-session retrains instead of
+    // serving the previous generation's codebook (r12 advisor)
+    val fp = engine.Core.srcFingerprint(d, "embeddings")
+    sphericalCellCache.computeIfAbsent(s"$d#$nr#$fp", _ => {
       import s.implicits._
       val seeds = e
         .withColumn("h", md5(col("vec_id").cast("string")))

@@ -145,7 +145,10 @@ object SearchQueries {
     * $k1::DOUBLE / $b::DOUBLE casts (1.2 / 0.75 parse to the identical
     * nearest-double in both engines). */
   private def bm25Micronat: Column = {
-    val k1 = lit(1.2); val b = lit(0.75)
+    // derived from the SAME string constants the oracle interpolates —
+    // hard-coded twins silently desynchronize if one side is tuned
+    // (r12 advisor); toDouble of "1.2"/"0.75" is the exact literal value
+    val k1 = lit(Bm25K1.toDouble); val b = lit(Bm25B.toDouble)
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -262,11 +265,12 @@ object SearchQueries {
         .orderBy("qid", "rank")
     },
     Some(LlmQueries.unitSql + bm25SqlCtes() + s""",
-      hq AS (SELECT vec_id qid, u qu FROM e WHERE vec_id < 5),
-      hsc AS (SELECT hq.qid, e.vec_id cid,
-               list_sum(list_transform(list_zip(hq.qu, e.u),
+      heu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      hq AS (SELECT vec_id qid, u qu FROM heu WHERE vec_id < 5),
+      hsc AS (SELECT hq.qid, heu.vec_id cid,
+               list_sum(list_transform(list_zip(hq.qu, heu.u),
                  p -> p[1] * p[2])) cos
-              FROM hq, e WHERE e.vec_id <> hq.qid),
+              FROM hq, heu WHERE heu.vec_id <> hq.qid),
       vtop AS (SELECT qid, cid,
                  row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, cid) vr
