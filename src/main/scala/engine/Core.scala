@@ -75,20 +75,23 @@ object Core {
               spark.conf.set(key, "true")
               try spark.read.parquet(s"$dir/$name.parquet").write.parquet(tmp)
               finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-              Option(new java.io.File("/tmp").listFiles()).foreach(
-                _.filter { f =>
-                  val n = f.getName
-                  n.startsWith(s"graft_nanos_norm_${pathH}_") &&
-                    n != s"graft_nanos_norm_${pathH}_$metaH" &&
-                    !n.endsWith(".lock")
-                }.foreach { stale =>
+            }
+            // prune AFTER the publish (never inside the writer — the
+            // staging dir is a `<scratch>.tmp.<uuid>` sibling and an
+            // in-callback sweep would delete its own data pre-move):
+            // only exact-shape superseded generations of this source
+            val cur = s"graft_nanos_norm_${pathH}_$metaH"
+            val gen = s"graft_nanos_norm_${pathH}_[0-9a-f]{16}".r
+            Option(new java.io.File("/tmp").listFiles()).foreach(
+              _.filter(f => gen.pattern.matcher(f.getName).matches() &&
+                  f.getName != cur)
+                .foreach { stale =>
                   def rmTree(f: java.io.File): Unit = {
                     Option(f.listFiles()).foreach(_.foreach(rmTree))
                     f.delete(): Unit
                   }
                   rmTree(stale)
                 })
-            }
             spark.read.parquet(scratch)
         }
       raw.schema("ts").dataType match {
