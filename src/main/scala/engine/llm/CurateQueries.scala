@@ -755,11 +755,12 @@ object CurateQueries {
     * driver round-trips cost M× the fixed stage overhead for identical
     * math (per-(m, cent) sums don't care what else shares the job). */
   private def pqRound(subs: DataFrame,
-      cents: Seq[(Int, Long, Seq[Double])]): Seq[(Int, Long, Seq[Double])] = {
+      cents: Seq[(Int, Long, Seq[Double])],
+      subD: Int = PqD): Seq[(Int, Long, Seq[Double])] = {
     val s = subs.sparkSession
     import s.implicits._
     val cdf = cents.toDF("m", "cent_id", "cu")
-    val dimSums = (0 until PqD).map(i =>
+    val dimSums = (0 until subD).map(i =>
       sum(round(element_at(col("x"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
     val upd = subs.join(broadcast(cdf), "m")
       .select(col("vec_id"), col("m"), col("x"), col("cent_id"),
@@ -769,7 +770,7 @@ object CurateQueries {
         first(col("x")).as("x"))
       .groupBy(col("m"), col("cent_id"))
       .agg(count(lit(1)).as("n"), dimSums: _*)
-      .select(col("m"), col("cent_id"), array((0 until PqD).map(i =>
+      .select(col("m"), col("cent_id"), array((0 until subD).map(i =>
         col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("cu"))
       .as[(Int, Long, Seq[Double])].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
@@ -816,18 +817,26 @@ object CurateQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
   private def pqSeeds(s: SparkSession, d: String,
-      e: DataFrame): Seq[(Long, Seq[Double])] =
+      e: DataFrame, pk: Int = PqK): Seq[(Long, Seq[Double])] =
     pqSeedCache.computeIfAbsent(
-      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}", _ => {
+      s"$d#k$pk#${engine.Core.srcFingerprint(d, "embeddings")}", _ => {
       import s.implicits._
       e.withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(PqK)
+        .orderBy(col("h"), col("vec_id")).limit(pk)
         .select(col("vec_id").as("cent_id"), col("v"))
         .as[(Long, Seq[Double])].collect().toSeq
     })
 
   private def pqTrainEncode(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = pqTrainEncodeFor(s, d, PqM, PqD)
+
+  /** [[pqTrainEncode]] at an arbitrary (subspace count, subspace dim)
+    * split of the 64-dim vector — pm*subD must be 64. The default 4x16
+    * serves sim_search_pq_adc and both persisted PQ indexes; the
+    * report's finer 8x8 operating point shares everything but the
+    * split. */
+  private[llm] def pqTrainEncodeFor(s: SparkSession, d: String, pm: Int,
+      subD: Int, pk: Int = PqK): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import VectorFunctions.asDouble
     val e = engine.ScratchCache.persist(t(s, d, "embeddings")
@@ -837,13 +846,13 @@ object CurateQueries {
     // every vector meets only its own subspace's centroids (a join on
     // m), never the 16^M codebook cross product
     val subs = e.select(col("vec_id"), posexplode(
-        array((0 until PqM).map(m =>
-          slice(col("v"), m * PqD + 1, PqD)): _*)).as(Seq("m", "x")))
+        array((0 until pm).map(m =>
+          slice(col("v"), m * subD + 1, subD)): _*)).as(Seq("m", "x")))
     val books = pqModelCache.computeIfAbsent(
-      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}", _ =>
+      s"$d#m$pm#k$pk#${engine.Core.srcFingerprint(d, "embeddings")}", _ =>
       pqRound(subs, for {
-        m <- 0 until PqM; (id, v) <- pqSeeds(s, d, e)
-      } yield (m, id, v.slice(m * PqD, m * PqD + PqD))))
+        m <- 0 until pm; (id, v) <- pqSeeds(s, d, e, pk)
+      } yield (m, id, v.slice(m * subD, m * subD + subD)), subD))
     // encode in one pass against the broadcast codebooks; code k = the
     // centroid's rank in (m, cent_id) order (stable, oracle-replayed);
     // the M picks fold back per doc via a sorted collect_list —
@@ -898,13 +907,16 @@ object CurateQueries {
     * rank-ordered codebook kb$$m, all-pairs dists e$$m, argmin pick$$m.
     * The DuckDB replay of [[pqTrainEncode]], shared by the embedding_pq
     * and sim_search_pq_adc oracles. */
-  private lazy val pqSqlPrefix: String = {
+  private lazy val pqSqlPrefix: String = pqSqlPrefixFor(PqM, PqD)
+
+  private[llm] def pqSqlPrefixFor(pm: Int, subD: Int,
+      pk: Int = PqK): String = {
     def round1(m: Int): String = {
-      val lo = m * PqD + 1; val hi = m * PqD + PqD
-      val minCols = (0 until PqD)
+      val lo = m * subD + 1; val hi = m * subD + subD
+      val minCols = (0 until subD)
         .map(i => s"sum(CAST(round(x[${i + 1}] * 1e9, 0) AS BIGINT)) AS s$i")
         .mkString(", ")
-      val meanArr = (0 until PqD).map(i => s"(s$i::DOUBLE / 1e9) / n")
+      val meanArr = (0 until subD).map(i => s"(s$i::DOUBLE / 1e9) / n")
         .mkString("[", ", ", "]")
       s""",
         sub$m AS (SELECT vec_id, v[$lo:$hi] AS x FROM ev),
@@ -931,11 +943,11 @@ object CurateQueries {
                QUALIFY row_number() OVER (PARTITION BY vec_id
                  ORDER BY d, k) = 1)"""
     }
-    """WITH ev AS (SELECT vec_id,
+    s"""WITH ev AS (SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         seeds AS (SELECT vec_id AS cent_id, v AS cu FROM ev
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
-      (0 until PqM).map(round1).mkString
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pk)""" +
+      (0 until pm).map(round1).mkString
   }
 
   // ------------------------------------------------------ sim_search_pq_adc
@@ -958,33 +970,40 @@ object CurateQueries {
     * oracle. Approximate vs exact L2 by construction; deterministic
     * end-to-end, so the oracle replays training, encoding, LUT, and
     * the tie-broken rank bit-identically. */
-  private val simSearchPqAdc = Q(
-    (s, d) => {
+  /** The inline-trained ADC top-k at an arbitrary (pm, subD) split —
+    * simSearchPqAdc's body, parameterized so ann_recall_report can
+    * measure the finer M=8 operating point (8 subspaces of 8 dims =
+    * 32-bit codes) against the same corpus. */
+  private[engine] def pqAdcTopKFor(s: SparkSession, d: String, pm: Int,
+      subD: Int, pk: Int = PqK): DataFrame = {
       val TopK = 5
-      val (e, kdf, encBs) = pqTrainEncode(s, d)
+      val (e, kdf, encBs) = pqTrainEncodeFor(s, d, pm, subD, pk)
       val encExp = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
         .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val lut = broadcast(q.crossJoin(kdf)
         .select(col("qid"), col("m"), col("k"),
-          l2sq(slice(col("qv"), col("m") * PqD + 1, lit(PqD)), col("cu"))
+          l2sq(slice(col("qv"), col("m") * subD + 1, lit(subD)), col("cu"))
             .as("dd")))
-      val slots = (0 until PqM).map(m =>
+      val slots = (0 until pm).map(m =>
         sum(when(col("m") === m, col("dd"))).as(s"s$m"))
       val sc = encExp.join(lut, Seq("m", "k"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(slots.head, slots.tail: _*)
         .select(col("qid"), col("vec_id").as("cid"),
-          (0 until PqM).map(m => col(s"s$m")).reduce(_ + _).as("adc"))
+          (0 until pm).map(m => col(s"s$m")).reduce(_ + _).as("adc"))
       val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
       sc.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("cid"), col("rank"),
           (floor(col("adc") * 1e8 + lit(0.5)) / 1e8).as("adc_l2sq"))
         .orderBy("qid", "rank")
-    },
+  }
+
+  private val simSearchPqAdc = Q(
+    (s, d) => pqAdcTopKFor(s, d, PqM, PqD),
     Some(pqAdcOracleSql))
 
   /** The ADC top-k replay — training + encode ([[pqSqlPrefix]]) then
@@ -993,15 +1012,19 @@ object CurateQueries {
     * persisted-index probe): doubles survive the parquet round trip
     * bit-exactly, so the probe of the written index equals the inline
     * recompute and ONE oracle pins both. */
-  private lazy val pqAdcOracleSql: String = pqSqlPrefix + s""",
+  private lazy val pqAdcOracleSql: String = pqAdcOracleSqlFor(PqM, PqD)
+
+  private[llm] def pqAdcOracleSqlFor(pm: Int, subD: Int,
+      pk: Int = PqK): String =
+    pqSqlPrefixFor(pm, subD, pk) + s""",
       sc AS (SELECT l0.vec_id AS qid, p0.vec_id AS cid,
-               ${(1 until PqM).foldLeft("l0.d")((a, m) => s"$a + l$m.d")}
+               ${(1 until pm).foldLeft("l0.d")((a, m) => s"$a + l$m.d")}
                  AS adc
              FROM pick0 p0
-             ${(1 until PqM).map(m =>
+             ${(1 until pm).map(m =>
                s"JOIN pick$m p$m ON p$m.vec_id = p0.vec_id").mkString(" ")}
              JOIN e0 l0 ON l0.k = p0.k0 AND l0.vec_id < 5
-             ${(1 until PqM).map(m =>
+             ${(1 until pm).map(m =>
                s"JOIN e$m l$m ON l$m.k = p$m.k$m AND l$m.vec_id = l0.vec_id")
                .mkString(" ")}
              WHERE p0.vec_id <> l0.vec_id)

@@ -1034,7 +1034,7 @@ object LlmQueries {
     * `u IS NOT NULL` filter mirrors srpCode's NULL-vector guard (NULL
     * code ⇒ excluded from banding); without it the SQL CASE would fold a
     * NULL vector to code 0 and admit it as a candidate. */
-  private[llm] val srpSqlCtes = """,
+  private[llm] def srpSqlCtesFor(nBands: Int, w: Int): String = s""",
       planes AS (
         SELECT j, list(CASE WHEN ('0x' || substr(
                  md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
@@ -1048,8 +1048,10 @@ object LlmQueries {
               THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
         FROM e CROSS JOIN planes WHERE u IS NOT NULL GROUP BY vec_id),
       bands AS (
-        SELECT vec_id, j AS band, (code >> (j * 4)) & 15 AS bv
-        FROM codes CROSS JOIN generate_series(0, 3) g(j))"""
+        SELECT vec_id, j AS band, (code >> (j * $w)) & ${(1 << w) - 1} AS bv
+        FROM codes CROSS JOIN generate_series(0, ${nBands - 1}) g(j))"""
+
+  private[llm] val srpSqlCtes = srpSqlCtesFor(4, 4)
 
   /** Embedding-cosine near-dup pairs (cos >= 0.45), mode-switched by
     * [[EmbeddingModeKey]]: `banded` (DEFAULT) draws candidate pairs from
@@ -1207,8 +1209,14 @@ object LlmQueries {
     * from banding); without it the SQL CASE would fold a NULL vector to
     * code 0 and admit it as a candidate. (No `--` comments in oracle
     * SQL: SparkEntry collapses newlines.) */
-  private val simSearchAnn = Q(
-    (s, d) => {
+  /** The SRP-ANN top-k at a given banding (nBands bands of w bits over
+    * the 16-bit code) — simSearchAnn's body, parameterized so
+    * ann_recall_report can measure a second (wider-collision) operating
+    * point against the same coded corpus; the banding is a pure
+    * function of the code, so every operating point shares the one
+    * session-keyed coded frame. */
+  private[engine] def srpAnnTopK(s: SparkSession, d: String, nBands: Int,
+      bw: Int): DataFrame = {
       // Candidate generation at the DISTINCT-CODE level (the
       // srpCandidatePairs discipline — collision is a property of the
       // codes alone, so the result set is unchanged): the ≤ 2^16
@@ -1231,11 +1239,12 @@ object LlmQueries {
           .withColumn("code", srpCode(col("v"), 16, 64))
           .filter(col("code").isNotNull))
       val banded = e.select(col("code")).distinct()
-        .select(col("code"), explode(codeBands(col("code"), 4, 4)).as("bb"))
+        .select(col("code"),
+          explode(codeBands(col("code"), nBands, bw)).as("bb"))
         .select(col("code"), col("bb.band").as("band"), col("bb.bv").as("bv"))
       val qb = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"),
-          explode(codeBands(col("code"), 4, 4)).as("bb"))
+          explode(codeBands(col("code"), nBands, bw)).as("bb"))
         .select(col("qid"), col("bb.band").as("band"), col("bb.bv").as("bv"))
       val candCodes = banded.join(broadcast(qb), Seq("band", "bv"))
         .select(col("qid"), col("code"))
@@ -1253,8 +1262,13 @@ object LlmQueries {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
-    },
-    Some(unitSql + srpSqlCtes + """,
+  }
+
+  /** The SRP-ANN top-k replay at a given banding — the full oracle of
+    * [[srpAnnTopK]], shared by sim_search_ann (4×4) and the report's
+    * wider 8×2 operating point. */
+  private[llm] def srpAnnOracleSqlFor(nBands: Int, w: Int): String =
+    unitSql + srpSqlCtesFor(nBands, w) + """,
       cand AS (
         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
         FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
@@ -1268,7 +1282,11 @@ object LlmQueries {
       SELECT qid, cid,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
         round(cos, 4) AS cosine
-      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""
+
+  private val simSearchAnn = Q(
+    (s, d) => srpAnnTopK(s, d, 4, 4),
+    Some(srpAnnOracleSqlFor(4, 4)))
 
   /** One spherical-k-means (Lloyd) round over unit vectors `e(vec_id,u)`:
     * assign each vector to its max-dot centroid (tie-break by cent_id),
@@ -1405,9 +1423,13 @@ object LlmQueries {
     * replays seeding, both training rounds, assignment, probing, and the
     * tie-broken rank bit-identically. Recall vs brute force asserted in
     * LlmSpec. */
-  private val simSearchIvf = Q(
-    (s, d) => {
-      val NProbe = 4; val TopK = 5
+  /** The inline IVF top-k at a given probe width — simSearchIvf's body,
+    * parameterized so ann_recall_report can measure the nprobe=8
+    * operating point (scan fraction NProbe/16 of the corpus) against
+    * the same trained codebook. */
+  private[engine] def ivfTopK(s: SparkSession, d: String,
+      NProbe: Int): DataFrame = {
+      val TopK = 5
       // e consumed 5x (codebook, assignment, probes, both re-attach sides)
       val e = unitCorpus(s, d)
       import s.implicits._
@@ -1447,15 +1469,20 @@ object LlmQueries {
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
         .orderBy("qid", "rank")
-    },
+  }
+
+  private val simSearchIvf = Q(
+    (s, d) => ivfTopK(s, d, 4),
     Some(ivfOracleSql()))
 
   /** Shared oracle for both IVF serving paths: seeds → two Lloyd rounds
     * → assignment → nprobe probe → tie-broken re-rank. [[simSearchIvf]]
     * computes this inline; [[simSearchIvfIndexed]] round-trips the
     * codebook and cell postings through parquet between build and probe,
-    * which preserves every double bit-exactly, so one replay pins both. */
-  private def ivfOracleSql(qPred: String = "vec_id < 5"): String =
+    * which preserves every double bit-exactly, so one replay pins both.
+    * `nprobe` parameterizes the report's wider operating point. */
+  private[llm] def ivfOracleSql(qPred: String = "vec_id < 5",
+      nprobe: Int = 4): String =
     coarseChainSql + s""",
       asgx AS (SELECT eu.vec_id, c.cent_id,
                  list_sum(list_transform(list_zip(eu.u, c.cu),
@@ -1466,7 +1493,7 @@ object LlmQueries {
                 ORDER BY cd DESC, cent_id) = 1),
       qprobe AS (SELECT vec_id AS qid, cent_id FROM asgx WHERE $qPred
                  QUALIFY row_number() OVER (PARTITION BY vec_id
-                   ORDER BY cd DESC, cent_id) <= 4),
+                   ORDER BY cd DESC, cent_id) <= $nprobe),
       cand AS (SELECT q.qid, a.vec_id AS cid
                FROM asg a JOIN qprobe q USING (cent_id)
                WHERE a.vec_id <> q.qid),

