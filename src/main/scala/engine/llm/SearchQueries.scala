@@ -181,10 +181,11 @@ object SearchQueries {
     * `ltop(qid, cid, ms, rank)` — appended after a WITH opener. `qPred`
     * selects the query documents (batch rankers use the id < 5
     * convention; the streaming probe serves ids < 40). */
-  private def bm25SqlCtes(qPred: String = "doc_id < 5"): String = s""",
+  private def bm25SqlCtes(qPred: String = "doc_id < 5",
+      src: String = "documents"): String = s""",
       bposts AS (SELECT doc_id, term, count(*) tf
                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
-                       FROM documents)
+                       FROM $src)
                  GROUP BY 1, 2),
       bpdl AS (SELECT doc_id, term, tf,
                  sum(tf) OVER (PARTITION BY doc_id) dl FROM bposts),
@@ -656,6 +657,196 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM ltop ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------- B54 pipeline_online
+  /** CAPSTONE №3 — the ONLINE composition the two batch capstones leave
+    * open (r12 verdict item 2): one trigger-sequenced run wiring the
+    * persisted stores and serving indexes that exist separately as
+    * dedup_exact_incremental / dedup_incremental / stream_bm25_probe
+    * into the ingest-while-serving loop a production corpus service
+    * runs (the reference analogue: the caller feeding `ParseLine`
+    * class.nmea.parser.php:103 while `GetNmeaData` :369 serves reads).
+    * Per trigger over the ordered document stream:
+    *
+    *  1. EXACT screen — digest anti-join against the cross-run digest
+    *     store, first-ingestion-wins, verdicts appended O(batch);
+    *  2. NEAR-DUP screen — minhash signatures of the exact survivors
+    *     band-join the signature store (+ the batch against itself),
+    *     est ≥ 0.5 against any earlier exact-survivor drops the doc
+    *     (the partner's own minhash survival is irrelevant — the
+    *     dedup_incremental rule); signatures append with verdicts;
+    *  3. INDEX maintenance — the BM25 posting/df/stats tables over the
+    *     CUMULATIVE survivor set, committed as a fresh version under
+    *     one [[engine.stream.VersionedTable]] atomic pointer (a probe
+    *     never sees new postings with old stats);
+    *  4. SERVE — after the run, the standard id < 5 query set is
+    *     answered from the CURRENT index version via the shared
+    *     [[bm25Rank]] join.
+    *
+    * Output: the per-stage funnel (pipeline_pretrain's accounting
+    * shape) with the probe row count and the exact integer micronat
+    * score sum as the serving stages — so the oracle pins the probe
+    * CONTENT, not just its cardinality. Ordered admission makes every
+    * stage decomposition-invariant (SearchSpec pins the 3-batch split
+    * and that the store/index contents equal the batch replay), so the
+    * oracle composes the already-pinned chains: dedup_exact's QUALIFY,
+    * dedup_minhash's est restricted to exact survivors, and the BM25
+    * chain over the survivor corpus. */
+  private val pipelineOnline = Q(
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dgStore = new java.io.File(s"/tmp/graft_online_dg_$san")
+      val sigStore = new java.io.File(s"/tmp/graft_online_sig_$san")
+      val idxRoot = new java.io.File(s"/tmp/graft_online_idx_$san")
+      engine.stream.AppendTable.destroy(dgStore)
+      engine.stream.AppendTable.destroy(sigStore)
+      engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      def dgOf(batch: DataFrame): DataFrame = batch.select(col("doc_id"),
+        coalesce(md5(lower(trim(col("text")))), lit("<null-text>")).as("dg"))
+      val dgSchema = dgOf(corpus.limit(0)).schema
+        .add("kept", "boolean", nullable = false)
+      val sigSchema = LlmQueries
+        .minhashSignatures(corpus.limit(0), spread = false)
+        .withColumn("bks", LlmQueries.bandKeys(col("g"))).schema
+        .add("kept", "boolean", nullable = false)
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val b = batch.persist()
+        try {
+          // 1. exact screen (the dedup_exact_incremental merge)
+          val wMin = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+          val seen = engine.stream.AppendTable.read(sp, dgStore, dgSchema)
+            .select(col("dg")).distinct()
+          val v1 = dgOf(b)
+            .withColumn("rn", row_number().over(wMin))
+            .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
+            .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+            .select(col("doc_id"), col("dg"), col("kept"))
+          engine.stream.AppendTable.append(v1, dgStore, batchId)
+          val exactKept = b.join(v1.filter(col("kept")).select(col("doc_id")),
+            Seq("doc_id"), "leftsemi")
+          // 2. minhash screen on the exact survivors (the
+          // dedup_incremental merge, fed stage-1 output)
+          val sig = LlmQueries.minhashSignatures(exactKept, spread = false)
+            .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
+          try {
+            def bandsOf(t: DataFrame) = t.select(col("doc_id"),
+              posexplode(col("bks")).as(Seq("j", "bk")))
+            val bands = bandsOf(sig)
+            val prevSig = engine.stream.AppendTable.read(sp, sigStore,
+              sigSchema)
+            val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
+                col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
+                  col("o.doc_id") < col("n.doc_id"))
+              .select(col("o.doc_id").as("da"), col("n.doc_id").as("db"))
+            val candBatch = bands.as("a").join(bands.as("b"),
+                col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+                  col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            val sigOnly = (t: DataFrame) => t.select(col("doc_id"), col("g"))
+            val dropped = candStore.unionByName(candBatch)
+              .join(sigOnly(prevSig).unionByName(sigOnly(sig))
+                .toDF("da", "ga"), "da")
+              .join(sigOnly(sig).toDF("db", "gb"), "db")
+              .filter(LlmQueries.estJaccard(col("ga"), col("gb")) >= 0.5)
+              .select(col("db").as("doc_id")).distinct()
+            engine.stream.AppendTable.append(
+              sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"),
+                  "left")
+                .withColumn("kept", col("_d").isNull).drop("_d"),
+              sigStore, batchId)
+          } finally { sig.unpersist(); () }
+          // 3. index maintenance: BM25 posting/df/stats tables over the
+          // cumulative survivors, swapped under one atomic pointer
+          val kept2 = engine.stream.AppendTable.read(sp, sigStore,
+            sigSchema).filter(col("kept")).select(col("doc_id"))
+          val survivors = corpus.join(kept2, Seq("doc_id"), "leftsemi")
+          val posts = bm25Postings(survivors, None)
+          val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          val glob = posts.groupBy(col("doc_id"))
+            .agg(first(col("dl")).as("dl"))
+            .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+          engine.stream.VersionedTable.commitDir(idxRoot, batchId) { dir =>
+            posts.write.parquet(new java.io.File(dir, "postings").getPath)
+            dfs.write.parquet(new java.io.File(dir, "dfs").getPath)
+            glob.write.parquet(new java.io.File(dir, "glob").getPath)
+          }
+        } finally { b.unpersist(); () }
+      }
+      // the trigger-sequenced ingest (3 "nightly batches" by default —
+      // the multi-trigger composition IS this capstone's subject, unlike
+      // the single-store ops whose default replays one trigger)
+      val mft = s.conf.get("spark.graft.online.mft", "11").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, corpus,
+        s"online_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm")
+        .isDirectory) "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_online_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally {
+        s.conf.set(shufKey, shufPrev)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+      }
+      // 4. serve from the CURRENT index version (the stream_bm25_probe
+      // read path; the shared bm25Rank join pins scoring identity)
+      val cur = engine.stream.VersionedTable.currentDir(idxRoot).get
+      val iPosts = s.read.parquet(new java.io.File(cur, "postings").getPath)
+      val iDfs = s.read.parquet(new java.io.File(cur, "dfs").getPath)
+      val iGlob = s.read.parquet(new java.io.File(cur, "glob").getPath)
+      val qt = iPosts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"))
+      val qdf = iDfs.join(qt.select(col("term")).distinct(), "term")
+      val ans = bm25Rank(iPosts, qt, qdf, iGlob)
+      val kept1 = engine.stream.AppendTable.read(s, dgStore, dgSchema)
+        .filter(col("kept"))
+      val kept2 = engine.stream.AppendTable.read(s, sigStore, sigSchema)
+        .filter(col("kept"))
+      def funnel(stage: String, v: Column, src0: DataFrame): DataFrame =
+        src0.agg(coalesce(v, lit(0L)).as("n"))
+          .select(lit(stage).as("stage"), col("n").cast("long").as("n"))
+      funnel("1_ingested", count(lit(1)), corpus)
+        .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
+        .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
+        .unionByName(funnel("4_index_postings", count(lit(1)), iPosts))
+        .unionByName(funnel("5_probe_answers", count(lit(1)), ans))
+        .unionByName(funnel("6_probe_ms_sum", sum(col("ms")), ans))
+        .orderBy("stage")
+    },
+    Some(LlmQueries.shingleSql + LlmQueries.minhashSqlCtes + s""",
+      pok AS (SELECT doc_id FROM documents
+              QUALIFY row_number() OVER (
+                PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1),
+      pnd AS (SELECT DISTINCT e.db FROM est e
+              JOIN pok a ON a.doc_id = e.da
+              JOIN pok b ON b.doc_id = e.db
+              WHERE e.e >= 0.5),
+      psv AS (SELECT doc_id FROM pok
+              WHERE doc_id NOT IN (SELECT db FROM pnd)),
+      sdocs AS (SELECT d.doc_id, d.text FROM documents d
+                JOIN psv USING (doc_id))""" +
+      bm25SqlCtes("doc_id < 5", "sdocs") + """,
+      f1 AS (SELECT '1_ingested' stage, count(*)::BIGINT n FROM documents),
+      f2 AS (SELECT '2_exact_kept', count(*)::BIGINT FROM pok),
+      f3 AS (SELECT '3_near_kept', count(*)::BIGINT FROM psv),
+      f4 AS (SELECT '4_index_postings', count(*)::BIGINT FROM bposts),
+      f5 AS (SELECT '5_probe_answers', count(*)::BIGINT FROM ltop),
+      f6 AS (SELECT '6_probe_ms_sum', coalesce(sum(ms), 0)::BIGINT
+             FROM ltop)
+      SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
+      SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL
+      SELECT * FROM f5 UNION ALL SELECT * FROM f6 ORDER BY stage"""))
+
   val queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
@@ -663,6 +854,7 @@ object SearchQueries {
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
     "ann_recall_report" -> annRecallReport,
+    "pipeline_online" -> pipelineOnline,
     "stream_bm25_probe" -> streamBm25Probe,
     "cluster_topics" -> clusterTopics)
 }

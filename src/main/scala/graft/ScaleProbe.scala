@@ -153,7 +153,9 @@ object ScaleProbe {
     "search_hybrid_rrf", "cluster_kmeans", "sim_search_matryoshka",
     "corpus_mixture_plan", "dedup_exact_incremental",
     "sim_search_ivfpq_indexed", "quality_classifier_train",
-    "stream_bm25_probe", "cluster_topics")
+    "stream_bm25_probe", "cluster_topics",
+    // r13 addition: the online ingest→dedup-stores→index→serve capstone
+    "pipeline_online")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -42,6 +42,7 @@ object SparkEntry {
     * both artifacts, or probe÷bench per-op ratios compare different
     * cache states (r11: a 20× phantom growth from exactly this skew). */
   def benchOrderKey(name: String): (Int, String) =
-    (if (name.startsWith("stream_") || name == "dedup_incremental") 0
+    (if (name.startsWith("stream_") || name == "dedup_incremental" ||
+       name == "pipeline_online") 0
      else 1, name)
 }

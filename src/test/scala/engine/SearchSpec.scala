@@ -213,6 +213,69 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("pipeline_online: store contents equal the batch replay, the " +
+      "served index is the survivor corpus, and any trigger split agrees") {
+    import org.apache.spark.sql.types._
+    def run(): Seq[Seq[Any]] =
+      SearchQueries.queries("pipeline_online").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    val multi = run() // default mft=11 -> 3 ingest batches
+    val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    // store contents AFTER the run == the batch operators' replay
+    val dgSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dg", StringType), StructField("kept", BooleanType)))
+    val exactKept = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_online_dg_$san"), dgSchema)
+      .filter(col("kept")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batchExact = llm.LlmQueries.queries("dedup_exact").fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == batchExact,
+      "digest store diverged from dedup_exact")
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("g", ArrayType(LongType)),
+      StructField("bks", ArrayType(StringType)),
+      StructField("kept", BooleanType)))
+    val nearKept = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_online_sig_$san"), sigSchema)
+      .filter(col("kept")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // batch replay of stage 2: minhash est>=0.5 pairs among exact
+    // survivors, higher id dropped
+    val pairs = llm.LlmQueries.queries("dedup_minhash").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => batchExact(a) && batchExact(b) }
+    assert(nearKept == batchExact -- pairs.map(_._2).toSet,
+      "signature store diverged from the batch minhash screen")
+    // the CURRENT index version serves exactly the survivor corpus, and
+    // the probe equals the batch ranker over it
+    val cur = engine.stream.VersionedTable.currentDir(
+      new java.io.File(s"/tmp/graft_online_idx_$san")).get
+    val iPosts = spark.read.parquet(
+      new java.io.File(cur, "postings").getPath)
+    assert(iPosts.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == nearKept,
+      "served index does not cover exactly the survivors")
+    // probe stages of the funnel == the batch ranker over the survivor
+    // corpus (count and exact integer micronat score sum)
+    val survDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isin(nearKept.toSeq: _*))
+      .select(col("doc_id"), col("text"))
+    val batchAns = SearchQueries.bm25TopK(survDocs).agg(
+        count(lit(1)).cast("long"), sum(col("ms")).cast("long"))
+      .head
+    val funnel = multi.map(r => r.head.toString -> r(1)).toMap
+    assert(funnel("5_probe_answers") == batchAns.getLong(0))
+    assert(funnel("6_probe_ms_sum") == batchAns.getLong(1))
+    assert(multi.nonEmpty)
+    // decomposition: a single-trigger ingest lands on the identical
+    // funnel (stores and index rebuilt from scratch by the replay)
+    spark.conf.set("spark.graft.online.mft", "32")
+    val single = try run()
+      finally spark.conf.unset("spark.graft.online.mft")
+    assert(multi == single)
+  }
+
   test("cluster_topics agrees with a recount through cluster_kmeans") {
     val topics = SearchQueries.queries("cluster_topics").fn(spark, sf)
       .collect()
