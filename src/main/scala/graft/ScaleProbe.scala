@@ -70,6 +70,12 @@ object ScaleProbe {
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
     val tenProbe = readPrev(artifactPath(10))
     val ops = (if (scale == 10) fullOps
+      // scale=100: ONLY the output-bound pair emitters (r12 verdict
+      // item 8) — their 30×/10× ratios exceed linear but so do their
+      // outputs under corpus replication; the 100× run measures
+      // time-per-output-row so "output-bound" stays a measured claim
+      else if (scale == 100) Seq("decontaminate_incremental",
+        "dedup_edit_distance", "dedup_ngram_jaccard")
       // frontier probe: the top-8 ops by committed 10× probe time —
       // the worst absolute trends are exactly where a super-linear
       // term shows first
@@ -100,11 +106,24 @@ object ScaleProbe {
             sec / t10 > 1.1 * outGrowth)
           .map(t10 => (q, sec / t10))
       }
+    val thirty = readPrev(artifactPath(30))
+    val thirtyRows = readPrevRows(artifactPath(30))
     val json = results.map { case (q, sec, c) =>
       val ratio = if (scale == 10) ""
         else tenProbe.get(q).map(t10 =>
           f""", "vs10x": ${sec / t10}%.2f""").getOrElse("")
-      f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio}"""
+      // time-per-output-row (µs), and its ratio vs the committed 30×
+      // artifact: ≤ ~1 = the time tracks the result set (output-bound,
+      // the defensible trend); >> 1 = a superlinear term beyond output
+      val perRow = if (scale != 100 || c == 0) ""
+        else {
+          val us = sec * 1e6 / c
+          val vs30 = (for { t30 <- thirty.get(q); r30 <- thirtyRows.get(q)
+            if r30 > 0 } yield us / (t30 * 1e6 / r30))
+            .map(v => f""", "us_per_row_vs30x": $v%.2f""").getOrElse("")
+          f""", "us_per_row": $us%.2f$vs30"""
+        }
+      f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio$perRow}"""
     }.mkString(
       s"""{\n  "sf_base": "sf0.1", "scale": $scale,""" +
         s""" "flagged": [${flagged.map("\"" + _._1 + "\"").mkString(", ")}],""" +
