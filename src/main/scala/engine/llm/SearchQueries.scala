@@ -757,12 +757,25 @@ object SearchQueries {
                 .withColumn("kept", col("_d").isNull).drop("_d"),
               sigStore, batchId)
           } finally { sig.unpersist(); () }
-          // 3. index maintenance: BM25 posting/df/stats tables over the
-          // cumulative survivors, swapped under one atomic pointer
-          val kept2 = engine.stream.AppendTable.read(sp, sigStore,
-            sigSchema).filter(col("kept")).select(col("doc_id"))
-          val survivors = corpus.join(kept2, Seq("doc_id"), "leftsemi")
-          val posts = bm25Postings(survivors, None)
+          // 3. INCREMENTAL index maintenance: the drop rule only ever
+          // drops the NEWER doc, so a batch's survivors are final the
+          // moment they pass — the new version's postings are the prior
+          // version's postings + the postings of THIS batch's survivors
+          // (tokenization and the (doc_id, term) shuffle run over the
+          // batch only, never the cumulative corpus — the O(batch)
+          // maintenance a 100 TB index demands), with the df/stats
+          // tables refreshed from the skinny posting union and all
+          // three swapped under one atomic pointer
+          val keptBatch = engine.stream.AppendTable.read(sp, sigStore,
+              sigSchema).filter(col("kept")).select(col("doc_id"))
+            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          val newPosts = bm25Postings(
+            b.join(keptBatch, Seq("doc_id"), "leftsemi"), None)
+          val posts = engine.stream.VersionedTable.currentDir(idxRoot)
+            .map(cur => sp.read.schema(newPosts.schema).parquet(
+                new java.io.File(cur, "postings").getPath)
+              .unionByName(newPosts))
+            .getOrElse(newPosts)
           val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
           val glob = posts.groupBy(col("doc_id"))
             .agg(first(col("dl")).as("dl"))
@@ -774,10 +787,13 @@ object SearchQueries {
           }
         } finally { b.unpersist(); () }
       }
-      // the trigger-sequenced ingest (3 "nightly batches" by default —
-      // the multi-trigger composition IS this capstone's subject, unlike
-      // the single-store ops whose default replays one trigger)
-      val mft = s.conf.get("spark.graft.online.mft", "11").toInt
+      // the trigger-sequenced ingest: 2 "nightly batches" by default —
+      // the multi-trigger composition IS this capstone's subject (unlike
+      // the single-store ops whose default replays one trigger), and two
+      // triggers exercise every cross-batch path (store probes with a
+      // non-empty store, an index version superseding another) at 2/3
+      // the cost of three; SearchSpec pins the 3-batch split
+      val mft = s.conf.get("spark.graft.online.mft", "16").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, corpus,
         s"online_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))

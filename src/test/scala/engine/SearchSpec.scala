@@ -219,7 +219,9 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     def run(): Seq[Seq[Any]] =
       SearchQueries.queries("pipeline_online").fn(spark, sf)
         .collect().map(_.toSeq).toSeq
-    val multi = run() // default mft=11 -> 3 ingest batches
+    spark.conf.set("spark.graft.online.mft", "11") // 3 ingest batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.online.mft")
     val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
     // store contents AFTER the run == the batch operators' replay
     val dgSchema = StructType(Seq(StructField("doc_id", LongType),
