@@ -118,10 +118,13 @@ object ScaleProbe {
       val perRow = if (scale != 100 || c == 0) ""
         else {
           val us = sec * 1e6 / c
-          val vs30 = (for { t30 <- thirty.get(q); r30 <- thirtyRows.get(q)
-            if r30 > 0 } yield us / (t30 * 1e6 / r30))
-            .map(v => f""", "us_per_row_vs30x": $v%.2f""").getOrElse("")
-          f""", "us_per_row": $us%.2f$vs30"""
+          def vs(tag: String, prev: Map[String, Double],
+              prevRows: Map[String, Long]): String =
+            (for { tp <- prev.get(q); rp <- prevRows.get(q) if rp > 0 }
+              yield us / (tp * 1e6 / rp))
+              .map(v => f""", "us_per_row_vs$tag": $v%.2f""").getOrElse("")
+          f""", "us_per_row": $us%.2f${vs("10x", tenProbe, tenRows)}${
+            vs("30x", thirty, thirtyRows)}"""
         }
       f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio$perRow}"""
     }.mkString(
