@@ -390,6 +390,82 @@ object SearchQueries {
         term, cnt
       FROM tcnt QUALIFY rank <= 5 ORDER BY cent_id, rank"""))
 
+  // --------------------------------------------- B53i dedup_semantic
+  /** Within-cluster drop threshold — the embedding-dedup family's 0.45
+    * margin (dedup_embedding / dedup_embedding_banded use the same), so
+    * the three screens' verdicts are directly comparable. */
+  private val SemThr = 0.45
+
+  /** B53i: SemDeDup-style CLUSTER-BLOCKED semantic dedup (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every embedding to its k-means
+    * cell (the memoized spherical codebook every IVF/cluster consumer
+    * shares), enumerate candidate pairs WITHIN a cell only, exact-cosine
+    * verify, and drop the higher id of every pair at cos ≥ [[SemThr]].
+    * The third blocking strategy of the embedding-dedup family — exact
+    * (conf-gated all-pairs yardstick), SRP-banded (global LSH screen),
+    * and now cluster-blocked, where the corpus structure a curation
+    * stack ALREADY maintains (cluster_kmeans / cluster_topics) doubles
+    * as the dedup index: near-semantic duplicates land in the same cell
+    * far more often than random LSH bands collide, which is why
+    * SemDeDup scales to web corpora. Emits every assigned vector with
+    * its cell and verdict — the per-modality analogue of the exact
+    * screens' survivor tables.
+    *
+    * Shape at 100 TB: assignment is the broadcast-codebook map-side
+    * argmax (no corpus shuffle); the pair join shuffles skinny
+    * (vec_id, cell, u) rows ONCE on cent_id and enumerates within-cell
+    * only — O(Σ cell²), bounded by cell size, with k scaled ∝ corpus
+    * (the SemDeDup recipe: hold ⟨cell⟩ constant, here 16 cells at test
+    * scale) and re-clustering as the skew remedy for a runaway cell.
+    * Candidate verification is the codegen'd exact dot — no recall
+    * loss inside a cell, recall across cells is the clustering's
+    * blocking approximation (the published trade). */
+  private val dedupSemantic = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = LlmQueries.unitCorpus(s, d)
+      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+        .toDF("cent_id", "cu")
+      // unit vector rides the assignment group so the pair join below
+      // re-attaches nothing; one exchange on cent_id serves both the
+      // self-join and nothing else touches corpus-scale data
+      val asg = engine.ScratchCache.persist(
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("u"), col("cent_id"),
+            dot(col("u"), col("cu")).as("cd"))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+            first(col("u")).as("u"))
+          .repartition(col("cent_id")))
+      val dropped = asg.as("a").join(asg.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(dot(col("a.u"), col("b.u")) >= SemThr)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      asg.join(dropped.withColumn("_dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          col("_dup").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(LlmQueries.coarseChainSql + s""",
+      sdx AS (SELECT eu.vec_id, c.cent_id,
+               list_sum(list_transform(list_zip(eu.u, c.cu),
+                 p -> p[1] * p[2])) AS cd
+              FROM eu CROSS JOIN c2 c),
+      sda AS (SELECT vec_id, cent_id FROM sdx
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cd DESC, cent_id) = 1),
+      sdd AS (SELECT DISTINCT b.vec_id
+              FROM sda a JOIN sda b
+                ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              JOIN eu ua ON ua.vec_id = a.vec_id
+              JOIN eu ub ON ub.vec_id = b.vec_id
+              WHERE list_sum(list_transform(list_zip(ua.u, ub.u),
+                p -> p[1] * p[2])) >= $SemThr)
+      SELECT s.vec_id, s.cent_id, (dd.vec_id IS NULL) AS kept
+      FROM sda s LEFT JOIN sdd dd ON dd.vec_id = s.vec_id
+      ORDER BY s.vec_id"""))
+
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
     * embedding concentrates signal in a short prefix (P of 8-16 serves
@@ -872,5 +948,6 @@ object SearchQueries {
     "ann_recall_report" -> annRecallReport,
     "pipeline_online" -> pipelineOnline,
     "stream_bm25_probe" -> streamBm25Probe,
-    "cluster_topics" -> clusterTopics)
+    "cluster_topics" -> clusterTopics,
+    "dedup_semantic" -> dedupSemantic)
 }

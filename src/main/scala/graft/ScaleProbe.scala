@@ -176,8 +176,9 @@ object ScaleProbe {
     "corpus_mixture_plan", "dedup_exact_incremental",
     "sim_search_ivfpq_indexed", "quality_classifier_train",
     "stream_bm25_probe", "cluster_topics",
-    // r13 addition: the online ingest→dedup-stores→index→serve capstone
-    "pipeline_online")
+    // r13 additions: the online ingest→dedup-stores→index→serve
+    // capstone and the SemDeDup cluster-blocked embedding screen
+    "pipeline_online", "dedup_semantic")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
