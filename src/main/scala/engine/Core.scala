@@ -79,12 +79,20 @@ object Core {
             // prune AFTER the publish (never inside the writer — the
             // staging dir is a `<scratch>.tmp.<uuid>` sibling and an
             // in-callback sweep would delete its own data pre-move):
-            // only exact-shape superseded generations of this source
+            // only exact-shape superseded generations of this source.
+            // SINGLE-PROCESS ASSUMPTION (r13 advisor): the sweep takes
+            // no cross-process lock, so it is safe only under the
+            // repo's sequential-runs convention (memory: bench/verify
+            // never run concurrently). The age guard below is defense
+            // in depth — a generation touched in the last 10 minutes
+            // (a concurrent JVM's fresh publish, or one it is likely
+            // still scanning) is left for a later sweep.
             val cur = s"graft_nanos_norm_${pathH}_$metaH"
             val gen = s"graft_nanos_norm_${pathH}_[0-9a-f]{16}".r
+            val cutoff = System.currentTimeMillis - 10 * 60 * 1000L
             Option(new java.io.File("/tmp").listFiles()).foreach(
               _.filter(f => gen.pattern.matcher(f.getName).matches() &&
-                  f.getName != cur)
+                  f.getName != cur && f.lastModified < cutoff)
                 .foreach { stale =>
                   def rmTree(f: java.io.File): Unit = {
                     Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -121,6 +129,16 @@ object Core {
     parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
       .mkString(",")
   }
+
+  /** Session-cache key for a frame derived from ONE source table:
+    * prefix + corpus dir + the table's [[srcFingerprint]]. Every
+    * [[ScratchCache.persistKeyed]] site must key THROUGH this (not the
+    * dir alone) — the keyed frames are drain-exempt, so a dir-only key
+    * would serve stale cached partitions after an in-place testdata
+    * regeneration, exactly the staleness the driver-side model memos
+    * already guard against (r13 advisor). */
+  def fpKey(prefix: String, dir: String, table: String): String =
+    s"$prefix:$dir#${srcFingerprint(dir, table)}"
 
   /** Eager localCheckpoint that also RESETS plan statistics.
     *

@@ -78,7 +78,7 @@ object LlmQueries {
     * too — every later consumer would re-scan and re-normalize the
     * corpus. All consumers of this exact frame must come through here. */
   private[engine] def unitCorpus(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"eu:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("eu", d, "embeddings"))(
       unitEmbeddings(s, d).filter(col("u").isNotNull))
 
   /** Shared oracle CTE: unit vectors, same op order as unitEmbeddings so
@@ -171,7 +171,7 @@ object LlmQueries {
       .withColumn("sz", size(col("s")))
 
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"shingle60:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("shingle60", d, "documents"))(
       shingleSetsOf(docs(s, d).repartition(col("doc_id"))))
 
   private val dedupNgramJaccard = Q(
@@ -283,7 +283,7 @@ object LlmQueries {
     * its partitioning exchange-free. Shared (session-keyed) by
     * dedup_containment, decontaminate and dedup_ngram_jaccard. */
   private def rarePosts(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"rareposts:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("rareposts", d, "documents"))(
       explodeNonNull(hashedShingles(s, d), col("s"), "sh",
         col("doc_id"), col("sz"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -293,7 +293,7 @@ object LlmQueries {
   /** Per-doc rare-shingle count — the `hot = sz - nr` side of the
     * intersection bound below. One row per doc with ≥ 1 rare shingle. */
   private def rareCounts(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"rarecounts:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("rarecounts", d, "documents"))(
       rarePosts(s, d).groupBy(col("doc_id")).agg(count(lit(1)).as("nr")))
 
   /** All doc pairs sharing ≥ 1 rare shingle, with their exact
@@ -306,7 +306,7 @@ object LlmQueries {
     * bound input of dedup_ngram_jaccard's verify — the pair table a
     * real pipeline materializes once per corpus. */
   private def rarePairCounts(s: SparkSession, d: String): DataFrame =
-    engine.ScratchCache.persistKeyed(s"rarepairs:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("rarepairs", d, "documents"))(
       rarePosts(s, d).as("a")
         .join(rarePosts(s, d).as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -530,7 +530,7 @@ object LlmQueries {
       // re-used verbatim by pipeline_curate's near-dup stage — one
       // signature computation per session per sf, exactly how a real
       // pipeline materializes signatures once. Tiny: one row per doc.
-      val sig = engine.ScratchCache.persistKeyed(s"minhash_sig:$d")(
+      val sig = engine.ScratchCache.persistKeyed(engine.Core.fpKey("minhash_sig", d, "documents"))(
         minhashSignatures(docs(s, d)))
       val banded = lshBands(sig)
       val cand = banded.as("a")
@@ -761,7 +761,7 @@ object LlmQueries {
     // no conf in the cache identity: the cap is a fixed parameter on the
     // oracle-pinned path (see [[SimhashBandCap]]), so one pair table per
     // sf dir is always current
-    engine.ScratchCache.persistKeyed(s"simhash_pairs8:$d")(
+    engine.ScratchCache.persistKeyed(engine.Core.fpKey("simhash_pairs8", d, "documents"))(
       simhashPairs(docs(s, d), 8))
 
   private val dedupSimhash = Q(
@@ -969,7 +969,7 @@ object LlmQueries {
     // three operators (dedup_embedding, dedup_embedding_banded,
     // dedup_embedding_clusters) consume it — at 100 TB this IS the
     // materialized signature table a dedup pipeline builds once.
-    val cls = engine.ScratchCache.persistKeyed(s"srpcls:$d")(
+    val cls = engine.ScratchCache.persistKeyed(engine.Core.fpKey("srpcls", d, "embeddings"))(
       unitEmbeddings(s, d).filter(col("u").isNotNull)
         .groupBy(col("u"))
         .agg(sort_array(collect_list(col("vec_id"))).as("vids"))
@@ -1233,7 +1233,7 @@ object LlmQueries {
       // Session-keyed: the per-vector coded corpus is the ANN serving
       // index — built once per corpus, reused across probes (and the
       // bench attribution column charges the build to the first op).
-      val e = engine.ScratchCache.persistKeyed(s"srp16:$d")(
+      val e = engine.ScratchCache.persistKeyed(engine.Core.fpKey("srp16", d, "embeddings"))(
         unitEmbeddings(s, d)
           .withColumnRenamed("u", "v")
           .withColumn("code", srpCode(col("v"), 16, 64))

@@ -216,7 +216,7 @@ object SearchQueries {
   /** B53b: BM25 top-k lexical retrieval over the corpus posting table —
     * the keyword half of a hybrid retrieval stack. */
   private val searchBm25 = Q(
-    (s, d) => bm25TopK(docs(s, d), Some(s"bm25posts:$d"))
+    (s, d) => bm25TopK(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
       .select(col("qid"), col("cid"), col("rank"),
         r4(col("ms") / lit(1e6)).as("score"))
       .orderBy("qid", "rank"),
@@ -240,7 +240,7 @@ object SearchQueries {
     * the heavy lifting stays inside the two modality chains. */
   private val searchHybridRrf = Q(
     (s, d) => {
-      val lex = bm25TopK(docs(s, d), Some(s"bm25posts:$d"))
+      val lex = bm25TopK(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
         .select(col("qid"), col("cid"), col("rank").as("lr"))
       val e = LlmQueries.unitCorpus(s, d)
       val q = e.filter(col("vec_id") < 5)
@@ -667,7 +667,7 @@ object SearchQueries {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       // ---- offline index build (once; replace-on-rebuild state)
       val idxRoot = new java.io.File(s"/tmp/graft_bm25_index_$san")
-      val posts = bm25Postings(docs(s, d), Some(s"bm25posts:$d"))
+      val posts = bm25Postings(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
       val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val glob = posts.groupBy(col("doc_id"))
         .agg(first(col("dl")).as("dl"))
@@ -733,6 +733,89 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM ltop ORDER BY qid, rank"""))
 
+  // ------------------------------------- segmented BM25 index (B54 layout)
+  /** The SEGMENTED index layout [[pipelineOnline]] maintains: version
+    * `v<id>/` under the [[engine.stream.VersionedTable]] pointer holds
+    * ONLY a `SEGMENTS` manifest (one line per live segment); the posting
+    * data lives in immutable `segments/seg-<batchId>/` directories, each
+    * carrying the batch's `postings/` (doc_id, term, tf, dl), its
+    * per-segment `dfs/` (term, df) DELTA, and a 1-row `stats/` counter
+    * table (n_docs, dl_sum). A commit writes one O(batch) segment plus a
+    * few-line manifest — never the cumulative posting set (r13 verdict:
+    * the previous full-rewrite commit was O(corpus) read+write I/O per
+    * trigger, the one shipped design that contradicted the 100 TB
+    * posture). Readers merge at query time: postings = manifest-listed
+    * segment union, df = Σ per-segment df (term counts are disjoint-
+    * segment sums, so the merge is exact), n_docs/avgdl from the summed
+    * counters (all-integer sums < 2^53, so avgdl ≡ avg(dl) bit-exactly).
+    * This is the Lucene / lakehouse commit shape: append-only segments
+    * + an atomic manifest swap, with compaction a SEPARATE maintenance
+    * concern, not an ingest-path cost.
+    *
+    * Crash safety (single writer, the foreachBatch contract): a death
+    * mid-segment-write leaves an unreferenced dir the replayed batch id
+    * overwrites; a death between segment write and manifest commit is
+    * the same (the segment is invisible until its manifest lands); the
+    * manifest commit itself is [[engine.stream.VersionedTable]]'s atomic
+    * pointer swap, idempotent per batch id. */
+  private def idxSegments(idxRoot: java.io.File): Seq[String] =
+    engine.stream.VersionedTable.currentDir(idxRoot).map { cur =>
+      java.nio.file.Files
+        .readAllLines(new java.io.File(cur, "SEGMENTS").toPath)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    }.getOrElse(Seq.empty)
+
+  /** The merged read view of the segmented index: (postings, dfs, glob)
+    * exactly as [[bm25Rank]] wants them. The df merge shuffles only the
+    * per-segment (term, df) deltas — vocabulary-scale, never
+    * posting-scale — and the stats merge is a counter sum. */
+  private[engine] def readSegIndex(sp: SparkSession,
+      idxRoot: java.io.File): (DataFrame, DataFrame, DataFrame) = {
+    val segs = idxSegments(idxRoot)
+    def paths(sub: String) = segs.map(sg =>
+      new java.io.File(idxRoot, s"segments/$sg/$sub").getPath)
+    val posts = sp.read.parquet(paths("postings"): _*)
+    val dfs = sp.read.parquet(paths("dfs"): _*)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val glob = sp.read.parquet(paths("stats"): _*)
+      .agg(sum(col("n_docs")).as("nd"), sum(col("dl_sum")).as("ds"))
+      .select(col("nd").as("n_docs"),
+        (col("ds").cast("double") / col("nd")).as("avgdl"))
+    (posts, dfs, glob)
+  }
+
+  /** Commit one batch's survivor documents as a fresh index segment +
+    * manifest version. O(batch) I/O: tokenization, the (doc_id, term)
+    * shuffle, and all three writes touch this batch's docs only. The
+    * drop rule only ever drops the NEWER doc, so a batch's survivors
+    * are final the moment they pass — segments never need rewriting. */
+  private def commitIndexSegment(sp: SparkSession, idxRoot: java.io.File,
+      batchId: Long, survivors: DataFrame): Unit = {
+    val segName = s"seg-$batchId"
+    val cur = idxSegments(idxRoot)
+    if (cur.contains(segName)) return // committed replay: no-op
+    val segDir = new java.io.File(idxRoot, s"segments/$segName")
+    val pDir = new java.io.File(segDir, "postings")
+    bm25Postings(survivors, None)
+      .write.mode("overwrite").parquet(pDir.getPath)
+    // derive the deltas from the segment's own parquet — one extra
+    // O(batch) scan instead of recomputing the tokenize+shuffle chain
+    val segPosts = sp.read.parquet(pDir.getPath)
+    segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segDir, "dfs").getPath)
+    segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segDir, "stats").getPath)
+    engine.stream.VersionedTable.commitDir(idxRoot, batchId) { dir =>
+      dir.mkdirs() // parquet writers mkdir implicitly; a bare file must
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "SEGMENTS").toPath,
+        (cur :+ segName).mkString("", "\n", "\n"))
+    }
+  }
+
   // ---------------------------------------------------- B54 pipeline_online
   /** CAPSTONE №3 — the ONLINE composition the two batch capstones leave
     * open (r12 verdict item 2): one trigger-sequenced run wiring the
@@ -750,10 +833,12 @@ object SearchQueries {
     *     est ≥ 0.5 against any earlier exact-survivor drops the doc
     *     (the partner's own minhash survival is irrelevant — the
     *     dedup_incremental rule); signatures append with verdicts;
-    *  3. INDEX maintenance — the BM25 posting/df/stats tables over the
-    *     CUMULATIVE survivor set, committed as a fresh version under
-    *     one [[engine.stream.VersionedTable]] atomic pointer (a probe
-    *     never sees new postings with old stats);
+    *  3. INDEX maintenance — the batch's survivors committed as ONE
+    *     immutable posting segment + df/stats deltas, published by an
+    *     atomic manifest version under the
+    *     [[engine.stream.VersionedTable]] pointer (a probe never sees
+    *     new postings with old stats, and a trigger's commit I/O is
+    *     O(batch), never O(corpus) — see [[commitIndexSegment]]);
     *  4. SERVE — after the run, the standard id < 5 query set is
     *     answered from the CURRENT index version via the shared
     *     [[bm25Rank]] join.
@@ -833,34 +918,18 @@ object SearchQueries {
                 .withColumn("kept", col("_d").isNull).drop("_d"),
               sigStore, batchId)
           } finally { sig.unpersist(); () }
-          // 3. INCREMENTAL index maintenance: the drop rule only ever
-          // drops the NEWER doc, so a batch's survivors are final the
-          // moment they pass — the new version's postings are the prior
-          // version's postings + the postings of THIS batch's survivors
-          // (tokenization and the (doc_id, term) shuffle run over the
-          // batch only, never the cumulative corpus — the O(batch)
-          // maintenance a 100 TB index demands), with the df/stats
-          // tables refreshed from the skinny posting union and all
-          // three swapped under one atomic pointer
+          // 3. SEGMENTED index maintenance ([[commitIndexSegment]]):
+          // this batch's survivors become ONE immutable segment
+          // (postings + df delta + stats counters) and the new version
+          // is just a manifest listing prior segments + it — O(batch)
+          // read AND write I/O per trigger, the maintenance a 100 TB
+          // index demands (the r13 full-rewrite commit re-read and
+          // rewrote the cumulative posting set every trigger)
           val keptBatch = engine.stream.AppendTable.read(sp, sigStore,
               sigSchema).filter(col("kept")).select(col("doc_id"))
             .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
-          val newPosts = bm25Postings(
-            b.join(keptBatch, Seq("doc_id"), "leftsemi"), None)
-          val posts = engine.stream.VersionedTable.currentDir(idxRoot)
-            .map(cur => sp.read.schema(newPosts.schema).parquet(
-                new java.io.File(cur, "postings").getPath)
-              .unionByName(newPosts))
-            .getOrElse(newPosts)
-          val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          val glob = posts.groupBy(col("doc_id"))
-            .agg(first(col("dl")).as("dl"))
-            .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-          engine.stream.VersionedTable.commitDir(idxRoot, batchId) { dir =>
-            posts.write.parquet(new java.io.File(dir, "postings").getPath)
-            dfs.write.parquet(new java.io.File(dir, "dfs").getPath)
-            glob.write.parquet(new java.io.File(dir, "glob").getPath)
-          }
+          commitIndexSegment(sp, idxRoot, batchId,
+            b.join(keptBatch, Seq("doc_id"), "leftsemi"))
         } finally { b.unpersist(); () }
       }
       // the trigger-sequenced ingest: 2 "nightly batches" by default —
@@ -890,12 +959,9 @@ object SearchQueries {
         }
         rm(ck)
       }
-      // 4. serve from the CURRENT index version (the stream_bm25_probe
-      // read path; the shared bm25Rank join pins scoring identity)
-      val cur = engine.stream.VersionedTable.currentDir(idxRoot).get
-      val iPosts = s.read.parquet(new java.io.File(cur, "postings").getPath)
-      val iDfs = s.read.parquet(new java.io.File(cur, "dfs").getPath)
-      val iGlob = s.read.parquet(new java.io.File(cur, "glob").getPath)
+      // 4. serve from the CURRENT index version — the merged segment
+      // view; the shared bm25Rank join pins scoring identity
+      val (iPosts, iDfs, iGlob) = readSegIndex(s, idxRoot)
       val qt = iPosts.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("term"))
       val qdf = iDfs.join(qt.select(col("term")).distinct(), "term")

@@ -518,15 +518,23 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // build instead of hiding in the warning noise (r12 verdict item 7).
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
-    val sites = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
-          case (line, _) if line.contains("Window.orderBy(") &&
-            !line.trim.startsWith("*") && !line.trim.startsWith("//") =>
-            p.getFileName.toString
-        }
-      }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    // detect over COMMENT-STRIPPED full file text with a whitespace-
+    // tolerant regex, not a single-line substring: a site written as
+    // `Window\n  .orderBy(...)` must still count (r13 advisor — the
+    // evasion the old line match allowed is exactly the failure mode
+    // this pin exists to catch)
+    val siteRe = """Window\s*\.\s*orderBy\s*\(""".r
+    val blockComment = """(?s)/\*.*?\*/""".r
+    val lineComment = """//[^\n]*""".r
+    val files = scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      _.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+    }
+    val sites = files.flatMap { p =>
+        val txt = lineComment.replaceAllIn(
+          blockComment.replaceAllIn(java.nio.file.Files.readString(p), " "),
+          " ")
+        siteRe.findAllIn(txt).map(_ => p.getFileName.toString)
+      }.groupBy(identity).view.mapValues(_.size).toMap
     assert(sites == Map("CurateQueries.scala" -> 3, "RelQueries.scala" -> 2),
       s"unpartitioned-window sites drifted: $sites — if the new site's " +
         "window input is NOT a bounded model-artifact frame, partition it; " +

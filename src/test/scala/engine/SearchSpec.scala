@@ -250,14 +250,26 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(nearKept == batchExact -- pairs.map(_._2).toSet,
       "signature store diverged from the batch minhash screen")
     // the CURRENT index version serves exactly the survivor corpus, and
-    // the probe equals the batch ranker over it
-    val cur = engine.stream.VersionedTable.currentDir(
-      new java.io.File(s"/tmp/graft_online_idx_$san")).get
-    val iPosts = spark.read.parquet(
-      new java.io.File(cur, "postings").getPath)
+    // the probe equals the batch ranker over it. Storage pin (r13
+    // verdict item 1): after a 3-trigger ingest the version holds
+    // exactly 3 immutable segments — the O(batch)-per-commit layout —
+    // and the MERGED per-segment df deltas equal a df recompute over
+    // the unioned postings (the exactness claim of the delta merge)
+    val idxRoot = new java.io.File(s"/tmp/graft_online_idx_$san")
+    val segsDir = new java.io.File(idxRoot, "segments")
+    assert(Option(segsDir.listFiles()).toSeq.flatten
+      .count(_.isDirectory) == 3,
+      "3-trigger ingest must commit exactly 3 index segments")
+    val (iPosts, iDfs, _) = llm.SearchQueries.readSegIndex(spark, idxRoot)
     assert(iPosts.select("doc_id").distinct().collect()
       .map(_.getLong(0)).toSet == nearKept,
       "served index does not cover exactly the survivors")
+    val mergedDf = iDfs.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recompDf = iPosts.groupBy(col("term")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedDf == recompDf,
+      "merged per-segment df deltas diverged from a full recompute")
     // probe stages of the funnel == the batch ranker over the survivor
     // corpus (count and exact integer micronat score sum)
     val survDocs = spark.read.parquet(s"$sf/documents.parquet")
