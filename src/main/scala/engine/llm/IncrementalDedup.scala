@@ -517,9 +517,82 @@ object IncrementalDedup {
         ORDER BY doc_id) = 1
       ORDER BY doc_id"""))
 
+  // ------------------------------------- B55 maintenance_store_compact
+  /** STORE COMPACTION — the maintenance pass the [[engine.stream
+    * .AppendTable]] stores need that `maintenance_compact` gives plain
+    * tables (r13 verdict item 6): a long-running ingest appends one
+    * parquet segment per trigger forever, so the digest/signature
+    * archives accumulate small files without bound. This op replays a
+    * 4-append digest-store ingest (the [[dedupExactIncremental]] merge
+    * rule over ordered doc_id ranges), folds the store's segments into
+    * ONE segment range-clustered on `dg` via
+    * [[engine.stream.AppendTable.compact]], and emits the
+    * post-compaction store contents — the losslessness oracle: rows
+    * unchanged by the rewrite, with the before/after segment counts
+    * riding every row (4 → 1).
+    *
+    * Clustered on `dg` because that is the store's probe key (the exact
+    * screen is a digest equi-/anti-join): after the fold, per-file
+    * min/max digest ranges are narrow, so a keyed probe prunes files —
+    * pure layout, identical verdicts. Shape at 100 TB: compaction is a
+    * background O(store) rewrite scheduled OFF the ingest path (the
+    * Lucene-merge / lakehouse-OPTIMIZE cadence) under the single-writer
+    * contract — never a per-trigger cost, which is exactly why the
+    * ingest ops don't do it inline. */
+  private val maintenanceStoreCompact = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(s"/tmp/graft_cmp_store_$san")
+      engine.stream.AppendTable.destroy(store) // fresh replay
+      def sigOf(batch: DataFrame): DataFrame = batch
+        .select(col("doc_id"),
+          coalesce(md5(lower(trim(col("text")))), lit("<null-text>"))
+            .as("dg"))
+      val src0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val storeSchema = sigOf(src0.limit(0)).schema
+        .add("kept", "boolean", nullable = false)
+      // 4 ordered doc_id-range "nightly" appends through the exact-
+      // screen merge rule against the growing store (first ingestion of
+      // a digest wins — under ordered admission ≡ dedup_exact's
+      // lowest-id rule, which is what the oracle replays)
+      val maxId = src0.agg(max(col("doc_id"))).head.getLong(0)
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dg")).orderBy(col("doc_id"))
+      (0 until 4).foreach { i =>
+        val lo = (maxId + 1) * i / 4
+        val hi = (maxId + 1) * (i + 1) / 4
+        val sig = sigOf(src0.filter(col("doc_id") >= lo &&
+          col("doc_id") < hi))
+        val seen = engine.stream.AppendTable.read(s, store, storeSchema)
+          .select(col("dg")).distinct()
+        val verdicts = sig
+          .withColumn("rn", row_number().over(wMin))
+          .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
+          .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+          .select(col("doc_id"), col("dg"), col("kept"))
+        engine.stream.AppendTable.append(verdicts, store, i.toLong)
+      }
+      val segBefore = engine.stream.AppendTable.segmentCount(store)
+      engine.stream.AppendTable.compact(s, store, storeSchema, Seq("dg"))
+      val segAfter = engine.stream.AppendTable.segmentCount(store)
+      engine.stream.AppendTable.read(s, store, storeSchema)
+        .select(col("doc_id"), col("dg"), col("kept"),
+          lit(segBefore).cast("long").as("seg_before"),
+          lit(segAfter).cast("long").as("seg_after"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        coalesce(md5(lower(trim(text))), '<null-text>') AS dg,
+        (row_number() OVER (
+           PARTITION BY coalesce(md5(lower(trim(text))), '<null-text>')
+           ORDER BY doc_id) = 1) AS kept,
+        4::BIGINT AS seg_before, 1::BIGINT AS seg_after
+      FROM documents ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> dedupIncremental,
     "decontaminate_incremental" -> decontaminateIncremental,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
-    "dedup_exact_incremental" -> dedupExactIncremental)
+    "dedup_exact_incremental" -> dedupExactIncremental,
+    "maintenance_store_compact" -> maintenanceStoreCompact)
 }

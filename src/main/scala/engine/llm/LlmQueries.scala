@@ -1351,17 +1351,20 @@ object LlmQueries {
     String, Seq[(Long, Seq[Double])]]()
 
   private[engine] def trainedSphericalCells(s: SparkSession, d: String,
-      e: DataFrame): Seq[(Long, Seq[Double])] = {
+      e: DataFrame, k: Int = 16): Seq[(Long, Seq[Double])] = {
     val nr = s.conf.get("spark.graft.ivf.rounds", "2").toInt
     // key carries the embeddings fingerprint (Core.srcFingerprint): a
     // corpus regenerated in-place mid-session retrains instead of
-    // serving the previous generation's codebook (r12 advisor)
+    // serving the previous generation's codebook (r12 advisor) — and
+    // the cell count k, so a non-default consumer (dedup_semantic's
+    // corpus-proportional k) never collides with the 16-cell codebook
+    // the IVF/cluster family shares
     val fp = engine.Core.srcFingerprint(d, "embeddings")
-    sphericalCellCache.computeIfAbsent(s"$d#$nr#$fp", _ => {
+    sphericalCellCache.computeIfAbsent(s"$d#$nr#$k#$fp", _ => {
       import s.implicits._
       val seeds = e
         .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(16)
+        .orderBy(col("h"), col("vec_id")).limit(k)
         .select(col("vec_id").as("cent_id"), col("u").as("cu"))
         .as[(Long, Seq[Double])].collect().toSeq
       (1 to nr).foldLeft(seeds)((c, _) => lloydRound(e, c))

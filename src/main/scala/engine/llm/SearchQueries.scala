@@ -415,16 +415,20 @@ object SearchQueries {
     * argmax (no corpus shuffle); the pair join shuffles skinny
     * (vec_id, cell, u) rows ONCE on cent_id and enumerates within-cell
     * only — O(Σ cell²), bounded by cell size, with k scaled ∝ corpus
-    * (the SemDeDup recipe: hold ⟨cell⟩ constant, here 16 cells at test
-    * scale) and re-clustering as the skew remedy for a runaway cell.
-    * Candidate verification is the codegen'd exact dot — no recall
-    * loss inside a cell, recall across cells is the clustering's
-    * blocking approximation (the published trade). */
+    * (the SemDeDup recipe: hold ⟨cell⟩ constant) via
+    * `spark.graft.semdedup.k` (default 16, the test-scale point; the
+    * oracle replays the default — a larger k is the scale experiment
+    * knob, SearchSpec pins drops ⊆ exact at BOTH 16 and 32) and
+    * re-clustering as the skew remedy for a runaway cell. Candidate
+    * verification is the codegen'd exact dot — no recall loss inside a
+    * cell, recall across cells is the clustering's blocking
+    * approximation (the published trade). */
   private val dedupSemantic = Q(
     (s, d) => {
       import s.implicits._
       val e = LlmQueries.unitCorpus(s, d)
-      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+      val k = s.conf.get("spark.graft.semdedup.k", "16").toInt
+      val cents = LlmQueries.trainedSphericalCells(s, d, e, k)
         .toDF("cent_id", "cu")
       // unit vector rides the assignment group so the pair join below
       // re-attaches nothing; one exchange on cent_id serves both the

@@ -77,6 +77,57 @@ object AppendTable {
     }
   }
 
+  /** MAINTENANCE: fold every committed segment into one range-clustered
+    * segment without changing read results — the small-file remedy for
+    * a long-running ingest, whose one-parquet-append-per-trigger layout
+    * otherwise accumulates files without bound (r13 verdict item 6;
+    * the lakehouse `OPTIMIZE` applied to the store layout). The rows
+    * are rewritten range-clustered on `clusterKeys` so per-file min/max
+    * stats stay narrow and a later keyed probe (the stores are probed
+    * by digest / band key) prunes files.
+    *
+    * Same commit discipline as [[append]]: write the folded segment
+    * (named `seg-c<n>`, outside the batch-id namespace so a later
+    * trigger id can never collide with it), atomically swap the
+    * MANIFEST to list only it, then sweep the superseded segment dirs.
+    * A death mid-write or pre-swap leaves the fold invisible; a death
+    * post-swap leaves unreferenced old dirs the next compact sweeps.
+    * MUST NOT run concurrently with a writer (single-writer contract:
+    * a replayed batch id folded into `seg-c*` is no longer
+    * manifest-listed, so a concurrent replay would double-append). */
+  def compact(spark: SparkSession, root: java.io.File, schema: StructType,
+      clusterKeys: Seq[String], nFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val segs = segments(root)
+    if (segs.size <= 1) return
+    val gen = segs.filter(_.startsWith("seg-c"))
+      .map(_.stripPrefix("seg-c").toLong).maxOption.getOrElse(-1L) + 1
+    val folded = s"seg-c$gen"
+    read(spark, root, schema)
+      .repartitionByRange(nFiles, clusterKeys.map(col): _*)
+      .sortWithinPartitions(clusterKeys.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(root, folded).getPath)
+    val tmp = new java.io.File(root, s"MANIFEST.tmp.c$gen")
+    java.nio.file.Files.writeString(tmp.toPath, folded + "\n")
+    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(root.listFiles()).foreach(_.filter(f => f.isDirectory &&
+        f.getName.startsWith("seg-") && f.getName != folded)
+      .foreach(deleteRecursively))
+  }
+
+  /** Committed segment count — the maintenance observability hook
+    * ([[compact]]'s before/after pin). */
+  def segmentCount(root: java.io.File): Int = segments(root).size
+
+  /** Data file count across committed segments (part-files only). */
+  def fileCount(root: java.io.File): Int = segments(root).map { sg =>
+    Option(new java.io.File(root, sg).listFiles()).toSeq.flatten
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+  }.sum
+
   /** Remove the table entirely (fresh-run reset). */
   def destroy(root: java.io.File): Unit = deleteRecursively(root)
 

@@ -178,7 +178,9 @@ object ScaleProbe {
     "stream_bm25_probe", "cluster_topics",
     // r13 additions: the online ingest→dedup-stores→index→serve
     // capstone and the SemDeDup cluster-blocked embedding screen
-    "pipeline_online", "dedup_semantic")
+    "pipeline_online", "dedup_semantic",
+    // r14 addition: the AppendTable store fold
+    "maintenance_store_compact")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -292,38 +292,53 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   test("dedup_semantic: verdicts match a brute recompute within clusters " +
       "and drops are a subset of the exact all-pairs screen") {
-    val rows = SearchQueries.queries("dedup_semantic").fn(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    // independent recompute: unit vectors + argmax assignment collected,
-    // a vector is dropped iff some smaller-id same-cell vector has
-    // cos >= 0.45 with it
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
       .filter(col("u").isNotNull)
     val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val cents = engine.llm.LlmQueries.trainedSphericalCells(spark, sf, e)
-    def cellOf(v: Seq[Double]): Long = cents.map { case (cid, cu) =>
-      v.zip(cu).map { case (a, b) => a * b }.sum -> cid
-    }.maxBy(x => (x._1, -x._2))._2
-    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
-    rows.foreach { case (id, c, kept) =>
-      assert(c == cells(id), s"vec $id cell")
-      val expectDrop = vecs.keys.exists(o => o < id && cells(o) == c &&
-        vecs(o).zip(vecs(id)).map { case (a, b) => a * b }.sum >= 0.45)
-      assert(kept == !expectDrop, s"vec $id verdict")
-    }
-    assert(rows.length == vecs.size)
-    // family consistency: cluster blocking only RESTRICTS the pair set,
-    // so every semantic drop must be droppable by the exact all-pairs
-    // screen at the same threshold
+    // family consistency target: cluster blocking only RESTRICTS the
+    // pair set, so every semantic drop (at ANY k) must be droppable by
+    // the exact all-pairs screen at the same threshold
     spark.conf.set("spark.graft.dedupEmbedding.mode", "exact")
     val exactDroppable = try
       engine.llm.LlmQueries.queries("dedup_embedding").fn(spark, sf)
         .select("vb").collect().map(_.getLong(0)).toSet
       finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
-    val dropped = rows.filter(!_._3).map(_._1).toSet
-    assert(dropped.subsetOf(exactDroppable),
-      s"semantic drops outside the exact screen: ${dropped -- exactDroppable}")
-    assert(dropped.nonEmpty, "fixture plants same-cell near-dup vectors")
+    // verify at the serving default AND a doubled cell count (the
+    // corpus-proportional-k scale knob, r13 verdict item 3): verdicts
+    // match a brute within-cell recompute, drops ⊆ exact, at both
+    def verifyAt(k: Int): Set[Long] = {
+      val rows = (if (k == 16)
+          SearchQueries.queries("dedup_semantic").fn(spark, sf)
+        else {
+          spark.conf.set("spark.graft.semdedup.k", k.toString)
+          try SearchQueries.queries("dedup_semantic").fn(spark, sf)
+          finally spark.conf.unset("spark.graft.semdedup.k")
+        }).collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      // independent recompute: unit vectors + argmax assignment
+      // collected, a vector is dropped iff some smaller-id same-cell
+      // vector has cos >= 0.45 with it
+      val cents = engine.llm.LlmQueries.trainedSphericalCells(
+        spark, sf, e, k)
+      def cellOf(v: Seq[Double]): Long = cents.map { case (cid, cu) =>
+        v.zip(cu).map { case (a, b) => a * b }.sum -> cid
+      }.maxBy(x => (x._1, -x._2))._2
+      val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+      rows.foreach { case (id, c, kept) =>
+        assert(c == cells(id), s"vec $id cell (k=$k)")
+        val expectDrop = vecs.keys.exists(o => o < id && cells(o) == c &&
+          vecs(o).zip(vecs(id)).map { case (a, b) => a * b }.sum >= 0.45)
+        assert(kept == !expectDrop, s"vec $id verdict (k=$k)")
+      }
+      assert(rows.length == vecs.size)
+      val dropped = rows.filter(!_._3).map(_._1).toSet
+      assert(dropped.subsetOf(exactDroppable),
+        s"semantic drops outside the exact screen (k=$k): " +
+          s"${dropped -- exactDroppable}")
+      dropped
+    }
+    assert(verifyAt(16).nonEmpty,
+      "fixture plants same-cell near-dup vectors")
+    verifyAt(32)
   }
 
   test("cluster_topics agrees with a recount through cluster_kmeans") {
