@@ -30,6 +30,36 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Per-trigger wall times for every streaming query that runs inside
+    // a timed window (r13 verdict item 4: the trigger-timed ops doubled
+    // between a builder run and the driver run with no cache-build
+    // attribution to explain it — machine load on trigger-granular
+    // machinery is invisible in a single per-op number). The listener
+    // records "sinkName#batchId:durationMs" per completed trigger;
+    // once() drains it into the op's attribution entry, so a slow op
+    // decomposes into WHICH trigger paid and how much.
+    val triggerLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(-1L)
+          triggerLog.add(
+            s"${Option(p.name).getOrElse("anon")}#${p.batchId}:$ms"): Unit
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    def drainTriggers(): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      var x = triggerLog.poll()
+      while (x != null) { b += x; x = triggerLog.poll() }
+      b.result()
+    }
     // warm-up: touch the scan path, shuffle machinery, and codegen cache
     for (w <- Seq("scan_parquet", "agg_hash"))
       try SparkEntry.queries(w)(spark, sfDir).count()
@@ -59,8 +89,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => SparkEntry.benchOrderKey(name) }
     val results = ordered.map { case (name, fn) =>
-      def once(): (Double, Seq[String]) = {
+      def once(): (Double, Seq[String], Seq[String]) = {
         engine.ScratchCache.drainBuiltLog() // discard pre-window noise
+        drainTriggers()                     // discard pre-window events
         val t0 = System.nanoTime()
         // a crash records -1, never a flatteringly-fast time-to-failure
         val dt =
@@ -70,12 +101,17 @@ object Bench {
             -1.0
           }
         val built = engine.ScratchCache.drainBuiltLog()
+        // progress events post asynchronously, but a terminated stream
+        // has flushed its bus by the time awaitTermination returns, so
+        // this drain captures the op's triggers (a straggler would
+        // surface in the NEXT op's list — diagnostic, not accounting)
+        val trig = drainTriggers()
         engine.ScratchCache.drain() // blocking; outside the timed region
-        (dt, built)
+        (dt, built, trig)
       }
-      val (first, built1) = once()
+      val (first, built1, trig1) = once()
       System.gc()
-      val (second, built2) = once()
+      val (second, built2, trig2) = once()
       System.gc()
       // min over SUCCESSFUL runs only: a bare min() would let the -1.0
       // failure sentinel shadow a valid time when exactly one run is
@@ -84,9 +120,9 @@ object Bench {
         case Nil => -1.0
         case xs  => xs.min
       }
-      (name, best, first, second, built1 ++ built2)
+      (name, best, first, second, built1 ++ built2, trig1 ++ trig2)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-op attribution: both raw runs plus the shared keyed-cache
     // entries this op was FIRST to register (and so paid the one-time
@@ -95,16 +131,17 @@ object Bench {
     // round-over-round deltas where an op inherited (or shed) a build
     // because a cache-sharing sibling entered the sweep (r12 verdict
     // item 3: 85-103 s same-round totals, uninterpretable without this).
-    val attribution = results.map { case (k, _, t1, t2, built) =>
+    val attribution = results.map { case (k, _, t1, t2, built, trig) =>
       val bl = built.map("\"" + _ + "\"").mkString("[", ",", "]")
-      f""""$k":{"t1":$t1%.3f,"t2":$t2%.3f,"built":$bl}"""
+      val tl = trig.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f""""$k":{"t1":$t1%.3f,"t2":$t2%.3f,"built":$bl,"trig":$tl}"""
     }.mkString("{", ",", "}")
     // hard failures (-1) are visible per-query but must not subtract
     // from the reported total — and they are surfaced as a first-class
     // count + id list so a partially-broken sweep can never read as a
     // faster total (r10: 31 silent -1.0s made 132.7 s look like a win)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedIds = results.collect { case (k, v, _, _, _) if v < 0 => k }
+    val failedIds = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
     val failedList = failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // the FULL record (with the per-query map) goes to the file; stdout
