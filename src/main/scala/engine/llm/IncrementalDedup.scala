@@ -313,84 +313,106 @@ object IncrementalDedup {
     * dedup_embedding_banded oracle chain, dropping every higher id of
     * a verified pair). Null vectors never band (srpCode's guard) and
     * survive — mirrored by the oracle's `u IS NOT NULL` filter. */
+  /** The SRP signature of a raw `(vec_id, embedding)` frame: unit
+    * vector + 16-bit code — the per-row half of the embedding store
+    * merge, shared with the online hybrid capstone
+    * ([[SearchQueries]]' pipeline_online_hybrid). */
+  private[engine] def srpSigOf(batch: DataFrame): DataFrame = {
+    import VectorFunctions.{asDouble, norm, srpCode}
+    batch
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .withColumn("code", srpCode(col("u"), 16, 64))
+  }
+
+  /** The embedding-store schema [[srpMergeBatch]] appends. */
+  private[engine] def srpStoreSchema(empty: DataFrame)
+      : org.apache.spark.sql.types.StructType =
+    srpSigOf(empty).schema.add("kept", "boolean", nullable = false)
+
+  /** The per-trigger SRP store merge — [[dedupEmbeddingIncremental]]'s
+    * engine, shared with the online hybrid capstone ([[SearchQueries]]'
+    * pipeline_online_hybrid) so the two can never diverge.
+    *
+    * Candidates run at EQUIVALENCE-CLASS level (the srpNearDupPairs
+    * discipline applied to the serving path — the 30× frontier probe
+    * flagged the per-vector form at 11.3× its 10× time): batch vectors
+    * collapse to (u, code) classes with their min member id, the store
+    * contributes its DISTINCT classes (an exact-replicated store of any
+    * size has the same class set), band joins and the cosine verify run
+    * once per class pair, and verdicts expand back per member:
+    *   b dropped ⟺ its class collides-and-verifies with ANY store
+    *   class (ordered admission ⇒ every store id < every batch id)
+    *   ∨ b > min id of some verified batch partner class (the class
+    *   itself included — identical in-batch vectors keep exactly their
+    *   smallest member, subject to the threshold).
+    * Pair-for-pair identical to the per-vector form: band collision is
+    * a property of the codes, cosine of the contents, "∃ smaller
+    * partner" of the partner class's min id. */
+  private[engine] def srpMergeBatch(store: java.io.File,
+      storeSchema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Long) => Unit = {
+    import VectorFunctions.{codeBands, dot}
+    def cbandsOf(t: DataFrame): DataFrame = t
+      .select(col("u"), col("code"),
+        explode(codeBands(col("code"), 4, 4)).as("bb"))
+      .select(col("u"), col("code"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    (batch, batchId) => {
+      val sp = batch.sparkSession
+      val sig = srpSigOf(batch).persist()
+      val bcls = sig.filter(col("code").isNotNull)
+        .groupBy(col("u"), col("code"))
+        .agg(min(col("vec_id")).as("mn")).persist()
+      try {
+        val prevSig = engine.stream.AppendTable.read(sp, store, storeSchema)
+        val scls = prevSig.filter(col("code").isNotNull)
+          .select(col("u"), col("code")).distinct()
+        // batch × store: EXISTS any verified store partner — flags
+        // the whole batch class (no per-band dedup needed for EXISTS)
+        val hitStore = cbandsOf(bcls).as("n")
+          .join(cbandsOf(scls).as("o"),
+            col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
+          .filter(dot(col("n.u"), col("o.u")) >= 0.45)
+          .select(col("n.u").as("u"), col("n.code").as("code"))
+          .distinct().withColumn("hs", lit(true))
+        // batch × batch, BOTH directions and self included: the min
+        // member id over verified partner classes bounds which of a
+        // class's own members survive
+        val pb = bcls
+          .select(col("u").as("pu"), col("mn").as("pmn"),
+            explode(codeBands(col("code"), 4, 4)).as("bb"))
+          .select(col("pu"), col("pmn"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val mB = cbandsOf(bcls)
+          .join(pb, Seq("band", "bv"))
+          .filter(dot(col("u"), col("pu")) >= 0.45)
+          .groupBy(col("u"), col("code"))
+          .agg(min(col("pmn")).as("mb"))
+        val verdictOf = sig
+          .join(hitStore, Seq("u", "code"), "left")
+          .join(mB, Seq("u", "code"), "left")
+          .withColumn("kept",
+            !(coalesce(col("hs"), lit(false)) ||
+              (col("mb").isNotNull && col("vec_id") > col("mb"))))
+          .select((storeSchema.fieldNames.dropRight(1).map(col) :+
+            col("kept")): _*)
+        engine.stream.AppendTable.append(verdictOf, store, batchId)
+      } finally { sig.unpersist(); bcls.unpersist(); () }
+    }
+  }
+
   private val dedupEmbeddingIncremental = Q(
     (s, d) => {
-      import VectorFunctions.{asDouble, codeBands, dot, norm, srpCode}
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       val store = new java.io.File(s"/tmp/graft_vec_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
-      def sigOf(batch: DataFrame): DataFrame = batch
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("u"))
-        .withColumn("code", srpCode(col("u"), 16, 64))
       val src0 = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val storeSchema = sigOf(src0.limit(0)).schema
-        .add("kept", "boolean", nullable = false)
-      // Per-trigger candidates run at EQUIVALENCE-CLASS level (the
-      // srpNearDupPairs discipline applied to the serving path — the
-      // 30× frontier probe flagged the per-vector form at 11.3× its
-      // 10× time): batch vectors collapse to (u, code) classes with
-      // their min member id, the store contributes its DISTINCT
-      // classes (an exact-replicated store of any size has the same
-      // class set), band joins and the cosine verify run once per
-      // class pair, and verdicts expand back per member:
-      //   b dropped ⟺ its class collides-and-verifies with ANY store
-      //   class (ordered admission ⇒ every store id < every batch id)
-      //   ∨ b > min id of some verified batch partner class (the
-      //   class itself included — identical in-batch vectors keep
-      //   exactly their smallest member, subject to the threshold).
-      // Pair-for-pair identical to the per-vector form: band collision
-      // is a property of the codes, cosine of the contents, "∃ smaller
-      // partner" of the partner class's min id.
-      def cbandsOf(t: DataFrame): DataFrame = t
-        .select(col("u"), col("code"),
-          explode(codeBands(col("code"), 4, 4)).as("bb"))
-        .select(col("u"), col("code"), col("bb.band").as("band"),
-          col("bb.bv").as("bv"))
-      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-        val sp = batch.sparkSession
-        val sig = sigOf(batch).persist()
-        val bcls = sig.filter(col("code").isNotNull)
-          .groupBy(col("u"), col("code"))
-          .agg(min(col("vec_id")).as("mn")).persist()
-        try {
-          val prevSig = engine.stream.AppendTable.read(sp, store, storeSchema)
-          val scls = prevSig.filter(col("code").isNotNull)
-            .select(col("u"), col("code")).distinct()
-          // batch × store: EXISTS any verified store partner — flags
-          // the whole batch class (no per-band dedup needed for EXISTS)
-          val hitStore = cbandsOf(bcls).as("n")
-            .join(cbandsOf(scls).as("o"),
-              col("n.band") === col("o.band") && col("n.bv") === col("o.bv"))
-            .filter(dot(col("n.u"), col("o.u")) >= 0.45)
-            .select(col("n.u").as("u"), col("n.code").as("code"))
-            .distinct().withColumn("hs", lit(true))
-          // batch × batch, BOTH directions and self included: the min
-          // member id over verified partner classes bounds which of a
-          // class's own members survive
-          val pb = bcls
-            .select(col("u").as("pu"), col("mn").as("pmn"),
-              explode(codeBands(col("code"), 4, 4)).as("bb"))
-            .select(col("pu"), col("pmn"),
-              col("bb.band").as("band"), col("bb.bv").as("bv"))
-          val mB = cbandsOf(bcls)
-            .join(pb, Seq("band", "bv"))
-            .filter(dot(col("u"), col("pu")) >= 0.45)
-            .groupBy(col("u"), col("code"))
-            .agg(min(col("pmn")).as("mb"))
-          val verdictOf = sig
-            .join(hitStore, Seq("u", "code"), "left")
-            .join(mB, Seq("u", "code"), "left")
-            .withColumn("kept",
-              !(coalesce(col("hs"), lit(false)) ||
-                (col("mb").isNotNull && col("vec_id") > col("mb"))))
-            .select((storeSchema.fieldNames.dropRight(1).map(col) :+
-              col("kept")): _*)
-          engine.stream.AppendTable.append(verdictOf, store, batchId)
-        } finally { sig.unpersist(); bcls.unpersist(); () }
-      }
+      val storeSchema = srpStoreSchema(src0.limit(0))
+      val mergeBatch: (DataFrame, Long) => Unit =
+        srpMergeBatch(store, storeSchema)
       // single-trigger default for the static-corpus replay; LlmSpec
       // pins the 11-files = 3-batch split (r12 verdict item 5)
       val mft = s.conf.get("spark.graft.embIncr.mft", "32").toInt

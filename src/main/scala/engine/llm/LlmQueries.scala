@@ -1034,22 +1034,23 @@ object LlmQueries {
     * `u IS NOT NULL` filter mirrors srpCode's NULL-vector guard (NULL
     * code ⇒ excluded from banding); without it the SQL CASE would fold a
     * NULL vector to code 0 and admit it as a candidate. */
-  private[llm] def srpSqlCtesFor(nBands: Int, w: Int): String = s""",
-      planes AS (
+  private[llm] def srpSqlCtesFor(nBands: Int, w: Int,
+      pfx: String = ""): String = s""",
+      ${pfx}planes AS (
         SELECT j, list(CASE WHEN ('0x' || substr(
                  md5(j::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
                THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
         FROM generate_series(0, 15) s(j)
         CROSS JOIN generate_series(0, 63) t(d) GROUP BY j),
-      codes AS (
+      ${pfx}codes AS (
         SELECT vec_id,
           sum(CASE WHEN list_sum(list_transform(list_zip(u, pl),
                 p -> p[1] * p[2])) >= 0
               THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS code
-        FROM e CROSS JOIN planes WHERE u IS NOT NULL GROUP BY vec_id),
-      bands AS (
+        FROM e CROSS JOIN ${pfx}planes WHERE u IS NOT NULL GROUP BY vec_id),
+      ${pfx}bands AS (
         SELECT vec_id, j AS band, (code >> (j * $w)) & ${(1 << w) - 1} AS bv
-        FROM codes CROSS JOIN generate_series(0, ${nBands - 1}) g(j))"""
+        FROM ${pfx}codes CROSS JOIN generate_series(0, ${nBands - 1}) g(j))"""
 
   private[llm] val srpSqlCtes = srpSqlCtesFor(4, 4)
 

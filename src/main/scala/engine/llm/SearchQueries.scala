@@ -820,6 +820,69 @@ object SearchQueries {
     }
   }
 
+  // ----------------------------------- shared online screen stages (B54/B56)
+  /** Stage-1 EXACT screen of the online pipelines (the
+    * dedup_exact_incremental merge): append digest verdicts to the
+    * store, return the batch rows that passed. Shared by
+    * [[pipelineOnline]] and [[pipelineOnlineHybrid]] so the two
+    * capstones' screens can never diverge. */
+  private def exactScreenBatch(dgStore: java.io.File,
+      dgSchema: org.apache.spark.sql.types.StructType,
+      dgOf: DataFrame => DataFrame)(b: DataFrame, batchId: Long)
+      : DataFrame = {
+    val sp = b.sparkSession
+    val wMin = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+    val seen = engine.stream.AppendTable.read(sp, dgStore, dgSchema)
+      .select(col("dg")).distinct()
+    val v1 = dgOf(b)
+      .withColumn("rn", row_number().over(wMin))
+      .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
+      .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+      .select(col("doc_id"), col("dg"), col("kept"))
+    engine.stream.AppendTable.append(v1, dgStore, batchId)
+    b.join(v1.filter(col("kept")).select(col("doc_id")),
+      Seq("doc_id"), "leftsemi")
+  }
+
+  /** Stage-2 MINHASH screen (the dedup_incremental merge, fed stage-1
+    * output): signatures of the exact survivors band-join the store and
+    * the batch itself; est ≥ 0.5 against any earlier doc drops the
+    * newer one; all signatures append with verdicts. The caller reads
+    * the store back for this batch's kept ids (materialized by the
+    * append — no recompute). */
+  private def minhashScreenBatch(sigStore: java.io.File,
+      sigSchema: org.apache.spark.sql.types.StructType)
+      (exactKept: DataFrame, batchId: Long): Unit = {
+    val sp = exactKept.sparkSession
+    val sig = LlmQueries.minhashSignatures(exactKept, spread = false)
+      .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
+    try {
+      def bandsOf(t: DataFrame) = t.select(col("doc_id"),
+        posexplode(col("bks")).as(Seq("j", "bk")))
+      val bands = bandsOf(sig)
+      val prevSig = engine.stream.AppendTable.read(sp, sigStore, sigSchema)
+      val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
+          col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
+            col("o.doc_id") < col("n.doc_id"))
+        .select(col("o.doc_id").as("da"), col("n.doc_id").as("db"))
+      val candBatch = bands.as("a").join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val sigOnly = (t: DataFrame) => t.select(col("doc_id"), col("g"))
+      val dropped = candStore.unionByName(candBatch)
+        .join(sigOnly(prevSig).unionByName(sigOnly(sig))
+          .toDF("da", "ga"), "da")
+        .join(sigOnly(sig).toDF("db", "gb"), "db")
+        .filter(LlmQueries.estJaccard(col("ga"), col("gb")) >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      engine.stream.AppendTable.append(
+        sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"), "left")
+          .withColumn("kept", col("_d").isNull).drop("_d"),
+        sigStore, batchId)
+    } finally { sig.unpersist(); () }
+  }
+
   // ---------------------------------------------------- B54 pipeline_online
   /** CAPSTONE №3 — the ONLINE composition the two batch capstones leave
     * open (r12 verdict item 2): one trigger-sequenced run wiring the
@@ -879,49 +942,10 @@ object SearchQueries {
         val sp = batch.sparkSession
         val b = batch.persist()
         try {
-          // 1. exact screen (the dedup_exact_incremental merge)
-          val wMin = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-          val seen = engine.stream.AppendTable.read(sp, dgStore, dgSchema)
-            .select(col("dg")).distinct()
-          val v1 = dgOf(b)
-            .withColumn("rn", row_number().over(wMin))
-            .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
-            .withColumn("kept", col("rn") === 1 && col("_s").isNull)
-            .select(col("doc_id"), col("dg"), col("kept"))
-          engine.stream.AppendTable.append(v1, dgStore, batchId)
-          val exactKept = b.join(v1.filter(col("kept")).select(col("doc_id")),
-            Seq("doc_id"), "leftsemi")
-          // 2. minhash screen on the exact survivors (the
-          // dedup_incremental merge, fed stage-1 output)
-          val sig = LlmQueries.minhashSignatures(exactKept, spread = false)
-            .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
-          try {
-            def bandsOf(t: DataFrame) = t.select(col("doc_id"),
-              posexplode(col("bks")).as(Seq("j", "bk")))
-            val bands = bandsOf(sig)
-            val prevSig = engine.stream.AppendTable.read(sp, sigStore,
-              sigSchema)
-            val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
-                col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
-                  col("o.doc_id") < col("n.doc_id"))
-              .select(col("o.doc_id").as("da"), col("n.doc_id").as("db"))
-            val candBatch = bands.as("a").join(bands.as("b"),
-                col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
-                  col("a.doc_id") < col("b.doc_id"))
-              .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-            val sigOnly = (t: DataFrame) => t.select(col("doc_id"), col("g"))
-            val dropped = candStore.unionByName(candBatch)
-              .join(sigOnly(prevSig).unionByName(sigOnly(sig))
-                .toDF("da", "ga"), "da")
-              .join(sigOnly(sig).toDF("db", "gb"), "db")
-              .filter(LlmQueries.estJaccard(col("ga"), col("gb")) >= 0.5)
-              .select(col("db").as("doc_id")).distinct()
-            engine.stream.AppendTable.append(
-              sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"),
-                  "left")
-                .withColumn("kept", col("_d").isNull).drop("_d"),
-              sigStore, batchId)
-          } finally { sig.unpersist(); () }
+          // 1-2. exact + minhash screens (the shared stage helpers)
+          val exactKept =
+            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
+          minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId)
           // 3. SEGMENTED index maintenance ([[commitIndexSegment]]):
           // this batch's survivors become ONE immutable segment
           // (postings + df delta + stats counters) and the new version
@@ -1009,6 +1033,287 @@ object SearchQueries {
       SELECT * FROM f3 UNION ALL SELECT * FROM f4 UNION ALL
       SELECT * FROM f5 UNION ALL SELECT * FROM f6 ORDER BY stage"""))
 
+  // -------------------------------------------- B56 pipeline_online_hybrid
+  /** CAPSTONE №4 — [[pipelineOnline]] with the VECTOR modality wired in
+    * (r13 verdict item 2): the lexical capstone proved
+    * ingest-while-serving for BM25 only; a production corpus service
+    * also screens embeddings and serves HYBRID retrieval. Per trigger
+    * over the ordered document stream:
+    *
+    *  1-2. exact + minhash screens — the SAME [[exactScreenBatch]] /
+    *       [[minhashScreenBatch]] merges pipeline_online runs;
+    *  3.   VECTOR screen — the near-kept survivors' embeddings run the
+    *       SRP signature-store merge
+    *       ([[IncrementalDedup.srpMergeBatch]], the
+    *       dedup_embedding_incremental engine): band-join the store +
+    *       the batch, exact cosine ≥ 0.45 against any smaller id drops
+    *       the newer document; docs WITHOUT an embedding pass untouched
+    *       (at sf0.1 the corpus has 2.5× more docs than vectors);
+    *  4.   index maintenance, BOTH modalities O(batch): the BM25
+    *       posting segment over the final survivors
+    *       ([[commitIndexSegment]]) + the IVF posting append —
+    *       surviving vectors assigned to the OFFLINE-trained spherical
+    *       codebook (broadcast argmax, map-side; a serving stack trains
+    *       its coarse quantizer offline and assigns online), appended
+    *       cell-clustered to the vector posting store;
+    *  5.   SERVE — hybrid RRF (k=60) for the id < 5 queries:
+    *       the lexical arm from the merged segment index via the shared
+    *       [[bm25Rank]], the vector arm an IVF probe (nprobe 4 of 16
+    *       cells) over the vector posting store, top-10 each,
+    *       reciprocal-rank fused top-10 — search_hybrid_rrf's fusion
+    *       run against the ONLINE stores instead of batch frames.
+    *
+    * Output: the funnel with both modalities' stage counts plus an
+    * exact integer content checksum of the fused answers
+    * (Σ qid·1000003 + cid·31 + rank — order-free, pins the (qid, cid,
+    * rank) multiset; the pipeline_online ms-sum discipline without
+    * assuming RRF doubles sum associatively). Ordered admission keeps
+    * every stage decomposition-invariant; SearchSpec pins the 3-batch
+    * split ≡ the single-trigger replay and the store/index contents
+    * against the batch operators. */
+  private val pipelineOnlineHybrid = Q(
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dgStore = new java.io.File(s"/tmp/graft_onlineh_dg_$san")
+      val sigStore = new java.io.File(s"/tmp/graft_onlineh_sig_$san")
+      val vecStore = new java.io.File(s"/tmp/graft_onlineh_vec_$san")
+      val vpostStore = new java.io.File(s"/tmp/graft_onlineh_vpost_$san")
+      val idxRoot = new java.io.File(s"/tmp/graft_onlineh_idx_$san")
+      Seq(dgStore, sigStore, vecStore, vpostStore)
+        .foreach(engine.stream.AppendTable.destroy)
+      engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      def dgOf(batch: DataFrame): DataFrame = batch.select(col("doc_id"),
+        coalesce(md5(lower(trim(col("text")))), lit("<null-text>")).as("dg"))
+      val dgSchema = dgOf(corpus.limit(0)).schema
+        .add("kept", "boolean", nullable = false)
+      val sigSchema = LlmQueries
+        .minhashSignatures(corpus.limit(0), spread = false)
+        .withColumn("bks", LlmQueries.bandKeys(col("g"))).schema
+        .add("kept", "boolean", nullable = false)
+      val embAll = engine.Core.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val vecSchema = IncrementalDedup.srpStoreSchema(embAll.limit(0))
+      // the OFFLINE codebook artifact (trainedSphericalCells' memo,
+      // shared with the whole IVF/cluster family)
+      val cents = LlmQueries.trainedSphericalCells(s, d,
+        LlmQueries.unitCorpus(s, d)).toDF("cent_id", "cu")
+      def assignCells(vk: DataFrame): DataFrame = vk
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u"))
+      val vpostSchema = assignCells(
+        engine.stream.AppendTable.read(s, vecStore, vecSchema)).schema
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val b = batch.persist()
+        try {
+          // 1-2. the shared lexical screens
+          val exactKept =
+            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
+          minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId)
+          val nearKeptB = engine.stream.AppendTable
+            .read(sp, sigStore, sigSchema)
+            .filter(col("kept")).select(col("doc_id"))
+            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          // 3. vector screen on the near-kept survivors' embeddings
+          // (doc_id ↔ vec_id row pairing; in a real ingest the vector
+          // rides the stream — fetching by the batch's ids is the same
+          // batch-bounded read)
+          val embB = embAll.join(
+            nearKeptB.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "leftsemi")
+          IncrementalDedup.srpMergeBatch(vecStore, vecSchema)(embB, batchId)
+          val vecDroppedB = engine.stream.AppendTable
+            .read(sp, vecStore, vecSchema)
+            .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          val keptB = nearKeptB.join(vecDroppedB, Seq("doc_id"), "left_anti")
+          // 4a. BM25 posting segment over the final survivors (O(batch))
+          commitIndexSegment(sp, idxRoot, batchId,
+            b.join(keptB, Seq("doc_id"), "leftsemi"))
+          // 4b. IVF posting append: this batch's surviving vectors,
+          // broadcast-codebook argmax cells, cell-clustered at rest so
+          // a probe's cell filter prunes row groups
+          val vk = engine.stream.AppendTable.read(sp, vecStore, vecSchema)
+            .filter(col("kept") && col("u").isNotNull)
+            .join(b.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "leftsemi")
+          engine.stream.AppendTable.append(
+            assignCells(vk)
+              .repartitionByRange(1, col("cent_id"))
+              .sortWithinPartitions(col("cent_id")),
+            vpostStore, batchId)
+        } finally { b.unpersist(); () }
+      }
+      // 2 "nightly batches" by default, as pipeline_online — the
+      // multi-trigger composition is the subject; SearchSpec pins the
+      // 3-batch split
+      val mft = s.conf.get("spark.graft.onlineh.mft", "16").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, corpus,
+        s"onlineh_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm")
+        .isDirectory) "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_onlineh_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally {
+        s.conf.set(shufKey, shufPrev)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+      }
+      // 5. SERVE hybrid RRF from the online stores
+      val (iPosts, iDfs, iGlob) = readSegIndex(s, idxRoot)
+      val qt = iPosts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"))
+      val qdf = iDfs.join(qt.select(col("term")).distinct(), "term")
+      val lex = bm25Rank(iPosts, qt, qdf, iGlob)
+        .select(col("qid"), col("cid"), col("rank").as("lr"))
+      val vq = LlmQueries.unitCorpus(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cd").desc, col("cent_id"))
+      val qprobe = vq.join(broadcast(cents))
+        .select(col("qid"), col("cent_id"),
+          dot(col("qu"), col("cu")).as("cd"))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 4)
+        .select(col("qid"), col("cent_id"))
+      val vposts = engine.stream.AppendTable.read(s, vpostStore, vpostSchema)
+      val vec = vposts.join(broadcast(qprobe), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(vq), Seq("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("vr") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("vr"))
+      val fused = lex.join(vec, Seq("qid", "cid"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("cid"))))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("rank"))
+      val kept1 = engine.stream.AppendTable.read(s, dgStore, dgSchema)
+        .filter(col("kept"))
+      val kept2 = engine.stream.AppendTable.read(s, sigStore, sigSchema)
+        .filter(col("kept"))
+      val vecDropped = engine.stream.AppendTable.read(s, vecStore, vecSchema)
+        .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+      val kept3 = kept2.select(col("doc_id"))
+        .join(vecDropped, Seq("doc_id"), "left_anti")
+      def funnel(stage: String, v: Column, src0: DataFrame): DataFrame =
+        src0.agg(coalesce(v, lit(0L)).as("n"))
+          .select(lit(stage).as("stage"), col("n").cast("long").as("n"))
+      val chk = col("qid") * lit(1000003L) + col("cid") * lit(31L) +
+        col("rank")
+      funnel("1_ingested", count(lit(1)), corpus)
+        .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
+        .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
+        .unionByName(funnel("4_vec_kept", count(lit(1)), kept3))
+        .unionByName(funnel("5_bm25_postings", count(lit(1)), iPosts))
+        .unionByName(funnel("6_vec_postings", count(lit(1)), vposts))
+        .unionByName(funnel("7_hybrid_answers", count(lit(1)), fused))
+        .unionByName(funnel("8_hybrid_chk", sum(chk), fused))
+        .orderBy("stage")
+    },
+    Some(LlmQueries.shingleSql + LlmQueries.minhashSqlCtes + s""",
+      hok AS (SELECT doc_id FROM documents
+              QUALIFY row_number() OVER (
+                PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1),
+      hnd AS (SELECT DISTINCT e.db FROM est e
+              JOIN hok a ON a.doc_id = e.da
+              JOIN hok b ON b.doc_id = e.db
+              WHERE e.e >= 0.5),
+      hsv AS (SELECT doc_id FROM hok
+              WHERE doc_id NOT IN (SELECT db FROM hnd)),""" +
+      LlmQueries.coarseChainSql.trim.stripPrefix("WITH") +
+      LlmQueries.srpSqlCtesFor(4, 4, "h") + s""",
+      hvc AS (SELECT DISTINCT x.vec_id ai, y.vec_id bi
+              FROM hbands x JOIN hbands y
+                ON x.band = y.band AND x.bv = y.bv
+                  AND x.vec_id < y.vec_id
+              JOIN hsv pa ON pa.doc_id = x.vec_id
+              JOIN hsv pb ON pb.doc_id = y.vec_id),
+      hvd AS (SELECT DISTINCT c.bi FROM hvc c
+              JOIN eu a ON a.vec_id = c.ai
+              JOIN eu b ON b.vec_id = c.bi
+              WHERE list_sum(list_transform(list_zip(a.u, b.u),
+                p -> p[1] * p[2])) >= 0.45),
+      hfs AS (SELECT doc_id FROM hsv
+              WHERE doc_id NOT IN (SELECT bi FROM hvd)),
+      sdocs AS (SELECT d.doc_id, d.text FROM documents d
+                JOIN hfs USING (doc_id))""" +
+      bm25SqlCtes("doc_id < 5", "sdocs") + s""",
+      hvpx AS (SELECT eu.vec_id, c.cent_id,
+                list_sum(list_transform(list_zip(eu.u, c.cu),
+                  p -> p[1] * p[2])) AS cd
+               FROM eu JOIN hfs ON hfs.doc_id = eu.vec_id
+               CROSS JOIN c2 c),
+      hvp AS (SELECT vec_id, cent_id FROM hvpx
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cd DESC, cent_id) = 1),
+      hqpx AS (SELECT eu.vec_id AS qid, c.cent_id,
+                list_sum(list_transform(list_zip(eu.u, c.cu),
+                  p -> p[1] * p[2])) AS cd
+               FROM eu CROSS JOIN c2 c WHERE eu.vec_id < 5),
+      hqp AS (SELECT qid, cent_id FROM hqpx
+              QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY cd DESC, cent_id) <= 4),
+      hcand AS (SELECT q.qid, p.vec_id AS cid
+                FROM hvp p JOIN hqp q USING (cent_id)
+                WHERE p.vec_id <> q.qid),
+      hsc AS (SELECT hcand.qid, hcand.cid,
+               list_sum(list_transform(list_zip(a.u, b.u),
+                 p -> p[1] * p[2])) AS cos
+              FROM hcand JOIN eu a ON a.vec_id = hcand.qid
+                         JOIN eu b ON b.vec_id = hcand.cid),
+      hvtop AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) vr
+                FROM hsc QUALIFY vr <= $Bm25TopK),
+      hfused AS (SELECT coalesce(l.qid, v.qid) qid,
+                   coalesce(l.cid, v.cid) cid,
+                   coalesce(1.0::DOUBLE / (60 + l.rank), 0.0::DOUBLE) +
+                   coalesce(1.0::DOUBLE / (60 + v.vr), 0.0::DOUBLE) rrf
+                 FROM ltop l FULL OUTER JOIN hvtop v
+                   ON l.qid = v.qid AND l.cid = v.cid),
+      hans AS (SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf DESC, cid) rank
+               FROM hfused QUALIFY rank <= $Bm25TopK),
+      g1 AS (SELECT '1_ingested' stage, count(*)::BIGINT n FROM documents),
+      g2 AS (SELECT '2_exact_kept', count(*)::BIGINT FROM hok),
+      g3 AS (SELECT '3_near_kept', count(*)::BIGINT FROM hsv),
+      g4 AS (SELECT '4_vec_kept', count(*)::BIGINT FROM hfs),
+      g5 AS (SELECT '5_bm25_postings', count(*)::BIGINT FROM bposts),
+      g6 AS (SELECT '6_vec_postings', count(*)::BIGINT FROM hvp),
+      g7 AS (SELECT '7_hybrid_answers', count(*)::BIGINT FROM hans),
+      g8 AS (SELECT '8_hybrid_chk',
+               coalesce(sum(qid * 1000003 + cid * 31 + rank), 0)::BIGINT
+             FROM hans)
+      SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL
+      SELECT * FROM g3 UNION ALL SELECT * FROM g4 UNION ALL
+      SELECT * FROM g5 UNION ALL SELECT * FROM g6 UNION ALL
+      SELECT * FROM g7 UNION ALL SELECT * FROM g8 ORDER BY stage"""))
+
   val queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
@@ -1019,5 +1324,6 @@ object SearchQueries {
     "pipeline_online" -> pipelineOnline,
     "stream_bm25_probe" -> streamBm25Probe,
     "cluster_topics" -> clusterTopics,
-    "dedup_semantic" -> dedupSemantic)
+    "dedup_semantic" -> dedupSemantic,
+    "pipeline_online_hybrid" -> pipelineOnlineHybrid)
 }

@@ -179,8 +179,9 @@ object ScaleProbe {
     // r13 additions: the online ingest→dedup-stores→index→serve
     // capstone and the SemDeDup cluster-blocked embedding screen
     "pipeline_online", "dedup_semantic",
-    // r14 addition: the AppendTable store fold
-    "maintenance_store_compact")
+    // r14 additions: the AppendTable store fold + the hybrid online
+    // capstone
+    "maintenance_store_compact", "pipeline_online_hybrid")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

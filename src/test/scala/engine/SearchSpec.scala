@@ -290,6 +290,98 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(multi == single)
   }
 
+  test("pipeline_online_hybrid: stores equal the batch replays, the " +
+      "served indexes cover exactly the survivors, and any split agrees") {
+    import org.apache.spark.sql.types._
+    def run(): Seq[Seq[Any]] =
+      SearchQueries.queries("pipeline_online_hybrid").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.onlineh.mft", "11") // 3 ingest batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.onlineh.mft")
+    val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    // lexical stores: same merges as pipeline_online — dg kept ==
+    // dedup_exact, sig kept == exact minus the minhash drops
+    val dgSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("dg", StringType), StructField("kept", BooleanType)))
+    val exactKept = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_onlineh_dg_$san"), dgSchema)
+      .filter(col("kept")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batchExact = llm.LlmQueries.queries("dedup_exact").fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == batchExact, "digest store diverged")
+    val sigSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("g", ArrayType(LongType)),
+      StructField("bks", ArrayType(StringType)),
+      StructField("kept", BooleanType)))
+    val nearKept = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_onlineh_sig_$san"), sigSchema)
+      .filter(col("kept")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val mhPairs = llm.LlmQueries.queries("dedup_minhash").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => batchExact(a) && batchExact(b) }
+    assert(nearKept == batchExact -- mhPairs.map(_._2).toSet,
+      "signature store diverged from the batch minhash screen")
+    // vector store: kept == an independent single-shot banded recompute
+    // over the near-kept survivors' embeddings (band-collide + exact
+    // cos >= 0.45, higher id dropped — the dedup_embedding_incremental
+    // semantics applied to this pipeline's participant set)
+    val emb = Core.t(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(nearKept.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+    val sig = llm.IncrementalDedup.srpSigOf(emb)
+      .filter(col("code").isNotNull)
+    val bands = sig.select(col("vec_id"), col("u"),
+        explode(llm.VectorFunctions.codeBands(col("code"), 4, 4)).as("bb"))
+      .select(col("vec_id"), col("u"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val expDropped = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(llm.VectorFunctions.dot(col("x.u"), col("y.u")) >= 0.45)
+      .select(col("y.vec_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val vecSchema = llm.IncrementalDedup.srpStoreSchema(emb.limit(0))
+    val vecRows = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_onlineh_vec_$san"), vecSchema)
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val participants = emb.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(vecRows.keySet == participants,
+      "vector store must archive every near-kept survivor's signature")
+    assert(vecRows.filter(_._2).keySet == participants -- expDropped,
+      "vector verdicts diverged from the single-shot banded recompute")
+    val survivors = nearKept -- expDropped
+    // both serving indexes cover exactly the final survivors: the BM25
+    // segment union's doc set, and the vector posting store's vec set
+    // (survivors that have an embedding)
+    val idxRoot = new java.io.File(s"/tmp/graft_onlineh_idx_$san")
+    assert(Option(new java.io.File(idxRoot, "segments").listFiles())
+      .toSeq.flatten.count(_.isDirectory) == 3,
+      "3-trigger ingest must commit exactly 3 BM25 segments")
+    val (iPosts, _, _) = llm.SearchQueries.readSegIndex(spark, idxRoot)
+    assert(iPosts.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == survivors,
+      "BM25 index does not cover exactly the survivors")
+    val vpostSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cent_id", LongType),
+      StructField("u", ArrayType(DoubleType))))
+    val vposts = engine.stream.AppendTable.read(spark,
+        new java.io.File(s"/tmp/graft_onlineh_vpost_$san"), vpostSchema)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vposts == participants -- expDropped,
+      "vector index does not cover exactly the surviving vectors")
+    // decomposition: the single-trigger replay lands on the same funnel
+    spark.conf.set("spark.graft.onlineh.mft", "32")
+    val single = try run()
+      finally spark.conf.unset("spark.graft.onlineh.mft")
+    assert(multi == single)
+    assert(multi.nonEmpty)
+  }
+
   test("dedup_semantic: verdicts match a brute recompute within clusters " +
       "and drops are a subset of the exact all-pairs screen") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
