@@ -580,7 +580,18 @@ object SearchQueries {
       // this data — splitting finer can't fix 16-cell-per-subspace
       // quantization noise, more centroids can). Recall@5 measured at
       // sf0.01: ann 0.40 → 0.96 (8×2), ivf 0.56 → 0.80 (nprobe 8),
-      // pq_adc 0.16 → 0.40 (K=256), matryoshka 0.92. CEILING: the
+      // pq_adc 0.16 → 0.40 (K=256), matryoshka 0.92. The r14
+      // residual-encoded IVF-PQ points (FAISS by_residual=true, its
+      // IndexIVFPQ default): ivfpq raw 0.16 (= pq_adc — the nprobe-4
+      // cell restriction costs nothing beyond K=16 quantization noise
+      // here), pq_res 0.08, pq_res256 0.24 — residual encoding HALVES
+      // recall at K=16 and stays below raw at K=256 (0.24 vs 0.40),
+      // because on isotropic vectors the coarse centroids explain ~no
+      // variance: the residual is the raw vector minus a near-random
+      // direction, which breaks the subspace structure the raw encode
+      // had. On clustered real-corpus embeddings the sign flips (the
+      // published FAISS default exists for that regime); measuring the
+      // regime-dependence in-engine is this report's purpose. CEILING: the
       // vectors are ISOTROPIC synthetic (TESTDATA.md) — neighbors
       // barely concentrate, so the cheap rungs are structurally bounded
       // below 1 (PQ hardest: quantization error ≈ full variance on
@@ -593,7 +604,10 @@ object SearchQueries {
         "ivf_np8" -> LlmQueries.ivfTopK(s, d, 8),
         "matryoshka" -> simSearchMatryoshka.fn(s, d),
         "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d),
-        "pq_k256" -> CurateQueries.pqAdcTopKFor(s, d, 4, 16, 256))
+        "pq_k256" -> CurateQueries.pqAdcTopKFor(s, d, 4, 16, 256),
+        "ivfpq" -> CurateQueries.queries("sim_search_ivfpq_indexed").fn(s, d),
+        "pq_res" -> CurateQueries.ivfPqResidualTopK(s, d),
+        "pq_res256" -> CurateQueries.ivfPqResidualTopK(s, d, 4, 16, 256))
       val hits = rungs.map { case (m, f) =>
           f.select(lit(m).as("method"), col("qid"), col("cid")) }
         .reduce(_ unionAll _)
@@ -623,20 +637,27 @@ object SearchQueries {
         arm3 AS (${nest(simSearchMatryoshka)}),
         arm4 AS (${nest(LlmQueries.queries("sim_search_pq_adc"))}),
         arm4b AS (${CurateQueries.pqAdcOracleSqlFor(4, 16, 256)}),
+        armI AS (${nest(CurateQueries.queries("sim_search_ivfpq_indexed"))}),
+        arm5 AS (${CurateQueries.pqResidualOracleSql()}),
+        arm5b AS (${CurateQueries.pqResidualOracleSql(4, 16, 256)}),
         arsel AS (SELECT 'ann' AS method, qid, cid FROM arm1
           UNION ALL SELECT 'ann_b8x2', qid, cid FROM arm1b
           UNION ALL SELECT 'ivf', qid, cid FROM arm2
           UNION ALL SELECT 'ivf_np8', qid, cid FROM arm2b
           UNION ALL SELECT 'matryoshka', qid, cid FROM arm3
           UNION ALL SELECT 'pq_adc', qid, cid FROM arm4
-          UNION ALL SELECT 'pq_k256', qid, cid FROM arm4b),
+          UNION ALL SELECT 'pq_k256', qid, cid FROM arm4b
+          UNION ALL SELECT 'ivfpq', qid, cid FROM armI
+          UNION ALL SELECT 'pq_res', qid, cid FROM arm5
+          UNION ALL SELECT 'pq_res256', qid, cid FROM arm5b),
         arhits AS (SELECT s.method, s.qid, count(b.cid) h
                    FROM arsel s LEFT JOIN arb b
                      ON b.qid = s.qid AND b.cid = s.cid
                    GROUP BY 1, 2),
         argrid AS (SELECT m.method, q.qid
                    FROM (SELECT unnest(['ann', 'ann_b8x2', 'ivf',
-                     'ivf_np8', 'matryoshka', 'pq_adc', 'pq_k256'])
+                     'ivf_np8', 'ivfpq', 'matryoshka', 'pq_adc',
+                     'pq_k256', 'pq_res', 'pq_res256'])
                      AS method) m
                    CROSS JOIN (SELECT DISTINCT qid FROM arb) q)
       SELECT g.method, g.qid, coalesce(h.h, 0)::BIGINT AS hits,

@@ -165,8 +165,8 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.map(_._1).toSet ==
-      Set("ann", "ann_b8x2", "ivf", "ivf_np8", "matryoshka", "pq_adc",
-        "pq_k256"))
+      Set("ann", "ann_b8x2", "ivf", "ivf_np8", "ivfpq", "matryoshka",
+        "pq_adc", "pq_k256", "pq_res", "pq_res256"))
     val nq = engine.llm.LlmQueries.queries("sim_search_topk").fn(spark, sf)
       .select(col("qid")).distinct().count()
     rows.groupBy(_._1).values.foreach(g =>
