@@ -43,6 +43,6 @@ object SparkEntry {
     * cache states (r11: a 20× phantom growth from exactly this skew). */
   def benchOrderKey(name: String): (Int, String) =
     (if (name.startsWith("stream_") || name == "dedup_incremental" ||
-       name == "pipeline_online") 0
+       name == "pipeline_online" || name == "pipeline_online_hybrid") 0
      else 1, name)
 }
