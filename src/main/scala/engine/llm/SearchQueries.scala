@@ -841,6 +841,106 @@ object SearchQueries {
     }
   }
 
+  // --------------------------------- B57 index segment-merge maintenance
+  /** MAINTENANCE: fold the segmented BM25 index's live segments into ONE
+    * merged segment under a fresh manifest version — the Lucene
+    * segment-merge / lakehouse-OPTIMIZE half of the segmented layout
+    * ([[commitIndexSegment]] keeps ingest commits O(batch); THIS keeps
+    * the segment count bounded over a long ingest, off the ingest
+    * path). The folded segment's df/stats are re-derived from its own
+    * written postings (the per-segment-delta discipline), which equals
+    * the merged deltas exactly — term counts over the union ≡ Σ
+    * disjoint-segment counts — so serving is bit-identical before and
+    * after. Postings rewrite range-clustered on (term, doc_id): a
+    * probe's query-term restriction then prunes row groups by min/max
+    * term stats.
+    *
+    * Single-writer contract, like [[engine.stream.AppendTable
+    * .compact]]: must not run concurrently with an ingest, and the
+    * folded segment name (`seg-c<n>`) sits outside the batch-id
+    * namespace so a later trigger id can never collide. The manifest
+    * version id advances past the current one; a crash mid-fold leaves
+    * the unreferenced half-written segment for the next fold's
+    * overwrite, and the old manifest keeps serving. */
+  private[engine] def compactIndexSegments(s: SparkSession,
+      idxRoot: java.io.File): Unit = {
+    val segs = idxSegments(idxRoot)
+    if (segs.size <= 1) return
+    val gen = segs.filter(_.startsWith("seg-c"))
+      .map(_.stripPrefix("seg-c").toLong).maxOption.getOrElse(-1L) + 1
+    val folded = s"seg-c$gen"
+    val (posts, _, _) = readSegIndex(s, idxRoot)
+    val segDir = new java.io.File(idxRoot, s"segments/$folded")
+    val pDir = new java.io.File(segDir, "postings")
+    posts.repartitionByRange(1, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(pDir.getPath)
+    val segPosts = s.read.parquet(pDir.getPath)
+    segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segDir, "dfs").getPath)
+    segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segDir, "stats").getPath)
+    val vid = engine.stream.VersionedTable.currentDir(idxRoot)
+      .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
+    engine.stream.VersionedTable.commitDir(idxRoot, vid) { dir =>
+      dir.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "SEGMENTS").toPath, folded + "\n")
+    }
+    Option(new java.io.File(idxRoot, "segments").listFiles())
+      .foreach(_.filter(f => f.isDirectory && f.getName != folded)
+        .foreach { stale =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(stale)
+        })
+  }
+
+  /** B57: the index-maintenance operator exercising
+    * [[compactIndexSegments]] end-to-end with a losslessness oracle:
+    * build a 4-segment BM25 index over ordered doc_id ranges of the
+    * full corpus (the [[commitIndexSegment]] ingest shape, no dedup),
+    * fold to one segment, and serve the standard id < 5 BM25 top-10
+    * from the folded index — which must equal search_bm25's whole-corpus
+    * ranking EXACTLY (the df-delta merge and the counter-derived avgdl
+    * are the equalities under test), with the before/after segment
+    * counts riding every row (4 → 1). */
+  private val maintenanceIndexCompact = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val idxRoot = new java.io.File(s"/tmp/graft_idxcmp_$san")
+      engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      val maxId = corpus.agg(max(col("doc_id"))).head.getLong(0)
+      (0 until 4).foreach { i =>
+        val lo = (maxId + 1) * i / 4
+        val hi = (maxId + 1) * (i + 1) / 4
+        commitIndexSegment(s, idxRoot, i.toLong,
+          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi))
+      }
+      val segBefore = idxSegments(idxRoot).size
+      compactIndexSegments(s, idxRoot)
+      val segAfter = idxSegments(idxRoot).size
+      val (iPosts, iDfs, iGlob) = readSegIndex(s, idxRoot)
+      val qt = iPosts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"))
+      val qdf = iDfs.join(qt.select(col("term")).distinct(), "term")
+      bm25Rank(iPosts, qt, qdf, iGlob)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("ms") / lit(1e6)).as("score"),
+          lit(segBefore).cast("long").as("seg_before"),
+          lit(segAfter).cast("long").as("seg_after"))
+        .orderBy("qid", "rank")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s"""
+      SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score,
+        4::BIGINT AS seg_before, 1::BIGINT AS seg_after
+      FROM ltop ORDER BY qid, rank"""))
+
   // ----------------------------------- shared online screen stages (B54/B56)
   /** Stage-1 EXACT screen of the online pipelines (the
     * dedup_exact_incremental merge): append digest verdicts to the
@@ -1346,5 +1446,6 @@ object SearchQueries {
     "stream_bm25_probe" -> streamBm25Probe,
     "cluster_topics" -> clusterTopics,
     "dedup_semantic" -> dedupSemantic,
-    "pipeline_online_hybrid" -> pipelineOnlineHybrid)
+    "pipeline_online_hybrid" -> pipelineOnlineHybrid,
+    "maintenance_index_compact" -> maintenanceIndexCompact)
 }

@@ -181,7 +181,8 @@ object ScaleProbe {
     "pipeline_online", "dedup_semantic",
     // r14 additions: the AppendTable store fold + the hybrid online
     // capstone
-    "maintenance_store_compact", "pipeline_online_hybrid")
+    "maintenance_store_compact", "pipeline_online_hybrid",
+    "maintenance_index_compact")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

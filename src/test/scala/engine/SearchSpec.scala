@@ -382,6 +382,31 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(multi.nonEmpty)
   }
 
+  test("maintenance_index_compact: the folded index serves the batch " +
+      "ranking, one segment survives, and a re-fold is a no-op") {
+    val rows = SearchQueries.queries("maintenance_index_compact")
+      .fn(spark, sf)
+      .select(col("qid"), col("cid"), col("rank"), col("score"))
+      .collect().map(_.toSeq).toSeq
+    // post-fold serving == the batch search_bm25 ranking over the same
+    // corpus — the strongest losslessness statement available in-engine
+    // (df-delta merge and counter avgdl equal the single-table compute)
+    val batch = SearchQueries.queries("search_bm25").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(rows == batch, "folded-index serving diverged from batch BM25")
+    val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = new java.io.File(s"/tmp/graft_idxcmp_$san")
+    val segs = Option(new java.io.File(root, "segments").listFiles())
+      .toSeq.flatten.filter(_.isDirectory).map(_.getName)
+    assert(segs == Seq("seg-c0"),
+      s"expected exactly the folded segment, found $segs")
+    // single-segment index: a second fold must not commit anything
+    val cur = engine.stream.VersionedTable.currentDir(root).get
+    llm.SearchQueries.compactIndexSegments(spark, root)
+    assert(engine.stream.VersionedTable.currentDir(root).get == cur,
+      "re-fold of a single-segment index committed a new version")
+  }
+
   test("dedup_semantic: verdicts match a brute recompute within clusters " +
       "and drops are a subset of the exact all-pairs screen") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
