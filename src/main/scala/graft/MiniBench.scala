@@ -16,6 +16,13 @@ object MiniBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // builder-iteration conf injection: SPARK_GRAFT_CONF="k=v;k2=v2"
+    // applies runtime confs before the timed loop (e.g. the semdedup.k
+    // or *.mft knobs) — the full Bench never reads this
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     try SparkEntry.queries("agg_hash")(spark, sfDir).count()
     catch { case _: Throwable => }
     for (n <- names; i <- 1 to 2) {
