@@ -147,7 +147,7 @@ object IncrementalDedup {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8")
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("incr_minhash").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
@@ -261,7 +261,7 @@ object IncrementalDedup {
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
       try {
         s.conf.set(shufKey, "8") // batch-sized frames (the merge sizing)
-        src.writeStream.foreachBatch(screenBatch)
+        src.writeStream.queryName("incr_decon").foreachBatch(screenBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
@@ -426,7 +426,7 @@ object IncrementalDedup {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8")
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("incr_srp").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
@@ -520,7 +520,7 @@ object IncrementalDedup {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8")
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("incr_exact").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally { s.conf.set(shufKey, shufPrev); rm(ck) }

@@ -2225,7 +2225,7 @@ object LlmQueries {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.foreachBatch(serveBatch)
+        src.writeStream.queryName("ann_probe").foreachBatch(serveBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()

@@ -744,7 +744,7 @@ object SearchQueries {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.foreachBatch(serveBatch)
+        src.writeStream.queryName("bm25_probe").foreachBatch(serveBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
@@ -1102,7 +1102,7 @@ object SearchQueries {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("online_ingest").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally {
@@ -1290,7 +1290,7 @@ object SearchQueries {
       val shufPrev = s.conf.get(shufKey)
       try {
         s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("onlineh_ingest").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally {

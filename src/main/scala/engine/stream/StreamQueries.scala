@@ -493,7 +493,7 @@ object StreamQueries {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
       }
       try {
-        src.writeStream.foreachBatch(mergeBatch)
+        src.writeStream.queryName("upsert_fold").foreachBatch(mergeBatch)
           .option("checkpointLocation", ck.getPath)
           .trigger(Trigger.AvailableNow()).start().awaitTermination()
       } finally rmCk(ck)
