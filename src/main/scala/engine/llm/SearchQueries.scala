@@ -224,6 +224,162 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM ltop ORDER BY qid, rank"""))
 
+  // --------------------------------------------------- B53j search_phrase
+  /** Phrase window width (tokens). 2 is the testdata operating point:
+    * the driver corpus's ~30-word vocabulary makes longer literal
+    * phrases vanishingly rare (a leading 3-gram matches ≤ 2 docs at
+    * sf0.01, and two query docs match nothing), while leading bigrams
+    * match ~28 docs per query — the regime where positional RANKING is
+    * actually exercised. The width is semantic, not structural: any
+    * value ≥ 2 runs the same plan. */
+  private val PhraseW = 2
+
+  /** B53j: exact PHRASE retrieval — each query doc's LEADING
+    * [[PhraseW]]-token phrase searched against the corpus at phrase
+    * granularity, ranked by phrase term frequency (occurrence count).
+    * The positional query BM25's bag-of-terms scoring cannot express —
+    * "new york" as a unit, not `new AND york` — and the retrieval twin
+    * of dedup_spans: the identical stride-1 token-window hashing
+    * ([[TokenWindowHash]]), pointed at serving instead of dedup.
+    * Generalizes the reference's substring-match retrieval intent
+    * (GetNmeaData class.nmea.parser.php:369-371 hands back sentences
+    * matched by exact key) to corpus-scale positional text search.
+    *
+    * Shape at 100 TB: windows hash per doc inside the codegen'd
+    * expression (window TEXT never leaves the row — only 60-bit hashes
+    * explode); the query-phrase set (≤ |queries| rows) broadcasts, so
+    * the corpus posting stream filters map-side and the only
+    * aggregation exchange carries (qid, cid, count) match rows —
+    * bounded by phrase MATCHES, not by the corpus. A 100 TB corpus with
+    * selective phrases shuffles almost nothing. */
+  private val searchPhrase = Q(
+    (s, d) => {
+      val wh = docs(s, d).select(col("doc_id"),
+        posexplode(TokenWindowHash(tokens(col("text")),
+          PhraseW, 1, tail = false, 15)).as(Seq("p", "h")))
+      val qp = wh.filter(col("doc_id") < 5 && col("p") === 0)
+        .select(col("doc_id").as("qid"), col("h"))
+      wh.join(broadcast(qp), "h")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("ptf"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ptf").desc, col("doc_id"))))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("qid"), col("doc_id").as("cid"), col("rank"),
+          col("ptf"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+      pwin AS (SELECT doc_id,
+          unnest(CASE WHEN len(w) >= $PhraseW
+                 THEN generate_series(0, len(w) - $PhraseW) ELSE [0] END) AS p,
+          unnest(CASE WHEN len(w) >= $PhraseW
+                 THEN list_transform(generate_series(0, len(w) - $PhraseW),
+                   i -> array_to_string(w[i+1 : i+$PhraseW], ' '))
+                 ELSE [array_to_string(w, ' ')] END) AS win
+        FROM tok),
+      pwh AS (SELECT doc_id, p,
+               ('0x' || substr(md5(win), 1, 15))::BIGINT AS h FROM pwin),
+      pqp AS (SELECT doc_id qid, h FROM pwh WHERE doc_id < 5 AND p = 0),
+      pm AS (SELECT q.qid, w.doc_id cid, count(*) AS ptf
+             FROM pwh w JOIN pqp q ON w.h = q.h AND w.doc_id <> q.qid
+             GROUP BY 1, 2)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY ptf DESC, cid) AS rank,
+        ptf
+      FROM pm QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
+
+  // ------------------------------------------------------ B53k search_mlt
+  /** Query-doc terms an MLT query keeps (by tf·idf). */
+  private val MltM = 5
+
+  /** B53k: "more-like-this" retrieval — find documents similar to a
+    * given one by extracting its top-[[MltM]] terms by tf·idf and
+    * running THOSE as a BM25 query (the Lucene MoreLikeThis shape).
+    * Where search_bm25 scores ALL of a query doc's distinct terms, MLT
+    * selects the doc's most DISCRIMINATIVE terms first — at web scale
+    * the difference between a 5-term index probe and a 100-term one,
+    * and the operator behind every "related documents" panel.
+    *
+    * Term selection score = tf(q,t) · idf(t) (the Lucene MLT ranking),
+    * micronat-quantized BEFORE the rank so the selected term set is
+    * bit-identical in the oracle. Scoring then reuses [[bm25Rank]] —
+    * THE scoring join of the lexical family — so MLT can never diverge
+    * from search_bm25 semantics.
+    *
+    * Shape at 100 TB: term selection touches only the query docs'
+    * postings (≤ queries × doc-length rows) joined against the
+    * query-term df slice — all broadcast-sized; the corpus-scale
+    * work is the shared posting build (session-keyed, one shuffle,
+    * amortized across the lexical family) and the match-bounded
+    * scoring agg, identical to search_bm25's posture. */
+  private val searchMlt = Q(
+    (s, d) => {
+      val posts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val qposts = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      // df slice of the query docs' vocabulary — broadcastable by
+      // construction (≤ queries × doc length terms)
+      val qdf0 = dfs.join(broadcast(qposts.select(col("term")).distinct()),
+        "term")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val mqt = qposts.join(broadcast(qdf0), "term")
+        .crossJoin(broadcast(glob))
+        .select(col("qid"), col("term"),
+          round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
+        .withColumn("trank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ts").desc, col("term"))))
+        .filter(col("trank") <= MltM)
+        .select(col("qid"), col("term"))
+      val mdf = dfs.join(broadcast(mqt.select(col("term")).distinct()),
+        "term")
+      bm25Rank(posts, mqt, mdf, glob)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("ms") / lit(1e6)).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
+      mq0 AS (SELECT doc_id qid, term, tf FROM bpdl WHERE doc_id < 5),
+      msel AS (SELECT q.qid, q.term,
+                CAST(round(q.tf * ln(1.0 +
+                  ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                  (f.df::DOUBLE + 0.5)) * 1e6, 0) AS BIGINT) ts
+               FROM mq0 q JOIN bdfs f USING (term) CROSS JOIN bglob g),
+      mqt AS (SELECT qid, term,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ts DESC, term) trank
+              FROM msel QUALIFY trank <= $MltM),
+      msc AS (SELECT q.qid, p.doc_id cid,
+               CAST(round(
+                 ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.dl / g.avgdl))) * 1e6, 0)
+                 AS BIGINT) m
+              FROM bpdl p JOIN mqt q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN bdfs f ON f.term = p.term
+              CROSS JOIN bglob g),
+      magg AS (SELECT qid, cid, sum(m) ms FROM msc GROUP BY 1, 2),
+      mtop AS (SELECT qid, cid, ms,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ms DESC, cid) rank
+               FROM magg QUALIFY rank <= $Bm25TopK)
+      SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
+      FROM mtop ORDER BY qid, rank"""))
+
   // ----------------------------------------------- B53c search_hybrid_rrf
   /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (RRF, k=60): score(q,doc) = Σ_modality 1/(60 + rank_modality) over
@@ -473,6 +629,80 @@ object SearchQueries {
       SELECT s.vec_id, s.cent_id, (dd.vec_id IS NULL) AS kept
       FROM sda s LEFT JOIN sdd dd ON dd.vec_id = s.vec_id
       ORDER BY s.vec_id"""))
+
+  // ----------------------------------------------- B53l sim_knn_graph
+  /** Neighbors kept per vector in the kNN graph. */
+  private val KnnK = 3
+
+  /** B53l: cluster-blocked k-nearest-neighbor GRAPH build — for EVERY
+    * corpus vector, its top-[[KnnK]] cosine neighbors among the vectors
+    * sharing its coarse cell (the memoized spherical codebook every
+    * IVF/cluster consumer shares). The all-vectors generalization of
+    * sim_search_topk's 5-query serving path, and the primitive a modern
+    * curation stack builds ONCE and reads everywhere: SemDeDup-style
+    * pruning, density/outlier estimation, label propagation, kNN
+    * distillation — all start from this table. Extends the reference's
+    * "serve everything ingested" readout (GetNmeaData
+    * class.nmea.parser.php:369-371) from a keyed lookup to an
+    * all-pairs-structured derived table.
+    *
+    * Shape at 100 TB: identical to [[dedupSemantic]] — broadcast-
+    * codebook map-side argmax assignment (no corpus shuffle), ONE
+    * exchange on cent_id, within-cell self-join bounded by O(Σ cell²)
+    * with the cell count scaled ∝ corpus to hold ⟨cell⟩ constant (the
+    * SemDeDup recipe); the per-vector top-k is a rank inside the cell
+    * partition, never a global sort. Neighbors across cell boundaries
+    * are the clustering's blocking approximation — exactly IVF serving
+    * at nprobe=1, the published build-time trade (NN-Descent or
+    * multi-probe assignment are the refinement paths; the blocked
+    * exact-verify core is what they refine). */
+  private val simKnnGraph = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = LlmQueries.unitCorpus(s, d)
+      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+        .toDF("cent_id", "cu")
+      val asg = engine.ScratchCache.persist(
+        e.join(broadcast(cents))
+          .select(col("vec_id"), col("u"), col("cent_id"),
+            dot(col("u"), col("cu")).as("cd"))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+            first(col("u")).as("u"))
+          .repartition(col("cent_id")))
+      asg.as("a").join(asg.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          dot(col("a.u"), col("b.u")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nbr_id"))))
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("rank"), col("nbr_id"),
+          r4(col("cos")).as("cosine"))
+        .orderBy("vec_id", "rank")
+    },
+    Some(LlmQueries.coarseChainSql + s""",
+      gax AS (SELECT eu.vec_id, c.cent_id,
+               list_sum(list_transform(list_zip(eu.u, c.cu),
+                 p -> p[1] * p[2])) AS cd
+              FROM eu CROSS JOIN c2 c),
+      ga AS (SELECT vec_id, cent_id FROM gax
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+               ORDER BY cd DESC, cent_id) = 1),
+      gp AS (SELECT a.vec_id, b.vec_id nbr_id,
+               list_sum(list_transform(list_zip(ua.u, ub.u),
+                 p -> p[1] * p[2])) AS cos
+             FROM ga a JOIN ga b
+               ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+             JOIN eu ua ON ua.vec_id = a.vec_id
+             JOIN eu ub ON ub.vec_id = b.vec_id)
+      SELECT vec_id,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, nbr_id) AS rank,
+        nbr_id, round(cos, 4) AS cosine
+      FROM gp QUALIFY rank <= $KnnK ORDER BY vec_id, rank"""))
 
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
@@ -1451,5 +1681,8 @@ object SearchQueries {
     "cluster_topics" -> clusterTopics,
     "dedup_semantic" -> dedupSemantic,
     "pipeline_online_hybrid" -> pipelineOnlineHybrid,
-    "maintenance_index_compact" -> maintenanceIndexCompact)
+    "maintenance_index_compact" -> maintenanceIndexCompact,
+    "search_phrase" -> searchPhrase,
+    "search_mlt" -> searchMlt,
+    "sim_knn_graph" -> simKnnGraph)
 }

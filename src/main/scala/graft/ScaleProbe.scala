@@ -182,7 +182,10 @@ object ScaleProbe {
     // r14 additions: the AppendTable store fold + the hybrid online
     // capstone
     "maintenance_store_compact", "pipeline_online_hybrid",
-    "maintenance_index_compact")
+    "maintenance_index_compact",
+    // r14 late additions: positional phrase retrieval, MoreLikeThis,
+    // and the cluster-blocked kNN graph build
+    "search_phrase", "search_mlt", "sim_knn_graph")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

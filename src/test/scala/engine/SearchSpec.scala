@@ -485,6 +485,93 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("search_phrase matches a brute phrase-occurrence recompute") {
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val got = SearchQueries.queries("search_phrase").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // brute recompute: the leading bigram of each query doc, counted as
+    // overlapping stride-1 occurrences in every other doc, top-10 by
+    // (count desc, id) — the full semantics, not a smoke property
+    val expect = (0L to 4L).flatMap { qid =>
+      val phrase = docs(qid).take(2)
+      val matches = docs.toSeq.filter(_._1 != qid).flatMap { case (cid, w) =>
+        val n = w.sliding(2).count(_ == phrase)
+        if (n > 0) Some((cid, n.toLong)) else None
+      }
+      matches.sortBy { case (cid, n) => (-n, cid) }.take(10).zipWithIndex
+        .map { case ((cid, n), i) => (qid, cid, i + 1, n) }
+    }
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == expect)
+  }
+
+  test("search_mlt selects the top-tfidf query terms and ranks by BM25 " +
+      "over exactly those") {
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val avgdl = docs.values.map(_.size).sum / n
+    def idf(t: String) = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+    val got = SearchQueries.queries("search_mlt").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val expect = (0L to 4L).flatMap { qid =>
+      // MLT term selection: top-5 by micronat tf·idf, tie on term
+      val tfq = docs(qid).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val sel = tfq.toSeq.map { case (t, tf) =>
+        (t, math.round(tf * idf(t) * 1e6)) }
+        .sortBy { case (t, sc) => (-sc, t) }.take(5).map(_._1).toSet
+      // BM25 over the selected terms, query tf = 1 (the bm25Rank form)
+      val scores = docs.toSeq.filter(_._1 != qid).flatMap { case (cid, w) =>
+        val tfc = w.groupBy(identity)
+          .map { case (t, xs) => t -> xs.size.toDouble }
+        val partials = sel.toSeq.flatMap { t => tfc.get(t).map { tf =>
+          val tfw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * w.size / avgdl))
+          math.round(idf(t) * tfw * 1e6) } }
+        if (partials.nonEmpty) Some((cid, partials.sum)) else None
+      }
+      scores.sortBy { case (cid, sc) => (-sc, cid) }.take(10).zipWithIndex
+        .map { case ((cid, sc), i) => (qid, cid, i + 1,
+          BigDecimal(sc / 1e6)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == expect)
+  }
+
+  test("sim_knn_graph: neighbors are the exact within-cell top-k") {
+    val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
+      .filter(col("u").isNotNull)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = engine.llm.LlmQueries.trainedSphericalCells(spark, sf, e)
+    def cellOf(v: Seq[Double]): Long = cents.map { case (cid, cu) =>
+      v.zip(cu).map { case (a, b) => a * b }.sum -> cid
+    }.maxBy(x => (x._1, -x._2))._2
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    val got = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // brute recompute: exact cosine top-3 among same-cell vectors,
+    // tie-broken on neighbor id — the zip/sum fold is left-to-right
+    // like the engine's DoubleArrayDot, so the doubles are identical
+    val expect = vecs.keys.toSeq.sorted.flatMap { id =>
+      val nbrs = vecs.keys.toSeq
+        .filter(o => o != id && cells(o) == cells(id))
+        .map(o => (o, vecs(id).zip(vecs(o)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (o, c) => (-c, o) }.take(3)
+      nbrs.zipWithIndex.map { case ((o, c), i) => (id, i + 1, o,
+        BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == expect)
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
