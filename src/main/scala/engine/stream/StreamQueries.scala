@@ -2,6 +2,7 @@ package engine.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 import engine.Core.{t, r4}
 import engine.Q
@@ -508,7 +509,80 @@ object StreamQueries {
         round(arg_max(value, event_id), 4) AS last_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ------------------------------------------------------ B5e stream_topk
+  /** Leaderboard depth per event type. */
+  private val TopKDepth = 5
+
+  /** B5e: continuous per-group TOP-K maintenance — the streaming
+    * leaderboard: each micro-batch folds into a per-event-type
+    * top-[[TopKDepth]] state table (rank by value desc, ties to the
+    * lower event_id) under the [[VersionedTable]] atomic pointer. Top-k
+    * selection is ASSOCIATIVE — topk(topk(A) ∪ B) = topk(A ∪ B) — so
+    * the fold lands on the identical state under ANY trigger split
+    * (StreamSourceSpec pins a 3-round split against the single-trigger
+    * default) and the whole-log DuckDB window oracle agrees by
+    * construction. The streaming complement of the batch
+    * `topk_per_group`, and the shape of every "current top sellers"
+    * dashboard tile.
+    *
+    * Scale posture: state carries ≤ types × k rows, so the per-trigger
+    * merge is O(batch + types·k) — the batch ranks through one
+    * WindowGroupLimit heap inside its own exchange, the union with the
+    * bounded store re-ranks ≤ types × 2k rows, and the commit rewrites
+    * only the tiny state table. Nothing in the trigger path scales with
+    * the log's history. */
+  private val streamTopk = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val state = new java.io.File(s"/tmp/graft_topk_state_$san")
+      VersionedTable.destroy(state) // fresh fold — the run IS the replay
+      val src = asFileStream(s,
+        t(s, d, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        s"topk_$san", orderedBy = Some("event_id"),
+        maxFilesPerTrigger =
+          Some(s.conf.get("spark.graft.topk.mft", "32").toInt))
+      val rankW = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val prev = VersionedTable.read(sp, state).getOrElse(
+          sp.emptyDataFrame.select(lit(0L).as("event_id"),
+            lit("").as("event_type"), lit(0.0).as("value")).limit(0))
+        val top = batch.select(col("event_id"), col("event_type"),
+            col("value"))
+          .unionByName(prev)
+          .withColumn("r", row_number().over(rankW))
+          .filter(col("r") <= TopKDepth).drop("r")
+        VersionedTable.commit(top, state, batchId)
+      }
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_topk_${java.util.UUID.randomUUID}")
+      def rmCk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
+      }
+      try {
+        src.writeStream.queryName("topk_fold").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally rmCk(ck)
+      VersionedTable.read(s, state)
+        .getOrElse(sys.error(s"topk state missing at $state"))
+        .withColumn("rank", row_number().over(rankW))
+        .select(col("event_type"), col("rank"), col("event_id"),
+          r4(col("value")).as("value"))
+        .orderBy("event_type", "rank")
+    },
+    Some(s"""SELECT event_type,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY value DESC, event_id) AS rank,
+        event_id, round(value, 4) AS value
+      FROM events QUALIFY rank <= $TopKDepth
+      ORDER BY event_type, rank"""))
+
   val queries: Map[String, Q] = Map(
+    "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_join_static" -> streamJoinStatic,
     "stream_join_stream" -> streamJoinStream,

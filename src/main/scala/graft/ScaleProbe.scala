@@ -184,8 +184,8 @@ object ScaleProbe {
     "maintenance_store_compact", "pipeline_online_hybrid",
     "maintenance_index_compact",
     // r14 late additions: positional phrase retrieval, MoreLikeThis,
-    // and the cluster-blocked kNN graph build
-    "search_phrase", "search_mlt", "sim_knn_graph")
+    // the cluster-blocked kNN graph build, the streaming top-k fold
+    "search_phrase", "search_mlt", "sim_knn_graph", "stream_topk")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

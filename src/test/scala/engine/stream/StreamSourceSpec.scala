@@ -45,6 +45,26 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("stream_topk: trigger split does not change the leaderboard") {
+    // top-k selection is associative (topk(topk(A) ∪ B) = topk(A ∪ B)),
+    // so the 3-round fold must land on the single-trigger default's
+    // state — the pin that keeps the cross-batch merge path exercised
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_topk")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.topk.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.topk.mft")
+    val single = run()
+    assert(multi == single)
+    assert(multi.nonEmpty)
+    // per-type ranks are dense 1..k and capped at the depth
+    multi.groupBy(_.head).values.foreach { g =>
+      assert(g.size <= 5 && g.map(_(1)) == (1 to g.size).toSeq)
+    }
+  }
+
   test("ordered publish yields >maxFilesPerTrigger contiguous-range files") {
     val df = (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
     val tag = "spec_layout_" + System.nanoTime() // unique: force a fresh publish
