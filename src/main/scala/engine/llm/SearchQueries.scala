@@ -51,27 +51,33 @@ object SearchQueries {
     * at 100 TB this is a map-only pass whose output partitioning
     * inherits the scan's, exactly what the downstream embedding UDF
     * wants. The final ORDER BY exists only for the oracle hash. */
+  /** The chunk table (doc_id, chunk_id, cw: token array) — the body of
+    * [[textChunk]], shared with the chunk-granular retriever
+    * ([[searchPassage]]) so the two can never disagree on chunk
+    * geometry. */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+    // last chunk index = ceil((n-W)/S) = (n - W + S - 1) div S for
+    // n > W; 0 otherwise. Ints are tiny, so the double division under
+    // floor() is exact.
+    val lastIdx = when(col("n") <= ChunkW, lit(0)).otherwise(
+      floor((col("n") - lit(ChunkW) + lit(ChunkS - 1)) / lit(ChunkS))
+        .cast("int"))
+    tk.select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("w"), col("chunk_id") * lit(ChunkS) + lit(1),
+          lit(ChunkW)).as("cw"))
+  }
+
   private val textChunk = Q(
-    (s, d) => {
-      val tk = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .withColumn("n", size(col("w")))
-      // last chunk index = ceil((n-W)/S) = (n - W + S - 1) div S for
-      // n > W; 0 otherwise. Ints are tiny, so the double division under
-      // floor() is exact.
-      val lastIdx = when(col("n") <= ChunkW, lit(0)).otherwise(
-        floor((col("n") - lit(ChunkW) + lit(ChunkS - 1)) / lit(ChunkS))
-          .cast("int"))
-      tk.select(col("doc_id"), col("w"),
-          explode(sequence(lit(0), lastIdx)).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          slice(col("w"), col("chunk_id") * lit(ChunkS) + lit(1),
-            lit(ChunkW)).as("cw"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("cw")).as("n_tok"),
-          array_join(col("cw"), " ").as("chunk"))
-        .orderBy("doc_id", "chunk_id")
-    },
+    (s, d) => chunkFrame(s, d)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).as("n_tok"),
+        array_join(col("cw"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id"),
     Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w
                FROM documents),
       nn AS (SELECT doc_id, w, len(w) n FROM tok),
@@ -379,6 +385,114 @@ object SearchQueries {
                FROM magg QUALIFY rank <= $Bm25TopK)
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM mtop ORDER BY qid, rank"""))
+
+  // -------------------------------------------------- B53m search_passage
+  /** B53m: chunk-granular PASSAGE retrieval — the RAG serving shape:
+    * BM25 over the [[chunkFrame]] chunk table (each chunk scored as its
+    * own retrieval unit, with chunk-level df / length stats), then each
+    * candidate DOC reduced to its best-scoring passage and docs ranked
+    * by that passage score. What a RAG stack actually serves: the
+    * passage to stuff into context, found without whole-doc length
+    * dilution (a 10-page doc with one relevant paragraph outranks a
+    * diffusely-relevant one). Composes the EXACT chunk geometry of
+    * text_chunk — the shared builder makes retriever/splitter drift
+    * impossible.
+    *
+    * Shape at 100 TB: chunk posting build = one shuffle on
+    * ((doc, chunk), term) — same order as the doc posting build since
+    * chunks partition tokens (the ~1.33× overlap factor is the W/S
+    * stride overlap, a constant); query terms/df/stats ride broadcasts
+    * exactly like search_bm25; the per-(query, doc) best-passage rank
+    * and final top-k are match-bounded WindowGroupLimit heaps. */
+  private val searchPassage = Q(
+    (s, d) => {
+      val posts = engine.ScratchCache.persistKeyed(
+        engine.Core.fpKey("chunkposts", d, "documents"))(
+        chunkFrame(s, d)
+          .select(col("doc_id"), col("chunk_id"),
+            explode(col("cw")).as("term"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("dl", sum(col("tf")).over(
+            Window.partitionBy(col("doc_id"), col("chunk_id")))))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // "docs" of this index are chunks: n_docs/avgdl are chunk count
+      // and mean chunk length, so bm25Micronat reads them unchanged
+      val glob = posts.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val qt = docs(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokens(col("text"))).as("term")).distinct()
+      val qdf = dfs.join(broadcast(qt.select(col("term")).distinct()),
+        "term")
+      val scored = posts.join(broadcast(qt), "term")
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(qdf), "term")
+        .crossJoin(broadcast(glob))
+        .select(col("qid"), col("doc_id").as("cid"), col("chunk_id"),
+          bm25Micronat.as("m"))
+        .groupBy(col("qid"), col("cid"), col("chunk_id"))
+        .agg(sum(col("m")).as("ms"))
+      scored.withColumn("br", row_number().over(
+          Window.partitionBy(col("qid"), col("cid"))
+            .orderBy(col("ms").desc, col("chunk_id"))))
+        .filter(col("br") === 1)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ms").desc, col("cid"))))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("chunk_id"), col("rank"),
+          r4(col("ms") / lit(1e6)).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w
+               FROM documents),
+      nn AS (SELECT doc_id, w, len(w) n FROM tok),
+      ch AS (SELECT doc_id, w, unnest(generate_series(0,
+               CASE WHEN n <= $ChunkW THEN 0
+                 ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) chunk_id
+             FROM nn),
+      cwt AS (SELECT doc_id, chunk_id,
+               w[chunk_id*$ChunkS+1 : chunk_id*$ChunkS+$ChunkW] cw FROM ch),
+      cposts AS (SELECT doc_id, chunk_id, term, count(*) tf
+                 FROM (SELECT doc_id, chunk_id, unnest(cw) term FROM cwt)
+                 GROUP BY 1, 2, 3),
+      cpdl AS (SELECT doc_id, chunk_id, term, tf,
+                sum(tf) OVER (PARTITION BY doc_id, chunk_id) cl
+               FROM cposts),
+      cdfs AS (SELECT term, count(*) df FROM cposts GROUP BY 1),
+      cglob AS (SELECT count(*) n_chunks, avg(cl) avgcl
+                FROM (SELECT doc_id, chunk_id, any_value(cl) cl
+                      FROM cpdl GROUP BY 1, 2)),
+      cqt AS (SELECT DISTINCT doc_id qid, term
+              FROM (SELECT doc_id, unnest(w) term FROM tok
+                    WHERE doc_id < 5)),
+      csc AS (SELECT q.qid, p.doc_id cid, p.chunk_id,
+               sum(CAST(round(
+                 ln(1.0 + ((g.n_chunks - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.cl / g.avgcl))) * 1e6, 0)
+                 AS BIGINT)) ms
+              FROM cpdl p JOIN cqt q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN cdfs f ON f.term = p.term
+              CROSS JOIN cglob g
+              GROUP BY 1, 2, 3),
+      cbest AS (SELECT qid, cid, chunk_id, ms,
+                 row_number() OVER (PARTITION BY qid, cid
+                   ORDER BY ms DESC, chunk_id) br
+                FROM csc),
+      ctop AS (SELECT qid, cid, chunk_id, ms,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ms DESC, cid) rank
+               FROM cbest WHERE br = 1 QUALIFY rank <= $Bm25TopK)
+      SELECT qid, cid, chunk_id, rank,
+        round(ms::DOUBLE / 1e6, 4) AS score
+      FROM ctop ORDER BY qid, rank"""))
 
   // ----------------------------------------------- B53c search_hybrid_rrf
   /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
@@ -1684,5 +1798,6 @@ object SearchQueries {
     "maintenance_index_compact" -> maintenanceIndexCompact,
     "search_phrase" -> searchPhrase,
     "search_mlt" -> searchMlt,
-    "sim_knn_graph" -> simKnnGraph)
+    "sim_knn_graph" -> simKnnGraph,
+    "search_passage" -> searchPassage)
 }

@@ -545,6 +545,50 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.sortBy(r => (r._1, r._3)).toSeq == expect)
   }
 
+  test("search_passage ranks docs by their best chunk-BM25 passage") {
+    val docsM = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val (w, st) = (32, 24)
+    def chunksOf(toks: Seq[String]): Seq[(Int, Seq[String])] = {
+      val last = if (toks.size <= w) 0 else (toks.size - w + st - 1) / st
+      (0 to last).map(i => i -> toks.slice(i * st, i * st + w))
+    }
+    val chunks = docsM.toSeq.flatMap { case (id, toks) =>
+      chunksOf(toks).map { case (ci, cw) => (id, ci, cw) } }
+    val nC = chunks.size.toDouble
+    val avgcl = chunks.map(_._3.size).sum / nC
+    val dfm = chunks.flatMap(_._3.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    def idf(t: String) = math.log(1.0 + (nC - dfm(t) + 0.5) / (dfm(t) + 0.5))
+    val got = SearchQueries.queries("search_passage").fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // brute recompute: every chunk BM25-scored as its own unit, each
+    // candidate doc reduced to its best (score, chunk) passage, docs
+    // ranked by that passage score
+    val expect = (0L to 4L).flatMap { qid =>
+      val qts = docsM(qid).distinct.toSet
+      val perChunk = chunks.filter(_._1 != qid).flatMap { case (cid, ci, cw) =>
+        val tfc = cw.groupBy(identity)
+          .map { case (t, xs) => t -> xs.size.toDouble }
+        val partials = qts.toSeq.flatMap(t => tfc.get(t).map { tf =>
+          val tfw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * cw.size / avgcl))
+          math.round(idf(t) * tfw * 1e6) })
+        if (partials.nonEmpty) Some(((cid, ci), partials.sum)) else None
+      }
+      val best = perChunk.groupBy(_._1._1).map { case (cid, xs) =>
+        val b = xs.sortBy { case ((_, ci), ms) => (-ms, ci) }.head
+        (cid, b._1._2, b._2) }.toSeq
+      best.sortBy { case (cid, _, ms) => (-ms, cid) }.take(10).zipWithIndex
+        .map { case ((cid, ci, ms), i) => (qid, cid, ci, i + 1,
+          BigDecimal(ms / 1e6)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(got.sortBy(r => (r._1, r._4)).toSeq == expect)
+  }
+
   test("sim_knn_graph: neighbors are the exact within-cell top-k") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
       .filter(col("u").isNotNull)
