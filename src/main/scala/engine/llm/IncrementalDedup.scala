@@ -539,6 +539,117 @@ object IncrementalDedup {
         ORDER BY doc_id) = 1
       ORDER BY doc_id"""))
 
+  // ------------------------------------------- corpus_report_incremental
+  /** The corpus DATA CARD maintained ONLINE — corpus_report as a
+    * cross-run fold: each ingest batch appends O(batch) MERGEABLE
+    * deltas (per-stratum counter partials plus per-(digest, stratum)
+    * count deltas) to append-only archives, and serving folds the
+    * archives — the card a 100 TB nightly ingest keeps current without
+    * ever re-scanning the corpus. Every reported statistic folds
+    * associatively: doc/token counts, char sums and min/max are classic
+    * mergeable partials, and the exact-dup rate folds through the
+    * digest-count deltas (a doc is a dup iff its digest's TOTAL count
+    * across all batches exceeds 1 — computable from summed deltas,
+    * never from re-reading text). Completes the incremental family
+    * (minhash / SRP / eval-index / exact verdict stores) with its
+    * REPORTING member; the same statistics corpus_report derives in one
+    * whole-corpus pass, so its oracle is corpus_report's verbatim.
+    *
+    * Shape at 100 TB: the per-trigger append is two grouped partials of
+    * the batch only (≤ strata rows + ≤ batch-distinct-digest rows of
+    * 16-byte digests — document text never rides an exchange); the
+    * serve-time fold reads the delta archive at O(distinct corpus
+    * digests), the store scale the incremental family already carries,
+    * bucketed by digest prefix at rest like the exact-dedup store.
+    * [[maintenanceStoreCompact]]'s fold applies unchanged when the
+    * archive fragments across many triggers. */
+  private val corpusReportIncremental = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val cardStore = new java.io.File(s"/tmp/graft_card_store_$san")
+      val dgStore = new java.io.File(s"/tmp/graft_carddg_store_$san")
+      engine.stream.AppendTable.destroy(cardStore) // fresh replay
+      engine.stream.AppendTable.destroy(dgStore)
+      val src0 = t(s, d, "documents").select(col("doc_id"), col("text"),
+        col("source"), col("lang"), col("n_chars"))
+      def cardOf(batch: DataFrame): DataFrame = batch
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(TextFunctions.tokens(col("text"))).as("n_toks"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      // the dedup_exact_incremental sentinel: a NULL digest would never
+      // aggregate with a later trigger's NULL under the dg groupBy fold
+      def dgOf(batch: DataFrame): DataFrame = batch
+        .select(col("source"), col("lang"),
+          coalesce(md5(lower(trim(col("text")))), lit("<null-text>"))
+            .as("dg"))
+        .groupBy(col("dg"), col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val cardSchema = cardOf(src0.limit(0)).schema
+      val dgSchema = dgOf(src0.limit(0)).schema
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        engine.stream.AppendTable.append(cardOf(batch), cardStore, batchId)
+        engine.stream.AppendTable.append(dgOf(batch), dgStore, batchId)
+      }
+      val mft = s.conf.get("spark.graft.cardIncr.mft", "32").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, src0,
+        s"cardincr_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_cardincr_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.queryName("card_incr").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      // serve = fold the delta archives
+      val card = engine.stream.AppendTable.read(s, cardStore, cardSchema)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("sum_chars")).as("sum_chars"),
+          min(col("min_chars")).as("min_chars"),
+          max(col("max_chars")).as("max_chars"))
+      val dup = engine.stream.AppendTable.read(s, dgStore, dgSchema)
+        .groupBy(col("dg"), col("source"), col("lang"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("tot", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))))
+        .filter(col("tot") > 1)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("cnt")).as("dup_docs"))
+      card.join(dup, Seq("source", "lang"), "left")
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          engine.Core.r4(col("sum_chars").cast("double") / col("n_docs"))
+            .as("avg_chars"),
+          engine.Core.r4(coalesce(col("dup_docs"), lit(0L)).cast("double")
+            / col("n_docs")).as("dup_rate"),
+          col("min_chars"), col("max_chars"))
+        .orderBy("source", "lang")
+    },
+    // whole-corpus oracle: corpus_report's own chain — the fold must
+    // reproduce the one-pass data card exactly
+    Some("""WITH b AS (SELECT source, lang, n_chars,
+                len(string_split(text, ' ')) n_toks,
+                md5(lower(trim(text))) dg FROM documents),
+      c AS (SELECT dg, count(*) cnt FROM b GROUP BY 1),
+      f AS (SELECT b.*, CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END dup
+            FROM b JOIN c USING (dg))
+      SELECT source, lang, count(*) AS n_docs,
+        sum(n_toks)::BIGINT AS n_tokens,
+        round(avg(n_chars), 4) AS avg_chars,
+        round(sum(dup) / count(*)::DOUBLE, 4) AS dup_rate,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------- B55 maintenance_store_compact
   /** STORE COMPACTION — the maintenance pass the [[engine.stream
     * .AppendTable]] stores need that `maintenance_compact` gives plain
@@ -616,5 +727,6 @@ object IncrementalDedup {
     "decontaminate_incremental" -> decontaminateIncremental,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_exact_incremental" -> dedupExactIncremental,
-    "maintenance_store_compact" -> maintenanceStoreCompact)
+    "maintenance_store_compact" -> maintenanceStoreCompact,
+    "corpus_report_incremental" -> corpusReportIncremental)
 }

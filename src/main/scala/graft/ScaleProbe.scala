@@ -186,7 +186,7 @@ object ScaleProbe {
     // r14 late additions: positional phrase retrieval, MoreLikeThis,
     // the cluster-blocked kNN graph build, the streaming top-k fold
     "search_phrase", "search_mlt", "sim_knn_graph", "stream_topk",
-    "search_passage")
+    "search_passage", "corpus_report_incremental")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -203,6 +203,25 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batched == exact, "incremental store diverged from dedup_exact")
   }
 
+  test("corpus_report_incremental: any trigger split folds to the " +
+      "one-pass data card") {
+    // every statistic is a mergeable partial (counts/sums/min/max +
+    // digest-count deltas), so the 3-batch fold, the single-trigger
+    // fold, and the whole-corpus corpus_report must agree row-for-row
+    def run(): Seq[Seq[Any]] =
+      LlmQueries.queries("corpus_report_incremental").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.cardIncr.mft", "11") // 3 batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.cardIncr.mft")
+    val single = run()
+    val batch = LlmQueries.queries("corpus_report").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(multi == single)
+    assert(single == batch, "incremental fold diverged from corpus_report")
+    assert(batch.nonEmpty)
+  }
+
   test("dedup_exact_incremental: null-text docs dedup across triggers " +
       "(sentinel digest, not a NULL join key)") {
     // a NULL digest groups fine INSIDE a batch but never equi-joins the
