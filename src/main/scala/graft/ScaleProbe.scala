@@ -184,8 +184,11 @@ object ScaleProbe {
     "maintenance_store_compact", "pipeline_online_hybrid",
     "maintenance_index_compact",
     // r14 late additions: positional phrase retrieval, MoreLikeThis,
-    // the cluster-blocked kNN graph build, the streaming top-k fold
-    "search_phrase", "search_mlt", "sim_knn_graph", "stream_topk",
+    // the cluster-blocked kNN graph build, chunk-granular passage
+    // retrieval, the incremental data card. stream_topk is NOT probed —
+    // like stream_upsert_sink it reads `events` (not in the probe
+    // corpus) and its cost is trigger-count-dominated, not plan-bound
+    "search_phrase", "search_mlt", "sim_knn_graph",
     "search_passage", "corpus_report_incremental")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
