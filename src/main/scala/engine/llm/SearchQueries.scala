@@ -770,34 +770,49 @@ object SearchQueries {
     * at nprobe=1, the published build-time trade (NN-Descent or
     * multi-probe assignment are the refinement paths; the blocked
     * exact-verify core is what they refine). */
+  /** The ranked kNN frame (vec_id, rank ≤ [[KnnK]], nbr_id, cos) —
+    * [[simKnnGraph]]'s body, shared with [[graphPagerank]] so the
+    * centrality pass runs over exactly the edges the graph op emits. */
+  private def knnGraphFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = LlmQueries.unitCorpus(s, d)
+    val cents = LlmQueries.trainedSphericalCells(s, d, e)
+      .toDF("cent_id", "cu")
+    val asg = engine.ScratchCache.persist(
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u"))
+        .repartition(col("cent_id")))
+    asg.as("a").join(asg.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        dot(col("a.u"), col("b.u")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))))
+      .filter(col("rank") <= KnnK)
+  }
+
   private val simKnnGraph = Q(
-    (s, d) => {
-      import s.implicits._
-      val e = LlmQueries.unitCorpus(s, d)
-      val cents = LlmQueries.trainedSphericalCells(s, d, e)
-        .toDF("cent_id", "cu")
-      val asg = engine.ScratchCache.persist(
-        e.join(broadcast(cents))
-          .select(col("vec_id"), col("u"), col("cent_id"),
-            dot(col("u"), col("cu")).as("cd"))
-          .groupBy(col("vec_id"))
-          .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
-            first(col("u")).as("u"))
-          .repartition(col("cent_id")))
-      asg.as("a").join(asg.as("b"),
-          col("a.cent_id") === col("b.cent_id") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-          dot(col("a.u"), col("b.u")).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("nbr_id"))))
-        .filter(col("rank") <= KnnK)
-        .select(col("vec_id"), col("rank"), col("nbr_id"),
-          r4(col("cos")).as("cosine"))
-        .orderBy("vec_id", "rank")
-    },
-    Some(LlmQueries.coarseChainSql + s""",
+    (s, d) => knnGraphFrame(s, d)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        r4(col("cos")).as("cosine"))
+      .orderBy("vec_id", "rank"),
+    Some(LlmQueries.coarseChainSql + knnSqlCtes + s"""
+      SELECT vec_id,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, nbr_id) AS rank,
+        nbr_id, round(cos, 4) AS cosine
+      FROM gp QUALIFY rank <= $KnnK ORDER BY vec_id, rank"""))
+
+  /** The within-cell pair CTEs (assignment → same-cell cosine pairs),
+    * ending in `gp(vec_id, nbr_id, cos)` over coarseChainSql's
+    * `eu`/`c2` — shared by [[simKnnGraph]] and [[graphPagerank]]. */
+  private def knnSqlCtes: String = """,
       gax AS (SELECT eu.vec_id, c.cent_id,
                list_sum(list_transform(list_zip(eu.u, c.cu),
                  p -> p[1] * p[2])) AS cd
@@ -811,12 +826,94 @@ object SearchQueries {
              FROM ga a JOIN ga b
                ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
              JOIN eu ua ON ua.vec_id = a.vec_id
-             JOIN eu ub ON ub.vec_id = b.vec_id)
-      SELECT vec_id,
-        row_number() OVER (PARTITION BY vec_id
-          ORDER BY cos DESC, nbr_id) AS rank,
-        nbr_id, round(cos, 4) AS cosine
-      FROM gp QUALIFY rank <= $KnnK ORDER BY vec_id, rank"""))
+             JOIN eu ub ON ub.vec_id = b.vec_id)"""
+
+  // ----------------------------------------------- B58 graph_pagerank
+  /** Power-iteration rounds / damping factor (the canonical 0.85). */
+  private val PrRounds = 10
+  private val PrDamp = "0.85"
+
+  /** B58: PageRank CENTRALITY over the kNN similarity graph — the
+    * readout that turns [[simKnnGraph]]'s edge table into a per-doc
+    * importance signal: a document central to its semantic neighborhood
+    * scores high, an outlier scores ≈ (1−d)/N. Curation stacks use
+    * exactly this over similarity/link graphs for quality weighting and
+    * diversity-aware sampling; it also demonstrates the engine's
+    * iterative-dataflow posture on GRAPHS (the BPE trainer and the
+    * pointer-halving CC are the sequence/set counterparts).
+    *
+    * Determinism discipline: per round, each node's contribution
+    * pr/outdeg is quantized to an integer NANO grid BEFORE the in-sum
+    * (order-free long addition — the micronat rule at 1e-9, matching
+    * the lloydRound norm grid), and the damped update
+    * (1−d)/N + d·(Σ/1e9) uses the same double literals in both engines;
+    * dangling leakage (a node in a singleton cell has no out-edges) is
+    * NOT redistributed — the simple variant, identical on both sides.
+    *
+    * Shape at 100 TB: E = N·k edges; each round is one edge join on src
+    * (edges pre-partitioned by src, pr co-partitioned — one exchange of
+    * (id, long) rows) + one in-sum shuffle on dst, O(E) per round with
+    * [[engine.Core.checkpointFresh]] truncating lineage per round (the
+    * tokenize_bpe_apply discipline). Rounds are a fixed constant; no
+    * driver-side data movement beyond the 1-scalar node count. */
+  private val graphPagerank = Q(
+    (s, d) => {
+      val edges = engine.ScratchCache.persist(knnGraphFrame(s, d)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .repartition(col("src")))
+      val od = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val nodes = engine.ScratchCache.persist(
+        LlmQueries.unitCorpus(s, d).select(col("vec_id")))
+      val n = nodes.count().toDouble
+      val damp = lit(PrDamp.toDouble)
+      val base = lit(0.15) / lit(n)
+      var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
+      for (_ <- 1 to PrRounds) {
+        val contrib = edges.join(od, "src")
+          .join(pr.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst"),
+            round(col("pr") / col("od") * lit(1e9), 0).cast("long")
+              .as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("im"))
+        pr = engine.Core.checkpointFresh(
+          nodes.join(contrib.withColumnRenamed("dst", "vec_id"),
+              Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (base + damp *
+                (coalesce(col("im"), lit(0L)).cast("double") / lit(1e9)))
+                .as("pr")))
+      }
+      pr.select(col("vec_id"),
+          round(col("pr") * lit(1e9), 0).cast("long").as("pr_nano"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def prRound(k: Int): String = s""",
+      pk$k AS (SELECT e.dst,
+               sum(CAST(round(p.pr / o.od * 1e9, 0) AS BIGINT)) im
+              FROM ked e JOIN odeg o ON o.src = e.src
+              JOIN p${k - 1} p ON p.vec_id = e.src
+              GROUP BY 1),
+      p$k AS (SELECT nd.vec_id,
+               0.15::DOUBLE / nn.n + $PrDamp::DOUBLE *
+                 (coalesce(c.im, 0)::DOUBLE / 1e9) AS pr
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN pk$k c ON c.dst = nd.vec_id)"""
+      LlmQueries.coarseChainSql + knnSqlCtes + s""",
+      ked AS (SELECT vec_id src, nbr_id dst FROM (
+               SELECT vec_id, nbr_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nbr_id) rank
+               FROM gp) WHERE rank <= $KnnK),
+      nodes AS (SELECT vec_id FROM eu),
+      nn AS (SELECT count(*) n FROM nodes),
+      odeg AS (SELECT src, count(*) od FROM ked GROUP BY 1),
+      p0 AS (SELECT vec_id, 1.0::DOUBLE / nn.n AS pr
+             FROM nodes CROSS JOIN nn)""" +
+      (1 to PrRounds).map(prRound).mkString + s"""
+      SELECT vec_id, CAST(round(pr * 1e9, 0) AS BIGINT) AS pr_nano
+      FROM p$PrRounds ORDER BY vec_id"""
+    })
 
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
@@ -1799,5 +1896,6 @@ object SearchQueries {
     "search_phrase" -> searchPhrase,
     "search_mlt" -> searchMlt,
     "sim_knn_graph" -> simKnnGraph,
-    "search_passage" -> searchPassage)
+    "search_passage" -> searchPassage,
+    "graph_pagerank" -> graphPagerank)
 }

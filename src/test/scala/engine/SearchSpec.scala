@@ -616,6 +616,44 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.sortBy(r => (r._1, r._2)).toSeq == expect)
   }
 
+  test("graph_pagerank matches a brute power iteration over the kNN " +
+      "edges and conserves damped mass") {
+    val edges = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val nodes = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
+      .filter(col("u").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val got = SearchQueries.queries("graph_pagerank").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    // brute recompute with the identical nano-grid quantization:
+    // contribution = round(pr/outdeg * 1e9) summed as longs, damped
+    // update on the same double literals — must match bit-for-bit
+    val n = nodes.size.toDouble
+    val od = edges.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val inEdges = edges.groupBy(_._2)
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = pr.map { case (u, p) =>
+        u -> od.get(u).map(o => math.round(p / o * 1e9)).getOrElse(0L) }
+      pr = nodes.map { v =>
+        val im = inEdges.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (u, _) => contrib(u) }.sum
+        v -> (0.15 / n + 0.85 * (im.toDouble / 1e9))
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(got(v) == math.round(pr(v) * 1e9),
+        s"vec $v: engine ${got(v)} vs recompute ${math.round(pr(v) * 1e9)}")
+    }
+    // damped mass: total ≤ 1 (dangling leakage only shrinks it) and
+    // ≥ the undamped floor Σ (1−d)/N = 0.15
+    val mass = got.values.map(_ / 1e9).sum
+    assert(mass <= 1.0 + 1e-6 && mass >= 0.15 - 1e-6, s"mass $mass")
+    // centrality must DISCRIMINATE (not a constant vector)
+    assert(got.values.toSet.size > 1)
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
