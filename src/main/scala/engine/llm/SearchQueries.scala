@@ -772,11 +772,23 @@ object SearchQueries {
     * exact-verify core is what they refine). */
   /** The ranked kNN frame (vec_id, rank ≤ [[KnnK]], nbr_id, cos) —
     * [[simKnnGraph]]'s body, shared with [[graphPagerank]] so the
-    * centrality pass runs over exactly the edges the graph op emits. */
+    * centrality pass runs over exactly the edges the graph op emits.
+    *
+    * Cell count = `spark.graft.knng.k` (default 16, the test-scale
+    * point the oracle replays — the dedup_semantic contract). The scale
+    * recipe is k ∝ √N (cells AND cell size grow as √N, balancing the
+    * O(N·k) assignment against the O(N·⟨cell⟩) pair enumeration —
+    * total O(N^1.5), vs quadratic at any FIXED k); ScaleProbe applies
+    * exactly this, and the r14 probe measured the fixed-16 build
+    * super-linear at 30× (6.15× at 3× data) vs linear under the √N
+    * recipe. At 100 TB the coarse quantizer goes hierarchical
+    * (IVF-HNSW / two-level k-means), which refines this same blocking
+    * without changing the within-cell exact-verify core. */
   private def knnGraphFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = LlmQueries.unitCorpus(s, d)
-    val cents = LlmQueries.trainedSphericalCells(s, d, e)
+    val k = s.conf.get("spark.graft.knng.k", "16").toInt
+    val cents = LlmQueries.trainedSphericalCells(s, d, e, k)
       .toDF("cent_id", "cu")
     val asg = engine.ScratchCache.persist(
       e.join(broadcast(cents))

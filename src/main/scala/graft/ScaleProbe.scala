@@ -68,6 +68,14 @@ object ScaleProbe {
     engine.ScratchCache.drain()
     System.gc()
     spark.conf.set("spark.graft.dedupEmbedding.mode", "banded")
+    // the SemDeDup/IVF scale recipe the cluster-blocked ops document:
+    // cell count ∝ √N (the probe corpus has 2000 × scale vectors), so
+    // assignment O(N·k) and within-cell pair work O(N·⟨cell⟩) both grow
+    // as N^1.5 — a FIXED 16-cell codebook is quadratic and measured so
+    // (graph_pagerank 6.15× at 3× data in the r14 fixed-k probe)
+    val knnK = math.max(16, math.ceil(math.sqrt(2000.0 * scale)).toInt)
+    spark.conf.set("spark.graft.knng.k", knnK.toString)
+    spark.conf.set("spark.graft.semdedup.k", knnK.toString)
     val tenProbe = readPrev(artifactPath(10))
     val ops = (if (scale == 10) fullOps
       // scale=100: ONLY the output-bound pair emitters (r12 verdict

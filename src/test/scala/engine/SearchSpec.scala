@@ -589,31 +589,43 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.sortBy(r => (r._1, r._4)).toSeq == expect)
   }
 
-  test("sim_knn_graph: neighbors are the exact within-cell top-k") {
+  test("sim_knn_graph: neighbors are the exact within-cell top-k, at " +
+      "the serving default and a doubled cell count") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
       .filter(col("u").isNotNull)
     val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val cents = engine.llm.LlmQueries.trainedSphericalCells(spark, sf, e)
-    def cellOf(v: Seq[Double]): Long = cents.map { case (cid, cu) =>
-      v.zip(cu).map { case (a, b) => a * b }.sum -> cid
-    }.maxBy(x => (x._1, -x._2))._2
-    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
-    val got = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    assert(got.nonEmpty)
     // brute recompute: exact cosine top-3 among same-cell vectors,
     // tie-broken on neighbor id — the zip/sum fold is left-to-right
-    // like the engine's DoubleArrayDot, so the doubles are identical
-    val expect = vecs.keys.toSeq.sorted.flatMap { id =>
-      val nbrs = vecs.keys.toSeq
-        .filter(o => o != id && cells(o) == cells(id))
-        .map(o => (o, vecs(id).zip(vecs(o)).map { case (a, b) => a * b }.sum))
-        .sortBy { case (o, c) => (-c, o) }.take(3)
-      nbrs.zipWithIndex.map { case ((o, c), i) => (id, i + 1, o,
-        BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    // like the engine's DoubleArrayDot, so the doubles are identical;
+    // verified at k=16 AND k=32 (the √N scale knob, the dedup_semantic
+    // two-k discipline)
+    def verifyAt(k: Int): Unit = {
+      val got = (if (k == 16)
+          SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+        else {
+          spark.conf.set("spark.graft.knng.k", k.toString)
+          try SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+          finally spark.conf.unset("spark.graft.knng.k")
+        }).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.nonEmpty)
+      val cents = engine.llm.LlmQueries.trainedSphericalCells(spark, sf, e, k)
+      def cellOf(v: Seq[Double]): Long = cents.map { case (cid, cu) =>
+        v.zip(cu).map { case (a, b) => a * b }.sum -> cid
+      }.maxBy(x => (x._1, -x._2))._2
+      val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+      val expect = vecs.keys.toSeq.sorted.flatMap { id =>
+        val nbrs = vecs.keys.toSeq
+          .filter(o => o != id && cells(o) == cells(id))
+          .map(o => (o, vecs(id).zip(vecs(o)).map { case (a, b) => a * b }.sum))
+          .sortBy { case (o, c) => (-c, o) }.take(3)
+        nbrs.zipWithIndex.map { case ((o, c), i) => (id, i + 1, o,
+          BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }
+      assert(got.sortBy(r => (r._1, r._2)).toSeq == expect, s"k=$k")
     }
-    assert(got.sortBy(r => (r._1, r._2)).toSeq == expect)
+    verifyAt(16)
+    verifyAt(32)
   }
 
   test("graph_pagerank matches a brute power iteration over the kNN " +
