@@ -665,6 +665,67 @@ object CurateQueries {
       FROM bth JOIN f$BpeMerges USING (word) JOIN bvocab USING (sym)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ tokenize_report
+  /** Tokenizer QA DATA CARD — the per-language evaluation table a
+    * tokenizer review reads before committing a vocabulary: FERTILITY
+    * (BPE tokens per whitespace word — the standard cross-lingual
+    * tokenizer-equity metric: a language with 2× the fertility pays 2×
+    * the context budget for the same content) and COMPRESSION (chars
+    * per BPE token), from the trained merge table applied over the
+    * corpus vocabulary. Composes the tokenize_bpe / tokenize_bpe_apply
+    * pair into the judgment those ops exist to inform.
+    *
+    * Shape at 100 TB: the apply rounds run at word-TYPE scale (the
+    * bpeApply discipline — vocabulary is a model artifact, not corpus
+    * cardinality); per-word symbol counts broadcast back against one
+    * corpus token pass; the report is a ≤|langs|-row integer-sum
+    * aggregate. Nothing beyond the token-count pass touches
+    * corpus-scale data. */
+  private val tokenizeReport = Q(
+    (s, d) => {
+      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
+      val wf = engine.ScratchCache.persist(docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+      val fin = engine.ScratchCache.persist(
+        bpeApply(wf.select(col("word")), merges))
+      // symbols per word TYPE — the encoding-cost table, broadcastable
+      // by construction (one row per vocabulary word)
+      val perWord = fin.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+      val perDoc = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .join(broadcast(perWord), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(perDoc, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          Core.r4(sum(col("n_bpe")).cast("double") / sum(col("n_words")))
+            .as("fertility"),
+          Core.r4(sum(col("n_chars")).cast("double") / sum(col("n_bpe")))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
+    Some(bpeOracleCtes + s""",
+      rsym AS (SELECT word, count(*) AS n_sym FROM f$BpeMerges
+               GROUP BY word),
+      rth AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+      rdt AS (SELECT t.doc_id, count(*) AS n_words,
+               sum(r.n_sym)::BIGINT AS n_bpe
+              FROM rth t JOIN rsym r USING (word) GROUP BY 1)
+      SELECT d.lang, count(*) AS n_docs,
+        sum(rdt.n_words)::BIGINT AS n_words,
+        sum(rdt.n_bpe)::BIGINT AS n_bpe_tokens,
+        round(sum(rdt.n_bpe)::DOUBLE / sum(rdt.n_words), 4) AS fertility,
+        round(sum(d.n_chars)::DOUBLE / sum(rdt.n_bpe), 4)
+          AS chars_per_token
+      FROM documents d JOIN rdt USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   // -------------------------------------------------- embedding_quantize
   /** Int8 scalar quantization of the embedding column — the 4x storage
     * cut every large-scale vector store applies before anything else
@@ -2088,6 +2149,7 @@ object CurateQueries {
     "tokenize_ids" -> tokenizeIds,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_bpe_apply" -> tokenizeBpeApply,
+    "tokenize_report" -> tokenizeReport,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,

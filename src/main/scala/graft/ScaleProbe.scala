@@ -197,7 +197,8 @@ object ScaleProbe {
     // like stream_upsert_sink it reads `events` (not in the probe
     // corpus) and its cost is trigger-count-dominated, not plan-bound
     "search_phrase", "search_mlt", "sim_knn_graph",
-    "search_passage", "corpus_report_incremental", "graph_pagerank")
+    "search_passage", "corpus_report_incremental", "graph_pagerank",
+    "tokenize_report")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -438,4 +438,37 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(bySize.last.getAs[Double]("rate") < bySize.head.getAs[Double]("rate"),
       "temperature must favor rare strata")
   }
+
+  test("tokenize_report agrees with tokenize_bpe_apply per language") {
+    // the report's BPE token counts must equal the encode path's actual
+    // per-doc output summed per lang, and the ratios must recompute
+    // from the report's own integer sums
+    val applied = llm.CurateQueries.queries("tokenize_bpe_apply")
+      .fn(spark, sf).select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meta = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ").length.toLong))
+    val report = llm.CurateQueries.queries("tokenize_report")
+      .fn(spark, sf).collect()
+    assert(report.nonEmpty)
+    val byLang = meta.groupBy(_._2)
+    report.foreach { r =>
+      val lang = r.getString(0)
+      val docs = byLang(lang)
+      assert(r.getLong(1) == docs.length, s"$lang n_docs")
+      assert(r.getLong(2) == docs.map(_._4).sum, s"$lang n_words")
+      val bpe = docs.map(d => applied(d._1)).sum
+      assert(r.getLong(3) == bpe, s"$lang n_bpe_tokens vs encode path")
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == r4(bpe.toDouble / docs.map(_._4).sum),
+        s"$lang fertility")
+      assert(r.getDouble(5) == r4(docs.map(_._3).sum.toDouble / bpe),
+        s"$lang chars_per_token")
+    }
+    assert(report.map(_.getString(0)).toSet == byLang.keySet)
+  }
 }
