@@ -343,6 +343,59 @@ object CurateQueries {
             FROM documents)
       WHERE rk <= $StratK ORDER BY doc_id"""))
 
+  // ------------------------------------------------ sample_quality_topk
+  /** Docs kept per stratum in the quality carve-out. */
+  private val QTopK = 20
+
+  /** QUALITY-ranked per-stratum selection — "keep each language's best
+    * [[QTopK]] documents": [[sampleStratified]]'s exact-k machinery with
+    * the salted-hash rank replaced by the pinned heuristic quality
+    * composite ([[LlmQueries.qualityScore]], the pipeline_curate gate).
+    * This is how a curation stack actually spends a per-domain budget —
+    * best-first, not uniform — and the executable form of the
+    * "top X% by quality model" selection step every data recipe
+    * documents. Ties (the composite is 1e-4-quantized) break on doc_id,
+    * so the carve-out is reproducible on any cluster.
+    *
+    * Shape at 100 TB: identical to sample_stratified — the per-stratum
+    * rank ≤ k is Spark's WindowGroupLimit push-down (each partition
+    * keeps a k-row heap before the shuffle; never a full per-stratum
+    * sort), and the score is a scan-speed codegen projection. */
+  private val sampleQualityTopk = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          LlmQueries.qualityScore.as("q"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= QTopK)
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"),
+          Core.r4(col("q")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH qt AS (SELECT doc_id, lang, source,
+        len(string_split(text,' ')) AS n_tokens,
+        (length(text) - (len(string_split(text,' ')) - 1))
+          / len(string_split(text,' ')) AS avg_token_len,
+        len(list_filter(string_split(text,' '),
+          x -> list_contains(['the','a'], x)))
+          / len(string_split(text,' ')) AS stopword_ratio
+      FROM documents),
+      qsc AS (SELECT doc_id, lang, source,
+               floor((least(1.0, n_tokens / 100.0) * 0.6
+                 + stopword_ratio * 0.2
+                 + (1.0 - least(1.0, abs(avg_token_len - 5.0) / 5.0)) * 0.2)
+                 * 10000 + 0.5) / 10000.0 AS q
+              FROM qt),
+      qrk AS (SELECT doc_id, lang, source, q,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY q DESC, doc_id) AS rk
+              FROM qsc)
+      SELECT doc_id, lang, source, CAST(rk AS INT) AS rk,
+        round(q, 4) AS quality
+      FROM qrk WHERE rk <= $QTopK ORDER BY doc_id"""))
+
   // ------------------------------------------------------- tokenize_ids
   /** Token-id materialization — the final pre-training transform after
     * curation and before packing: build the corpus vocabulary (term →
@@ -2146,6 +2199,7 @@ object CurateQueries {
     "pack_sequences" -> packSequences,
     "dedup_spans" -> dedupSpans,
     "sample_stratified" -> sampleStratified,
+    "sample_quality_topk" -> sampleQualityTopk,
     "tokenize_ids" -> tokenizeIds,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_bpe_apply" -> tokenizeBpeApply,

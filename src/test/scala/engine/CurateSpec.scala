@@ -439,6 +439,26 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "temperature must favor rare strata")
   }
 
+  test("sample_quality_topk keeps exactly each language's top-k by the " +
+      "pinned quality composite") {
+    // independent recompute through text_quality's own quality column
+    val q = llm.LlmQueries.queries("text_quality").fn(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val meta = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = llm.CurateQueries.queries("sample_quality_topk")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val expect = meta.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      docs.map(_._1).sortBy(id => (-q(id), id)).take(20).zipWithIndex
+        .map { case (id, i) => (id, lang, i + 1, q(id)) }
+    }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq == expect)
+  }
+
   test("tokenize_report agrees with tokenize_bpe_apply per language") {
     // the report's BPE token counts must equal the encode path's actual
     // per-doc output summed per lang, and the ratios must recompute
