@@ -494,6 +494,69 @@ object SearchQueries {
         round(ms::DOUBLE / 1e6, 4) AS score
       FROM ctop ORDER BY qid, rank"""))
 
+  // ------------------------------------------------ B53n search_autocomplete
+  /** Completion prefix length and depth. */
+  private val AcPfx = 2
+  private val AcTopK = 5
+
+  /** B53n: PREFIX completion — the edge-n-gram suggester (Lucene's
+    * suggest family): for each [[AcPfx]]-char prefix appearing in a
+    * query doc (ids < 5), the top-[[AcTopK]] corpus words sharing that
+    * prefix ranked by corpus frequency. The type-ahead primitive every
+    * search box runs; at rest the prefix→word table IS the edge-ngram
+    * index a suggester serves from.
+    *
+    * Shape at 100 TB: the word-frequency table is the vocabulary — a
+    * model artifact built by the one posting shuffle (never
+    * corpus-cardinality downstream); query prefixes (≤ queries ×
+    * doc-length, distinct) broadcast; completion = one vocab-scale
+    * join + a WindowGroupLimit heap per (query, prefix). */
+  private val searchAutocomplete = Q(
+    (s, d) => {
+      val wf = docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // edge n-grams of EVERY length 1..AcPfx (distinct — a 1-char
+      // word's length-1 and length-2 edges coincide), so a query
+      // prefix shorter than AcPfx still completes: prefix-key equality
+      // at the query prefix's own length ≡ startsWith
+      val edges = wf.select(col("word"), col("cnt"),
+          explode(array((1 to AcPfx).map(l =>
+            substring(col("word"), 1, l)): _*)).as("pfx"))
+        .distinct()
+      val qp = docs(s, d).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          explode(tokens(col("text"))).as("w"))
+        .select(col("qid"), substring(col("w"), 1, AcPfx).as("pfx"))
+        .distinct()
+      edges.join(broadcast(qp), "pfx")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"), col("pfx"))
+            .orderBy(col("cnt").desc, col("word"))))
+        .filter(col("rank") <= AcTopK)
+        .select(col("qid"), col("pfx"), col("rank"), col("word"),
+          col("cnt"))
+        .orderBy("qid", "pfx", "rank")
+    },
+    Some(s"""WITH aw AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+      awf AS (SELECT word, count(*) AS cnt FROM aw GROUP BY word),
+      awe AS (SELECT DISTINCT word, cnt, pfx FROM (
+               SELECT word, cnt, unnest(list_transform(
+                 generate_series(1, $AcPfx), l -> substr(word, 1, l::INT)))
+                 AS pfx
+               FROM awf)),
+      aqp AS (SELECT DISTINCT doc_id qid, substr(w, 1, $AcPfx) AS pfx
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id < 5)),
+      ac AS (SELECT q.qid, q.pfx, f.word, f.cnt,
+               row_number() OVER (PARTITION BY q.qid, q.pfx
+                 ORDER BY f.cnt DESC, f.word) AS rank
+             FROM awe f JOIN aqp q ON f.pfx = q.pfx
+             QUALIFY rank <= $AcTopK)
+      SELECT qid, pfx, rank, word, cnt
+      FROM ac ORDER BY qid, pfx, rank"""))
+
   // ----------------------------------------------- B53c search_hybrid_rrf
   /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (RRF, k=60): score(q,doc) = Σ_modality 1/(60 + rank_modality) over
@@ -1909,5 +1972,6 @@ object SearchQueries {
     "search_mlt" -> searchMlt,
     "sim_knn_graph" -> simKnnGraph,
     "search_passage" -> searchPassage,
-    "graph_pagerank" -> graphPagerank)
+    "graph_pagerank" -> graphPagerank,
+    "search_autocomplete" -> searchAutocomplete)
 }

@@ -198,7 +198,7 @@ object ScaleProbe {
     // corpus) and its cost is trigger-count-dominated, not plan-bound
     "search_phrase", "search_mlt", "sim_knn_graph",
     "search_passage", "corpus_report_incremental", "graph_pagerank",
-    "tokenize_report", "sample_quality_topk")
+    "tokenize_report", "sample_quality_topk", "search_autocomplete")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -628,6 +628,29 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     verifyAt(32)
   }
 
+  test("search_autocomplete completes every query prefix with the " +
+      "frequency-ranked vocabulary") {
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val wf = docs.values.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val got = SearchQueries.queries("search_autocomplete").fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+          r.getLong(4)))
+    assert(got.nonEmpty)
+    val expect = (0L to 4L).flatMap { qid =>
+      docs(qid).map(_.take(2)).distinct.sorted.flatMap { pfx =>
+        wf.toSeq.filter(_._1.startsWith(pfx))
+          .sortBy { case (w, c) => (-c, w) }.take(5).zipWithIndex
+          .map { case ((w, c), i) => (qid, pfx, i + 1, w, c) }
+      }
+    }
+    assert(got.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      expect.sortBy(r => (r._1, r._2, r._3)))
+  }
+
   test("graph_pagerank matches a brute power iteration over the kNN " +
       "edges and conserves damped mass") {
     val edges = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
