@@ -215,6 +215,51 @@ object FnQueries {
         ON events.user_id = o.k AND events.ts >= o.at
       ORDER BY event_id"""))
 
+  /** B16b: FORWARD as-of join — each click matched to the user's
+    * EARLIEST purchase at-or-after it (the other half of the as-of
+    * pair: backward answers "state as of t", forward answers "next
+    * action after t" — conversion attribution here, "next trade after
+    * the quote" in tick data; join_interval emits ALL purchases in a
+    * window, as-of exactly ONE). Same union+window shape as
+    * [[joinAsof]] mirrored: one partition-sorted pass, `first` non-null
+    * over the FORWARD frame — no range join, no per-row probe; one
+    * shuffle on the key at any scale. At equal timestamps the purchase
+    * is visible to the click (asof <= includes equality): purchases
+    * sort AFTER clicks within a timestamp via NULLS LAST, so the
+    * forward frame starting at the click row includes them; same-(user,
+    * ts) purchases pre-group to the min id so the match is total-order
+    * deterministic in both engines. */
+  private val joinAsofForward = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("k"), col("ts").as("at"))
+        .agg(min(col("event_id")).as("pid"))
+        .select(col("k"), col("at"), col("pid"),
+          lit(null: java.lang.Long).as("click_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts").as("at"),
+          lit(null: java.lang.Long).as("pid"),
+          col("event_id").as("click_id"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("at"), col("click_id").asc_nulls_last)
+        .rowsBetween(0, Window.unboundedFollowing)
+      p.unionByName(c)
+        .withColumn("purchase_id",
+          first(col("pid"), ignoreNulls = true).over(w))
+        .filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+        .select(col("click_id"), col("k").as("user_id"),
+          col("purchase_id"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, p.pid AS purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN
+        (SELECT user_id AS k, ts AS at, min(event_id) AS pid
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        ON c.user_id = p.k AND c.ts <= p.at
+      ORDER BY click_id"""))
+
   /** B21: approximate distinct (scale mandate — 100 TB cardinalities
     * can't be counted exactly without shuffling every key). Two surfaces:
     *
@@ -265,5 +310,6 @@ object FnQueries {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
     "agg_approx_distinct" -> aggApproxDistinct)
 }
