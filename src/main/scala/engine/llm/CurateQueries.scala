@@ -17,9 +17,9 @@ import TextFunctions._
   * (class.nmea.parser.php:103-114 — trim, validate, dispatch per line)
   * from one GPS log line to corpus scale.
   *
-  * Scale posture: dedup_lines shuffles 8-byte line hashes (never line
-  * text) for the frequency count and re-attaches the duplicate set as a
-  * broadcast model artifact; pii_scrub is a pure codegen'd projection
+  * Scale posture: dedup_lines shuffles 24-byte line postings (never
+  * line text) for the frequency count and the survivor anti-join — the
+  * dup set is joined, not collected; pii_scrub is a pure codegen'd projection
   * (zero shuffles before the determinism sort); pack_sequences is a
   * two-level distributed prefix sum — per-shard window cumsums in
   * parallel plus a broadcast of the tiny shard-offset table, the classic
@@ -56,42 +56,53 @@ object CurateQueries {
     * document, and each document is reassembled from its surviving lines
     * in position order (empty string if nothing survives).
     *
-    * Shape: one projection chunks each doc into lines; the frequency
-    * count shuffles (doc_id, 60-bit line hash) pairs — 16 bytes/line,
-    * never the line text; the resulting duplicate-hash set (the
-    * boilerplate vocabulary — small by nature, it's the set of REPEATED
-    * content) broadcasts back as a single-row array against which each
-    * doc filters its own lines locally. The document body itself never
-    * rides an exchange (the dedup_exact posture); at 100 TB the dup set
-    * graduates from a broadcast literal to a broadcast hash join on the
-    * same key. Oracle replays the identical chunking + md5-prefix hash,
-    * so the gate pins exact output. */
+    * Shape: the [[dedupSpans]] posting posture. One doc-granular
+    * repartition feeds a persisted (doc_id, p, line, h) line frame; the
+    * frequency count and the survivor anti-join ride 24-byte
+    * (doc_id, p, h) posting rows only — on a real web corpus the
+    * duplicated-line vocabulary is enormous (boilerplate is pervasive;
+    * that is WHY C4 §2.2 exists), so the dup-hash frame is joined, never
+    * collected or broadcast-materialized: the anti-join scales to an
+    * unbounded dup set. Surviving positions re-join the line text on
+    * (doc_id, p) — both sides already clustered by doc_id, so the text
+    * column never rides an exchange after the initial doc-granular
+    * spread, and the per-doc reassembly groupBy reuses the same
+    * partitioning (exchange-free; PlanSpec pins no corpus-keyed
+    * collect_set anywhere in the plan). Oracle replays the identical
+    * chunking + md5-prefix hash, so the gate pins exact output. */
   private val dedupLines = Q(
     (s, d) => {
-      // Both sides project straight off the scan — no spread repartition:
-      // the count side hashes chunks via the codegen'd TokenWindowHash
-      // (byte-identical to hashing the chunk strings — ExprSpec), cheap
-      // enough that scan-split parallelism suffices (at 100 TB the source
-      // arrives in thousands of splits anyway), and the document body
-      // never rides ANY exchange (PlanSpec pins it).
-      val base = docs(s, d)
-        .select(col("doc_id"), lineChunks(tokens(col("text"))).as("ls"))
-      val lh = LlmQueries.explodeNonNull(
-        docs(s, d).select(col("doc_id"),
-          TokenWindowHash(tokens(col("text")), LineW, LineW,
-            tail = true, 15).as("hs")),
-        col("hs"), "h", col("doc_id"))
-      val dup = lh.groupBy(col("h"))
+      // One explode materializes position + text + hash together; the
+      // hash is tokenHash60(line) (byte-identical to the windowed
+      // TokenWindowHash form — ExprSpec). Persisted: the frame feeds the
+      // df count, the survivor probe, AND the text re-join.
+      val ex = engine.ScratchCache.persist(
+        docs(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(lineChunks(tokens(col("text")))).as(Seq("p", "line")))
+          .withColumn("h", tokenHash60(col("line"))))
+      val dup = ex.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
-        .agg(collect_set(col("h")).as("dset"))
-      base.crossJoin(broadcast(dup))
-        .select(col("doc_id"), size(col("ls")).as("n_lines"),
-          filter(col("ls"),
-            l => !array_contains(col("dset"), tokenHash60(l))).as("keep"))
+        .select(col("h"))
+      // Postings only on the anti-join: text stays behind until the
+      // surviving (doc_id, p) keys come back.
+      val sv = ex.select(col("doc_id"), col("p"), col("h"))
+        .join(dup, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("p"))
+      val re = ex.join(sv, Seq("doc_id", "p"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("line")))),
+            x => x.getField("line"))).as("t"))
+      val cnt = ex.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_lines"))
+      cnt.join(re, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_lines"),
-          (col("n_lines") - size(col("keep"))).as("n_removed"),
-          concat_ws(" ", col("keep")).as("text_clean"))
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+            .cast("int").as("n_removed"),
+          coalesce(col("t"), lit("")).as("text_clean"))
         .orderBy("doc_id")
     },
     Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') w

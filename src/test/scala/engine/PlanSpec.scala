@@ -109,7 +109,8 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.dedupEmbedding.mode")
   }
 
-  test("dedup_lines: frequency exchanges ship line hashes, never line text") {
+  test("dedup_lines: dup set is joined, never a collect_set literal; " +
+      "h-keyed posting exchanges ship hashes only") {
     val exec = graft.SparkEntry.queries("dedup_lines")(spark, sf)
       .queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -117,22 +118,38 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         case p => p
       }
     assert(!exec.toString.contains("CartesianProduct"))
-    // the df-count path must shuffle only (doc_id, h); the one exchange
-    // allowed to carry strings is the final determinism sort (range
-    // partitioning on doc_id) — both sides project straight off the
-    // scan, so the document body rides no exchange at all.
+    // the duplicated-line vocabulary is UNBOUNDED on a real web corpus
+    // (boilerplate is pervasive — C4 §2.2 exists because of it), so it
+    // must ride a join keyed on the line hash, never a driver-
+    // materialized collect_set broadcast literal (r14 verdict item 1)
+    assert(!exec.toString.contains("collect_set"),
+      "dup-line set must be joined, not collected")
+    // the df-count and survivor anti-join exchanges are h-keyed and must
+    // carry 24-byte postings only; line text legitimately rides exactly
+    // two exchanges — the doc-granular reassembly agg (binary
+    // collect_list buffers keyed on doc_id) and the final determinism
+    // range sort
     val exchanges = exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.nonEmpty)
     exchanges.foreach { e =>
-      val stringy = e.output.filter(a =>
+      val hKeyed = e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              a.name == "h"
+            case _ => false
+          }
+        case _ => false
+      }
+      val wide = e.output.filter(a =>
         a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-        a.dataType == org.apache.spark.sql.types.StringType)
-      assert(e.outputPartitioning.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
-        stringy.isEmpty,
-        s"df-count exchange carries line text: ${stringy.map(_.name)}")
+        a.dataType == org.apache.spark.sql.types.StringType ||
+        a.dataType == org.apache.spark.sql.types.BinaryType)
+      if (hKeyed)
+        assert(wide.isEmpty,
+          s"posting exchange carries line text: ${wide.map(_.name)}")
     }
   }
 
