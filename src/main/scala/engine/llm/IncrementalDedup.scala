@@ -102,8 +102,12 @@ object IncrementalDedup {
           def bandsOf(t: DataFrame) = t.select(col("doc_id"),
             posexplode(col("bks")).as(Seq("j", "bk")))
           val bands = bandsOf(sig)
-          val prevSig = engine.stream.AppendTable.read(sp, store,
-            sig.schema.add("kept", "boolean", nullable = false))
+          // Bloom-pruned store read: a segment sharing no md5 band key
+          // with this batch can contribute no candidate pair (pruning
+          // on bk alone is conservative — the join still requires j)
+          val prevSig = engine.stream.AppendTable.readPruned(sp, store,
+            sig.schema.add("kept", "boolean", nullable = false),
+            "bk", bands.select(col("bk"))).df
           // store partners are older ⇒ smaller ids under ordered
           // admission; the predicate makes that explicit (and would keep
           // the pair orientation right even for out-of-order backfills)
@@ -132,7 +136,7 @@ object IncrementalDedup {
           engine.stream.AppendTable.append(
             sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"), "left")
               .withColumn("kept", col("_d").isNull).drop("_d"),
-            store, batchId)
+            store, batchId, Some(LlmQueries.bandKeyBloom))
         } finally { sig.unpersist(); () }
       }
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
@@ -497,17 +501,24 @@ object IncrementalDedup {
         .add("kept", "boolean", nullable = false)
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
-        val sig = sigOf(batch)
-        val seen = engine.stream.AppendTable.read(sp, store, storeSchema)
-          .select(col("dg")).distinct()
         val wMin = org.apache.spark.sql.expressions.Window
           .partitionBy(col("dg")).orderBy(col("doc_id"))
+        val sig = sigOf(batch).withColumn("rn", row_number().over(wMin))
+        // Bloom-pruned probe (r14 verdict item 2): only store segments
+        // whose digest sidecar might contain one of this batch's
+        // digests are scanned, and membership is a left-anti join —
+        // never a distinct() over the whole archive per trigger
+        val pruned = engine.stream.AppendTable.readPruned(sp, store,
+          storeSchema, "dg", sig.select(col("dg")))
+        val fresh = sig.filter(col("rn") === 1)
+          .join(pruned.df.select(col("dg")), Seq("dg"), "left_anti")
+          .select(col("doc_id"))
         val verdicts = sig
-          .withColumn("rn", row_number().over(wMin))
-          .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
-          .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+          .join(fresh.withColumn("_k", lit(1)), Seq("doc_id"), "left")
+          .withColumn("kept", col("rn") === 1 && col("_k").isNotNull)
           .select(col("doc_id"), col("dg"), col("kept"))
-        engine.stream.AppendTable.append(verdicts, store, batchId)
+        engine.stream.AppendTable.append(verdicts, store, batchId,
+          Some(engine.stream.BloomSpec.column("dg")))
       }
       val mft = s.conf.get("spark.graft.exactIncr.mft", "32").toInt
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
@@ -695,18 +706,26 @@ object IncrementalDedup {
         val lo = (maxId + 1) * i / 4
         val hi = (maxId + 1) * (i + 1) / 4
         val sig = sigOf(src0.filter(col("doc_id") >= lo &&
-          col("doc_id") < hi))
-        val seen = engine.stream.AppendTable.read(s, store, storeSchema)
-          .select(col("dg")).distinct()
-        val verdicts = sig
+            col("doc_id") < hi))
           .withColumn("rn", row_number().over(wMin))
-          .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
-          .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+        // the Bloom-pruned anti-join probe, as [[dedupExactIncremental]]
+        val pruned = engine.stream.AppendTable.readPruned(s, store,
+          storeSchema, "dg", sig.select(col("dg")))
+        val fresh = sig.filter(col("rn") === 1)
+          .join(pruned.df.select(col("dg")), Seq("dg"), "left_anti")
+          .select(col("doc_id"))
+        val verdicts = sig
+          .join(fresh.withColumn("_k", lit(1)), Seq("doc_id"), "left")
+          .withColumn("kept", col("rn") === 1 && col("_k").isNotNull)
           .select(col("doc_id"), col("dg"), col("kept"))
-        engine.stream.AppendTable.append(verdicts, store, i.toLong)
+        engine.stream.AppendTable.append(verdicts, store, i.toLong,
+          Some(engine.stream.BloomSpec.column("dg")))
       }
       val segBefore = engine.stream.AppendTable.segmentCount(store)
-      engine.stream.AppendTable.compact(s, store, storeSchema, Seq("dg"))
+      // the fold re-blooms the folded segment, so post-compaction probes
+      // keep pruning against the (single) sidecar
+      engine.stream.AppendTable.compact(s, store, storeSchema, Seq("dg"),
+        bloom = Some(engine.stream.BloomSpec.column("dg")))
       val segAfter = engine.stream.AppendTable.segmentCount(store)
       engine.stream.AppendTable.read(s, store, storeSchema)
         .select(col("doc_id"), col("dg"), col("kept"),

@@ -518,6 +518,15 @@ object LlmQueries {
   private[llm] def lshBands(sig: DataFrame): DataFrame = sig
     .select(col("doc_id"), posexplode(bandKeys(col("g"))).as(Seq("j", "bk")))
 
+  /** Bloom sidecar spec for signature stores carrying a `bks` band-key
+    * array: the sidecar indexes every band key a segment contains, so a
+    * probe batch sharing none of them skips the segment entirely (md5
+    * keys are high-cardinality — exactly the domain Bloom pruning
+    * wants; contrast the SRP store's 64-value (band, bv) space, which
+    * is deliberately NOT sidecar'd). */
+  private[engine] val bandKeyBloom = engine.stream.BloomSpec("bk",
+    t => t.select(explode(col("bks")).as("bk")))
+
   /** Estimated Jaccard from two k-slot signatures: matching positions / k. */
   private[llm] def estJaccard(ga: Column, gb: Column): Column =
     aggregate(zip_with(ga, gb, (x, y) => when(x === y, 1).otherwise(0)),

@@ -1302,8 +1302,12 @@ object SearchQueries {
     * overwrites; a death between segment write and manifest commit is
     * the same (the segment is invisible until its manifest lands); the
     * manifest commit itself is [[engine.stream.VersionedTable]]'s atomic
-    * pointer swap, idempotent per batch id. */
-  private def idxSegments(idxRoot: java.io.File): Seq[String] =
+    * pointer swap. Version ids are a monotonic counter shared by ingest
+    * commits AND compactions (never raw batch ids — a post-compaction
+    * batch id could equal the current version and be silently
+    * swallowed by the replay guard); a replayed BATCH is detected by
+    * its segment already being manifest-listed. */
+  private[engine] def idxSegments(idxRoot: java.io.File): Seq[String] =
     engine.stream.VersionedTable.currentDir(idxRoot).map { cur =>
       java.nio.file.Files
         .readAllLines(new java.io.File(cur, "SEGMENTS").toPath)
@@ -1334,7 +1338,7 @@ object SearchQueries {
     * shuffle, and all three writes touch this batch's docs only. The
     * drop rule only ever drops the NEWER doc, so a batch's survivors
     * are final the moment they pass — segments never need rewriting. */
-  private def commitIndexSegment(sp: SparkSession, idxRoot: java.io.File,
+  private[engine] def commitIndexSegment(sp: SparkSession, idxRoot: java.io.File,
       batchId: Long, survivors: DataFrame): Unit = {
     val segName = s"seg-$batchId"
     val cur = idxSegments(idxRoot)
@@ -1353,7 +1357,16 @@ object SearchQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
       .write.mode("overwrite")
       .parquet(new java.io.File(segDir, "stats").getPath)
-    engine.stream.VersionedTable.commitDir(idxRoot, batchId) { dir =>
+    // Version ids are a MONOTONIC COUNTER (current + 1), never the
+    // batch id: a compaction also advances the counter, so an ingest
+    // resuming after one could present a batch id equal to the current
+    // version — and commitDir's idempotent-replay early return would
+    // silently skip listing the batch's segment (r14 advisor). Replay
+    // idempotence for THIS batch id is the `cur.contains(segName)`
+    // check above, which is what actually identifies a replay.
+    val vid = engine.stream.VersionedTable.currentDir(idxRoot)
+      .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
+    engine.stream.VersionedTable.commitDir(idxRoot, vid) { dir =>
       dir.mkdirs() // parquet writers mkdir implicitly; a bare file must
       java.nio.file.Files.writeString(
         new java.io.File(dir, "SEGMENTS").toPath,
@@ -1473,14 +1486,23 @@ object SearchQueries {
       : DataFrame = {
     val sp = b.sparkSession
     val wMin = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-    val seen = engine.stream.AppendTable.read(sp, dgStore, dgSchema)
-      .select(col("dg")).distinct()
-    val v1 = dgOf(b)
-      .withColumn("rn", row_number().over(wMin))
-      .join(seen.withColumn("_s", lit(1)), Seq("dg"), "left")
-      .withColumn("kept", col("rn") === 1 && col("_s").isNull)
+    val sig = dgOf(b).withColumn("rn", row_number().over(wMin))
+    // Bloom-pruned store probe (r14 verdict item 2): only segments whose
+    // digest sidecar might contain one of THIS batch's digests are
+    // scanned — a grown store's untouched segments cost no I/O — and
+    // membership is a left-anti join, never the old
+    // distinct-the-whole-archive + left join (the per-trigger O(store)
+    // shuffle the verdict flagged).
+    val pruned = engine.stream.AppendTable.readPruned(sp, dgStore,
+      dgSchema, "dg", sig.select(col("dg")))
+    val fresh = sig.filter(col("rn") === 1)
+      .join(pruned.df.select(col("dg")), Seq("dg"), "left_anti")
+      .select(col("doc_id"))
+    val v1 = sig.join(fresh.withColumn("_k", lit(1)), Seq("doc_id"), "left")
+      .withColumn("kept", col("rn") === 1 && col("_k").isNotNull)
       .select(col("doc_id"), col("dg"), col("kept"))
-    engine.stream.AppendTable.append(v1, dgStore, batchId)
+    engine.stream.AppendTable.append(v1, dgStore, batchId,
+      Some(engine.stream.BloomSpec.column("dg")))
     b.join(v1.filter(col("kept")).select(col("doc_id")),
       Seq("doc_id"), "leftsemi")
   }
@@ -1501,7 +1523,12 @@ object SearchQueries {
       def bandsOf(t: DataFrame) = t.select(col("doc_id"),
         posexplode(col("bks")).as(Seq("j", "bk")))
       val bands = bandsOf(sig)
-      val prevSig = engine.stream.AppendTable.read(sp, sigStore, sigSchema)
+      // Bloom-pruned store read: a segment sharing NO md5 band key with
+      // this batch can contribute no candidate pair — skip its I/O
+      // (pruning on bk alone is conservative: the join still requires
+      // the band index j to match)
+      val prevSig = engine.stream.AppendTable.readPruned(sp, sigStore,
+        sigSchema, "bk", bands.select(col("bk"))).df
       val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
           col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
             col("o.doc_id") < col("n.doc_id"))
@@ -1520,7 +1547,7 @@ object SearchQueries {
       engine.stream.AppendTable.append(
         sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"), "left")
           .withColumn("kept", col("_d").isNull).drop("_d"),
-        sigStore, batchId)
+        sigStore, batchId, Some(LlmQueries.bandKeyBloom))
     } finally { sig.unpersist(); () }
   }
 
@@ -1594,9 +1621,11 @@ object SearchQueries {
           // read AND write I/O per trigger, the maintenance a 100 TB
           // index demands (the r13 full-rewrite commit re-read and
           // rewrote the cumulative posting set every trigger)
-          val keptBatch = engine.stream.AppendTable.read(sp, sigStore,
-              sigSchema).filter(col("kept")).select(col("doc_id"))
-            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          // the batch's verdicts live exactly in its own segment — an
+          // O(batch) read, never an archive scan post-filtered to ids
+          val keptBatch = engine.stream.AppendTable.readSegment(sp,
+              sigStore, sigSchema, batchId)
+            .filter(col("kept")).select(col("doc_id"))
           commitIndexSegment(sp, idxRoot, batchId,
             b.join(keptBatch, Seq("doc_id"), "leftsemi"))
         } finally { b.unpersist(); () }
@@ -1758,10 +1787,11 @@ object SearchQueries {
           val exactKept =
             exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
           minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId)
+          // per-trigger verdict reads are segment-targeted (O(batch)):
+          // a batch's verdicts live exactly in its own store segment
           val nearKeptB = engine.stream.AppendTable
-            .read(sp, sigStore, sigSchema)
+            .readSegment(sp, sigStore, sigSchema, batchId)
             .filter(col("kept")).select(col("doc_id"))
-            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
           // 3. vector screen on the near-kept survivors' embeddings
           // (doc_id ↔ vec_id row pairing; in a real ingest the vector
           // rides the stream — fetching by the batch's ids is the same
@@ -1771,9 +1801,8 @@ object SearchQueries {
             Seq("vec_id"), "leftsemi")
           IncrementalDedup.srpMergeBatch(vecStore, vecSchema)(embB, batchId)
           val vecDroppedB = engine.stream.AppendTable
-            .read(sp, vecStore, vecSchema)
+            .readSegment(sp, vecStore, vecSchema, batchId)
             .filter(!col("kept")).select(col("vec_id").as("doc_id"))
-            .join(b.select(col("doc_id")), Seq("doc_id"), "leftsemi")
           val keptB = nearKeptB.join(vecDroppedB, Seq("doc_id"), "left_anti")
           // 4a. BM25 posting segment over the final survivors (O(batch))
           commitIndexSegment(sp, idxRoot, batchId,
@@ -1781,10 +1810,9 @@ object SearchQueries {
           // 4b. IVF posting append: this batch's surviving vectors,
           // broadcast-codebook argmax cells, cell-clustered at rest so
           // a probe's cell filter prunes row groups
-          val vk = engine.stream.AppendTable.read(sp, vecStore, vecSchema)
+          val vk = engine.stream.AppendTable
+            .readSegment(sp, vecStore, vecSchema, batchId)
             .filter(col("kept") && col("u").isNotNull)
-            .join(b.select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "leftsemi")
           engine.stream.AppendTable.append(
             assignCells(vk)
               .repartitionByRange(1, col("cent_id"))

@@ -3,6 +3,21 @@ package engine.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Bloom sidecar spec for [[AppendTable]] segments: `key` names the
+  * probe column readers prune on (sidecar file = `_BLOOM.<key>`), `of`
+  * derives the key frame from segment rows — an identity select for a
+  * scalar store column, an explode for array-valued band keys. Worth
+  * writing only for HIGH-cardinality keys (digests, md5 band keys): a
+  * small key domain (e.g. the SRP store's 64 (band, bv) values) puts
+  * every value in every segment and the sidecar prunes nothing. */
+final case class BloomSpec(key: String, of: DataFrame => DataFrame)
+
+object BloomSpec {
+  /** Sidecar over a scalar store column. */
+  def column(key: String): BloomSpec =
+    BloomSpec(key, _.select(org.apache.spark.sql.functions.col(key)))
+}
+
 /** A crash-safe APPEND-ONLY parquet table for foreachBatch sinks: each
   * commit writes a fresh segment directory (`seg-<id>/`) and then
   * atomically rewrites the `MANIFEST` file (tmp + POSIX rename) to
@@ -35,12 +50,40 @@ object AppendTable {
   private def manifest(root: java.io.File): java.io.File =
     new java.io.File(root, "MANIFEST")
 
-  private def segments(root: java.io.File): Seq[String] = {
+  /** Raw manifest lines: segment names plus `#`-prefixed metadata
+    * (currently only the folded-batch high-water mark). */
+  private def manifestLines(root: java.io.File): Seq[String] = {
     val m = manifest(root)
     if (m.isFile)
       java.nio.file.Files.readAllLines(m.toPath)
         .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
     else Seq.empty
+  }
+
+  private def segments(root: java.io.File): Seq[String] =
+    manifestLines(root).filterNot(_.startsWith("#"))
+
+  /** Highest batch id ever folded into a `seg-c*` segment by [[compact]]
+    * (-1 before any fold). [[append]] must no-op for ids at or below it:
+    * after a compaction, a crash-recovery REPLAY of an earlier committed
+    * batch no longer finds its `seg-<id>` in the manifest (it was folded
+    * away), and without this mark the replay would re-write and re-list
+    * the segment — duplicating its rows in every subsequent read. The
+    * mark keeps per-id idempotence across compactions even for a
+    * strictly sequential post-compaction restart. */
+  def foldedHighWater(root: java.io.File): Long =
+    manifestLines(root).find(_.startsWith("#folded:"))
+      .map(_.stripPrefix("#folded:").toLong).getOrElse(-1L)
+
+  private def writeManifest(root: java.io.File, tmpTag: String,
+      segs: Seq[String], folded: Long): Unit = {
+    val meta = if (folded >= 0) Seq(s"#folded:$folded") else Seq.empty
+    val tmp = new java.io.File(root, s"MANIFEST.tmp.$tmpTag")
+    java.nio.file.Files.writeString(tmp.toPath,
+      (meta ++ segs).mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** All committed rows (manifest-listed segments only); empty DataFrame
@@ -56,25 +99,133 @@ object AppendTable {
         .parquet(segs.map(s => new java.io.File(root, s).getPath): _*)
   }
 
+  /** Rows of batch `id`'s own committed segment (empty frame if the id
+    * is not manifest-listed — e.g. already folded). For readers that
+    * need exactly one batch's appended rows (its verdicts), which live
+    * nowhere else: an O(batch) read that replaces scanning the archive
+    * and post-filtering to the batch's ids. */
+  def readSegment(spark: SparkSession, root: java.io.File,
+      schema: StructType, id: Long): DataFrame = {
+    val seg = s"seg-$id"
+    if (segments(root).contains(seg))
+      spark.read.schema(schema)
+        .parquet(new java.io.File(root, seg).getPath)
+    else
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
   /** Commit `df` as segment `id`. Idempotent per id: an uncommitted
     * retry overwrites its own (invisible) segment; a retry whose
-    * segment is already manifest-listed no-ops entirely — rewriting a
-    * committed segment would reopen the torn-file window the manifest
-    * exists to close. */
-  def append(df: DataFrame, root: java.io.File, id: Long): Unit = {
+    * segment is already manifest-listed — or whose id was folded into a
+    * `seg-c*` by a [[compact]] (the [[foldedHighWater]] mark) — no-ops
+    * entirely: rewriting a committed segment would reopen the torn-file
+    * window the manifest exists to close, and re-listing a folded id
+    * would duplicate its rows.
+    *
+    * `bloom`: optionally front the segment with a Bloom sidecar over its
+    * probe-key values ([[BloomSpec]]), written before the manifest lists
+    * the segment so a listed segment always carries its sidecar. */
+  def append(df: DataFrame, root: java.io.File, id: Long,
+      bloom: Option[BloomSpec] = None): Unit = {
     root.mkdirs()
     val seg = s"seg-$id"
-    if (segments(root).contains(seg)) return
+    if (id <= foldedHighWater(root) || segments(root).contains(seg)) return
     df.write.mode("overwrite").parquet(new java.io.File(root, seg).getPath)
+    bloom.foreach(b => writeBloom(df.sparkSession, root, seg, b))
     val cur = segments(root)
-    if (!cur.contains(seg)) {
-      val tmp = new java.io.File(root, s"MANIFEST.tmp.$id")
-      java.nio.file.Files.writeString(tmp.toPath,
-        (cur :+ seg).mkString("", "\n", "\n"))
-      java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (!cur.contains(seg))
+      writeManifest(root, id.toString, cur :+ seg, foldedHighWater(root))
+  }
+
+  /** Per-segment Bloom sidecar file (`_BLOOM.<key>` inside the segment
+    * dir — the `_` prefix keeps it invisible to the parquet reader). */
+  private def bloomFile(root: java.io.File, seg: String, key: String) =
+    new java.io.File(new java.io.File(root, seg), s"_BLOOM.$key")
+
+  private def writeBloom(spark: SparkSession, root: java.io.File,
+      seg: String, bloom: BloomSpec): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keys = bloom.of(spark.read
+        .parquet(new java.io.File(root, seg).getPath))
+      .toDF("k").select(col("k").cast("string")).na.drop()
+    val n = math.max(keys.count(), 1L)
+    // fpp sized to the PROBE, not the lookup: a trigger tests ~segment-
+    // sized key batches against each sidecar, so P(falsely scanning a
+    // segment) ≈ n·fpp per probe batch — 0.01/n holds that at ~1%.
+    // Cost is 1.44·log2(1/fpp) bits/key (≈5 bytes/key at n=1e6): the
+    // sidecar stays orders of magnitude smaller than its segment.
+    val bf = keys.stat.bloomFilter("k", n, math.max(0.01 / n, 1e-12))
+    val out = new java.io.FileOutputStream(bloomFile(root, seg, bloom.key))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Result of a Bloom-pruned read: the frame over the surviving
+    * segments plus the scanned/total counts (the maintenance
+    * observability hook AppendTableSpec pins skip counts through). */
+  final case class PrunedRead(df: DataFrame, segmentsScanned: Int,
+      segmentsTotal: Int)
+
+  /** Read ONLY the segments whose `_BLOOM.<key>` sidecar might contain
+    * at least one of `probe`'s `key` values; segments without a sidecar
+    * are always scanned (pruning is an optimization, never a filter).
+    *
+    * CONTRACT: the returned frame omits segments that provably contain
+    * no probe-key matches, so it is a valid store side only for
+    * consumers that restrict to rows with `key` ∈ probe — equi-, semi-
+    * or anti-joins on `key`, membership flags. Bloom false positives
+    * only ADD segments (conservative).
+    *
+    * The membership test is distributed: the serialized sidecars
+    * broadcast to the probe's partitions, each partition short-circuits
+    * a sidecar once hit, and only the hit-index set (bounded by the
+    * segment count) returns to the driver — the probe keys themselves
+    * never do. */
+  def readPruned(spark: SparkSession, root: java.io.File,
+      schema: StructType, key: String, probe: DataFrame): PrunedRead = {
+    import org.apache.spark.sql.functions.col
+    val segs = segments(root)
+    if (segs.isEmpty) return PrunedRead(read(spark, root, schema), 0, 0)
+    val (withB, bare) = segs.partition(bloomFile(root, _, key).isFile)
+    val hit: Set[String] =
+      if (withB.isEmpty) Set.empty
+      else {
+        val bytes = withB.map(sg => java.nio.file.Files
+          .readAllBytes(bloomFile(root, sg, key).toPath)).toArray
+        val bc = spark.sparkContext.broadcast(bytes)
+        try {
+          import spark.implicits._
+          val idx = probe.select(col(key).cast("string")).na.drop()
+            .as[String].mapPartitions { it =>
+              val bfs = bc.value.map(b =>
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(b)))
+              val hits = new Array[Boolean](bfs.length)
+              var remaining = bfs.length
+              while (remaining > 0 && it.hasNext) {
+                val v = it.next()
+                var i = 0
+                while (i < bfs.length) {
+                  if (!hits(i) && bfs(i).mightContainString(v)) {
+                    hits(i) = true; remaining -= 1
+                  }
+                  i += 1
+                }
+              }
+              hits.zipWithIndex.collect { case (true, i) => i }.iterator
+            }.distinct().collect()
+          idx.map(withB).toSet
+        } finally bc.destroy()
+      }
+    val chosen = segs.filter(sg => hit.contains(sg) || bare.contains(sg))
+    val df =
+      if (chosen.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else
+        spark.read.schema(schema)
+          .parquet(chosen.map(s => new java.io.File(root, s).getPath): _*)
+    PrunedRead(df, chosen.size, segs.size)
   }
 
   /** MAINTENANCE: fold every committed segment into one range-clustered
@@ -92,11 +243,13 @@ object AppendTable {
     * MANIFEST to list only it, then sweep the superseded segment dirs.
     * A death mid-write or pre-swap leaves the fold invisible; a death
     * post-swap leaves unreferenced old dirs the next compact sweeps.
-    * MUST NOT run concurrently with a writer (single-writer contract:
-    * a replayed batch id folded into `seg-c*` is no longer
-    * manifest-listed, so a concurrent replay would double-append). */
+    * MUST NOT run concurrently with a writer (single-writer contract);
+    * SEQUENTIAL replays of folded batch ids are safe — the manifest's
+    * `#folded:` high-water mark makes [[append]] no-op for them, so a
+    * post-compaction restart can never double-append a folded batch. */
   def compact(spark: SparkSession, root: java.io.File, schema: StructType,
-      clusterKeys: Seq[String], nFiles: Int = 1): Unit = {
+      clusterKeys: Seq[String], nFiles: Int = 1,
+      bloom: Option[BloomSpec] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val segs = segments(root)
     if (segs.size <= 1) return
@@ -108,11 +261,13 @@ object AppendTable {
       .sortWithinPartitions(clusterKeys.map(col): _*)
       .write.mode("overwrite")
       .parquet(new java.io.File(root, folded).getPath)
-    val tmp = new java.io.File(root, s"MANIFEST.tmp.c$gen")
-    java.nio.file.Files.writeString(tmp.toPath, folded + "\n")
-    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bloom.foreach(b => writeBloom(spark, root, folded, b))
+    // the folded high-water: every numeric batch id being folded away
+    // (plus any earlier fold's mark) — append() refuses these ids from
+    // now on, keeping replay idempotence across the fold
+    val hw = (segs.filterNot(_.startsWith("seg-c"))
+      .map(_.stripPrefix("seg-").toLong) :+ foldedHighWater(root)).max
+    writeManifest(root, s"c$gen", Seq(folded), hw)
     Option(root.listFiles()).foreach(_.filter(f => f.isDirectory &&
         f.getName.startsWith("seg-") && f.getName != folded)
       .foreach(deleteRecursively))

@@ -407,6 +407,44 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "re-fold of a single-segment index committed a new version")
   }
 
+  test("segmented index: ingest resuming after a compaction with a " +
+      "batch id equal to the current version still lands its segment") {
+    // r14 advisor: version ids used to BE batch ids, so a compaction
+    // (which advances the version counter past them) could leave the
+    // next batch id equal to the current version — and commitDir's
+    // idempotent-replay guard would swallow the manifest update,
+    // silently dropping the batch's documents from the served index.
+    // Version ids are now a monotonic counter for ingest AND compaction.
+    val root = new java.io.File(
+      s"/tmp/graft_idxcollide_${java.util.UUID.randomUUID}")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      llm.SearchQueries.commitIndexSegment(spark, root, 0L,
+        docs.filter(col("doc_id") < 10))
+      llm.SearchQueries.commitIndexSegment(spark, root, 1L,
+        docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+      llm.SearchQueries.compactIndexSegments(spark, root)
+      // versions so far: v0 (batch 0), v1 (batch 1), v2 (the fold) —
+      // the resumed ingest's next batch id is 2 == current version id
+      assert(engine.stream.VersionedTable.currentDir(root)
+        .get.getName == "v2")
+      llm.SearchQueries.commitIndexSegment(spark, root, 2L,
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+      assert(llm.SearchQueries.idxSegments(root) == Seq("seg-c0", "seg-2"),
+        "colliding batch id's segment was not manifest-listed")
+      val (posts, _, glob) = llm.SearchQueries.readSegIndex(spark, root)
+      assert(posts.filter(col("doc_id") === 25).count() > 0,
+        "post-compaction batch's documents missing from the served index")
+      // the global doc counter saw all three batches
+      assert(glob.select(col("n_docs")).head.getLong(0) == 30)
+      // and a replay of the same batch id is still a no-op
+      llm.SearchQueries.commitIndexSegment(spark, root, 2L,
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 30))
+      assert(llm.SearchQueries.idxSegments(root) == Seq("seg-c0", "seg-2"))
+    } finally engine.stream.VersionedTable.destroy(root)
+  }
+
   test("dedup_semantic: verdicts match a brute recompute within clusters " +
       "and drops are a subset of the exact all-pairs screen") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)

@@ -52,4 +52,82 @@ class AppendTableSpec extends AnyFunSuite {
       AppendTable.destroy(root)
     }
   }
+
+  test("a post-compaction replay of a folded batch id is a no-op " +
+      "(folded high-water mark)") {
+    val root = new java.io.File(
+      s"/tmp/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+    try {
+      val schema = Seq((0L, "x")).toDF("id", "k").schema
+      val b0 = Seq((0L, "a"), (1L, "b")).toDF("id", "k")
+      val b1 = Seq((2L, "c")).toDF("id", "k")
+      AppendTable.append(b0, root, 0L)
+      AppendTable.append(b1, root, 1L)
+      AppendTable.compact(spark, root, schema, Seq("id"))
+      assert(AppendTable.foldedHighWater(root) == 1L)
+      // crash-recovery replay of batch 1 (committed before the fold but
+      // not engine-checkpointed): its seg-1 is no longer manifest-listed,
+      // so without the high-water mark append() would re-list it and
+      // every read would double batch 1's rows
+      AppendTable.append(b1, root, 1L)
+      assert(AppendTable.read(spark, root, schema).count() == 3,
+        "replayed folded batch duplicated its rows")
+      assert(AppendTable.segmentCount(root) == 1)
+      // a genuinely NEW batch id above the mark still appends
+      AppendTable.append(Seq((9L, "z")).toDF("id", "k"), root, 2L)
+      assert(AppendTable.read(spark, root, schema).count() == 4)
+      // and a second fold carries the mark forward monotonically
+      AppendTable.compact(spark, root, schema, Seq("id"))
+      assert(AppendTable.foldedHighWater(root) == 2L)
+      AppendTable.append(Seq((99L, "q")).toDF("id", "k"), root, 2L)
+      assert(AppendTable.read(spark, root, schema).count() == 4)
+    } finally {
+      AppendTable.destroy(root)
+    }
+  }
+
+  test("readPruned skips segments whose Bloom sidecar excludes every " +
+      "probe key, never drops matching rows") {
+    val root = new java.io.File(
+      s"/tmp/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+    try {
+      val schema = Seq((0L, "x")).toDF("id", "dg").schema
+      val bl = Some(BloomSpec.column("dg"))
+      // 3 bloomed segments with disjoint key ranges + 1 legacy segment
+      // without a sidecar
+      (0 until 3).foreach { i =>
+        val df = (0 until 50).map(j => (i * 100L + j, s"dg-$i-$j"))
+          .toDF("id", "dg")
+        AppendTable.append(df, root, i.toLong, bl)
+      }
+      AppendTable.append(Seq((900L, "legacy-0")).toDF("id", "dg"), root, 3L)
+      // probe keys only from segment 1 → exactly seg-1 + the sidecar-
+      // less legacy segment are scanned
+      val p1 = AppendTable.readPruned(spark, root, schema, "dg",
+        Seq("dg-1-7", "dg-1-9").toDF("dg"))
+      assert(p1.segmentsTotal == 4)
+      assert(p1.segmentsScanned == 2,
+        s"expected seg-1 + legacy, scanned ${p1.segmentsScanned}")
+      assert(p1.df.filter(col("dg") === "dg-1-7").count() == 1,
+        "pruned read dropped a matching row")
+      // probe keys matching nothing → only the legacy segment scans
+      val p0 = AppendTable.readPruned(spark, root, schema, "dg",
+        Seq("nope-1", "nope-2").toDF("dg"))
+      assert(p0.segmentsScanned == 1)
+      assert(p0.df.count() == 1) // just the legacy row
+      // a bloomed compact re-fronts the folded segment: pruning still
+      // works after the fold
+      AppendTable.compact(spark, root, schema, Seq("dg"), bloom = bl)
+      val pc = AppendTable.readPruned(spark, root, schema, "dg",
+        Seq("nope-3").toDF("dg"))
+      assert(pc.segmentsTotal == 1)
+      assert(pc.segmentsScanned == 0, "folded segment lost its sidecar")
+      val pd = AppendTable.readPruned(spark, root, schema, "dg",
+        Seq("dg-2-4").toDF("dg"))
+      assert(pd.segmentsScanned == 1)
+      assert(pd.df.filter(col("dg") === "dg-2-4").count() == 1)
+    } finally {
+      AppendTable.destroy(root)
+    }
+  }
 }
