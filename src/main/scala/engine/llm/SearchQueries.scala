@@ -760,29 +760,77 @@ object SearchQueries {
     * verification is the codegen'd exact dot — no recall loss inside a
     * cell, recall across cells is the clustering's blocking
     * approximation (the published trade). */
+  /** Default hot-cell cap (`spark.graft.cellcap`): sub-block pair tasks
+    * verify at most cap² ≈ 4.2M cosines each. */
+  private val CellCapDefault = 2048
+
+  /** Coarse-cell assignment of the unit corpus (vec_id, cent_id, u) —
+    * the shared front half of [[dedupSemantic]] / [[knnGraphFrame]]. */
+  private def cellAssign(s: SparkSession, d: String, confKey: String)
+      : DataFrame = {
+    import s.implicits._
+    val e = LlmQueries.unitCorpus(s, d)
+    val k = s.conf.get(confKey, "16").toInt
+    val cents = LlmQueries.trainedSphericalCells(s, d, e, k)
+      .toDF("cent_id", "cu")
+    engine.ScratchCache.persist(
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u")))
+  }
+
+  /** Every within-cell ORDERED pair of an assignment frame, as
+    * (cent_id, vec_id, u, nbr_id, nu) — the shared enumerator of
+    * [[dedupSemantic]] and [[knnGraphFrame]], with a HOT-CELL CAP (r14
+    * verdict item 3). The √N cell recipe balances AVERAGE cell size,
+    * but a clustered real corpus concentrates mass: one hot cell
+    * re-quadratizes the self-join O(cell²) inside a single reducer
+    * (the isotropic testdata hides this). Cells above
+    * `spark.graft.cellcap` members are hash-split into nsb = ⌈m/cap⌉
+    * sub-blocks and every DIRECTED sub-block pair (i, j) becomes its
+    * own reducer task — the a-side replicates across partner js, the
+    * b-side across partner is, and the join keys (cent_id, i, j)
+    * spread the grid over nsb² tasks of ≤ cap² pair-verifies each.
+    * The enumerated pair set is EXACTLY the uncapped one (a pair with
+    * sub-blocks (i, j) meets in task (cell, i, j) and nowhere else), so
+    * semantics — and the oracle — are unchanged at any scale;
+    * SearchSpec pins cap-active ≡ uncapped on both consumers. Below
+    * the cap nsb = 1 and the grid degenerates to the plain cell
+    * equi-join. */
+  private def cellPairs(s: SparkSession, asg: DataFrame): DataFrame = {
+    val cap = s.conf.get("spark.graft.cellcap",
+      CellCapDefault.toString).toInt
+    // one row per cell — bounded by the cell count (~√N under the
+    // recipe), always broadcastable
+    val nsbF = asg.groupBy(col("cent_id"))
+      .agg(ceil(count(lit(1)) / lit(cap)).cast("int").as("nsb"))
+    val sb = asg.join(broadcast(nsbF), "cent_id")
+      .withColumn("sb", pmod(hash(col("vec_id")), col("nsb")).cast("int"))
+    val aRep = sb
+      .withColumn("pj", explode(sequence(lit(0), col("nsb") - 1)))
+      .select(col("cent_id"), col("vec_id"), col("u"),
+        col("sb"), col("pj"))
+    val bRep = sb
+      .withColumn("pi", explode(sequence(lit(0), col("nsb") - 1)))
+      .select(col("cent_id").as("bcent"), col("vec_id").as("nbr_id"),
+        col("u").as("nu"), col("sb").as("bsb"), col("pi"))
+    aRep.join(bRep,
+        col("cent_id") === col("bcent") && col("pj") === col("bsb") &&
+          col("sb") === col("pi"))
+      .select(col("cent_id"), col("vec_id"), col("u"),
+        col("nbr_id"), col("nu"))
+  }
+
   private val dedupSemantic = Q(
     (s, d) => {
-      import s.implicits._
-      val e = LlmQueries.unitCorpus(s, d)
-      val k = s.conf.get("spark.graft.semdedup.k", "16").toInt
-      val cents = LlmQueries.trainedSphericalCells(s, d, e, k)
-        .toDF("cent_id", "cu")
-      // unit vector rides the assignment group so the pair join below
-      // re-attaches nothing; one exchange on cent_id serves both the
-      // self-join and nothing else touches corpus-scale data
-      val asg = engine.ScratchCache.persist(
-        e.join(broadcast(cents))
-          .select(col("vec_id"), col("u"), col("cent_id"),
-            dot(col("u"), col("cu")).as("cd"))
-          .groupBy(col("vec_id"))
-          .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
-            first(col("u")).as("u"))
-          .repartition(col("cent_id")))
-      val dropped = asg.as("a").join(asg.as("b"),
-          col("a.cent_id") === col("b.cent_id") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(dot(col("a.u"), col("b.u")) >= SemThr)
-        .select(col("b.vec_id").as("vec_id")).distinct()
+      val asg = cellAssign(s, d, "spark.graft.semdedup.k")
+      val dropped = cellPairs(s, asg)
+        .filter(col("vec_id") < col("nbr_id") &&
+          dot(col("u"), col("nu")) >= SemThr)
+        .select(col("nbr_id").as("vec_id")).distinct()
       asg.join(dropped.withColumn("_dup", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cent_id"),
           col("_dup").isNull.as("kept"))
@@ -847,30 +895,15 @@ object SearchQueries {
     * recipe. At 100 TB the coarse quantizer goes hierarchical
     * (IVF-HNSW / two-level k-means), which refines this same blocking
     * without changing the within-cell exact-verify core. */
-  private def knnGraphFrame(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = LlmQueries.unitCorpus(s, d)
-    val k = s.conf.get("spark.graft.knng.k", "16").toInt
-    val cents = LlmQueries.trainedSphericalCells(s, d, e, k)
-      .toDF("cent_id", "cu")
-    val asg = engine.ScratchCache.persist(
-      e.join(broadcast(cents))
-        .select(col("vec_id"), col("u"), col("cent_id"),
-          dot(col("u"), col("cu")).as("cd"))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
-          first(col("u")).as("u"))
-        .repartition(col("cent_id")))
-    asg.as("a").join(asg.as("b"),
-        col("a.cent_id") === col("b.cent_id") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        dot(col("a.u"), col("b.u")).as("cos"))
+  private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
+    cellPairs(s, cellAssign(s, d, "spark.graft.knng.k"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        dot(col("u"), col("nu")).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("nbr_id"))))
       .filter(col("rank") <= KnnK)
-  }
 
   private val simKnnGraph = Q(
     (s, d) => knnGraphFrame(s, d)

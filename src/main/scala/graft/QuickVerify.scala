@@ -17,6 +17,10 @@ object QuickVerify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle comparisons run at the pinned 16-cell operating points —
+    // never inherit ScaleProbe's √N confs (the Verify discipline)
+    Seq("spark.graft.knng.k", "spark.graft.semdedup.k")
+      .foreach(spark.conf.unset)
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).coalesce(1)

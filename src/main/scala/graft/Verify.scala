@@ -17,6 +17,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle runs happen at the PINNED operating points: the scale knobs
+    // ScaleProbe sets (√N cell counts) parameterize the ENGINE, but the
+    // DuckDB oracles hard-pin the 16-cell replay — a conf inherited from
+    // an earlier run in the same session would report false mismatches
+    // on correct results (r14 advisor). Clear them up front so the
+    // oracle comparison can never diverge from the replayed SQL.
+    Seq("spark.graft.knng.k", "spark.graft.semdedup.k")
+      .foreach(spark.conf.unset)
     new java.io.File(outDir).mkdirs()
     // A query dump must never go stale: if `outDir` survives from an
     // earlier run, old parquet would silently hash-compare against the

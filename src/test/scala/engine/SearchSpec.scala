@@ -445,6 +445,36 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally engine.stream.VersionedTable.destroy(root)
   }
 
+  test("hot-cell cap: sub-blocked pair enumeration equals the uncapped " +
+      "result on both consumers, and spreads the grid across tasks") {
+    // r14 verdict item 3: the √N recipe balances AVERAGE cell size; a
+    // hot cell re-quadratizes O(cell²) in one reducer. The cap hash-
+    // splits cells into sub-blocks and gives every sub-block PAIR its
+    // own reducer — an EXACT re-layout, so forcing it on (cap=8 makes
+    // every ~31-member sf0.001 cell split 4-ways, a 4×4 grid per cell)
+    // must reproduce the default output bit-for-bit.
+    def runBoth(q: String): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val base = SearchQueries.queries(q).fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.cellcap", "8")
+      try {
+        val capped = SearchQueries.queries(q).fn(spark, sf)
+        // the grid join must key its exchanges on the sub-block columns
+        // — that spread IS the fix (without it the hot cell still lands
+        // in one task and the cap is decorative)
+        val planStr = capped.queryExecution.executedPlan.toString
+        assert(planStr.contains("pj"),
+          s"$q cap-active plan lost the sub-block join keys")
+        (base, capped.collect().map(_.toSeq).toSeq)
+      } finally spark.conf.unset("spark.graft.cellcap")
+    }
+    for (q <- Seq("dedup_semantic", "sim_knn_graph")) {
+      val (base, capped) = runBoth(q)
+      assert(capped == base,
+        s"$q: sub-blocked enumeration diverged from the uncapped result")
+    }
+  }
+
   test("dedup_semantic: verdicts match a brute recompute within clusters " +
       "and drops are a subset of the exact all-pairs screen") {
     val e = engine.llm.LlmQueries.unitEmbeddings(spark, sf)
