@@ -1495,7 +1495,7 @@ object LlmQueries {
     * which preserves every double bit-exactly, so one replay pins both.
     * `nprobe` parameterizes the report's wider operating point. */
   private[llm] def ivfOracleSql(qPred: String = "vec_id < 5",
-      nprobe: Int = 4): String =
+      nprobe: Int = 4, extraCols: String = ""): String =
     coarseChainSql + s""",
       asgx AS (SELECT eu.vec_id, c.cent_id,
                  list_sum(list_transform(list_zip(eu.u, c.cu),
@@ -1517,7 +1517,7 @@ object LlmQueries {
                        JOIN eu ec ON ec.vec_id = cand.cid)
       SELECT qid, cid,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
-        round(cos, 4) AS cosine
+        round(cos, 4) AS cosine$extraCols
       FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""
 
   /** B49d: the PERSISTED-index IVF serving path. [[simSearchIvf]] trains

@@ -1507,6 +1507,93 @@ object SearchQueries {
         4::BIGINT AS seg_before, 1::BIGINT AS seg_after
       FROM ltop ORDER BY qid, rank"""))
 
+  // --------------------------------- B59 IVF posting-store compaction
+  /** B59: the VECTOR twin of [[maintenanceIndexCompact]] (r14 verdict
+    * item 4) — [[pipelineOnlineHybrid]]'s IVF posting store grows one
+    * cell-clustered segment per trigger forever; this is the
+    * maintenance fold that keeps it bounded, off the ingest path.
+    * Replays a 4-append posting-store ingest (the hybrid capstone's 4b
+    * shape, no screens: ordered vec_id ranges assigned to the shared
+    * offline spherical codebook, appended cell-clustered), serves the
+    * standard id < 5 / nprobe 4 probe, folds the store into ONE
+    * cell-clustered segment via [[engine.stream.AppendTable.compact]],
+    * and serves the SAME probe from the folded store — which must be
+    * bit-equal (the losslessness oracle; SearchSpec pins before ≡
+    * after, 4 → 1 segments). Clustered on `cent_id` because that is
+    * the store's probe key: a probe's nprobe-cell restriction prunes
+    * row groups by min/max stats (cell cardinality is 16 — deliberately
+    * NOT Bloom-sidecar'd, per the [[engine.stream.BloomSpec]] note).
+    * Output = the folded-store probe + the before/after segment
+    * counts; oracle = the shared IVF replay, which the segment layout
+    * must be invisible to. */
+  private val maintenanceIvfCompact = Q(
+    (s, d) => {
+      import s.implicits._
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(s"/tmp/graft_ivfcmp_$san")
+      engine.stream.AppendTable.destroy(store) // fresh replay
+      val e = LlmQueries.unitCorpus(s, d)
+      val cents = LlmQueries.trainedSphericalCells(s, d, e)
+        .toDF("cent_id", "cu")
+      def assignCells(vk: DataFrame): DataFrame = vk
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u"))
+      val schema = assignCells(e.limit(0)).schema
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      (0 until 4).foreach { i =>
+        val lo = (maxId + 1) * i / 4
+        val hi = (maxId + 1) * (i + 1) / 4
+        engine.stream.AppendTable.append(
+          assignCells(e.filter(col("vec_id") >= lo && col("vec_id") < hi))
+            .repartitionByRange(1, col("cent_id"))
+            .sortWithinPartitions(col("cent_id")),
+          store, i.toLong)
+      }
+      val segBefore = engine.stream.AppendTable.segmentCount(store)
+      engine.stream.AppendTable.compact(s, store, schema, Seq("cent_id"))
+      val segAfter = engine.stream.AppendTable.segmentCount(store)
+      ivfProbeStore(s, store, schema, e, cents)
+        .select(col("qid"), col("cid"), col("rank"), col("cosine"),
+          lit(segBefore).cast("long").as("seg_before"),
+          lit(segAfter).cast("long").as("seg_after"))
+        .orderBy("qid", "rank")
+    },
+    Some(LlmQueries.ivfOracleSql(extraCols =
+      ", 4::BIGINT AS seg_before, 1::BIGINT AS seg_after")))
+
+  /** The id < 5 / nprobe 4 IVF probe served from an [[engine.stream
+    * .AppendTable]] posting store — [[pipelineOnlineHybrid]]'s serve
+    * arm and [[maintenanceIvfCompact]]'s losslessness yardstick. */
+  private[engine] def ivfProbeStore(s: SparkSession, store: java.io.File,
+      schema: org.apache.spark.sql.types.StructType, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cd").desc, col("cent_id"))
+    val vq = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val qprobe = vq.join(broadcast(cents))
+      .select(col("qid"), col("cent_id"),
+        dot(col("qu"), col("cu")).as("cd"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 4)
+      .select(col("qid"), col("cent_id"))
+    engine.stream.AppendTable.read(s, store, schema)
+      .join(broadcast(qprobe), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(vq), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("cid"), col("rank"),
+        r4(col("cos")).as("cosine"))
+  }
+
   // ----------------------------------- shared online screen stages (B54/B56)
   /** Stage-1 EXACT screen of the online pipelines (the
     * dedup_exact_incremental merge): append digest verdicts to the
@@ -2029,6 +2116,7 @@ object SearchQueries {
     "dedup_semantic" -> dedupSemantic,
     "pipeline_online_hybrid" -> pipelineOnlineHybrid,
     "maintenance_index_compact" -> maintenanceIndexCompact,
+    "maintenance_ivf_compact" -> maintenanceIvfCompact,
     "search_phrase" -> searchPhrase,
     "search_mlt" -> searchMlt,
     "sim_knn_graph" -> simKnnGraph,

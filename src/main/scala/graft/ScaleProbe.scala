@@ -198,7 +198,10 @@ object ScaleProbe {
     // corpus) and its cost is trigger-count-dominated, not plan-bound
     "search_phrase", "search_mlt", "sim_knn_graph",
     "search_passage", "corpus_report_incremental", "graph_pagerank",
-    "tokenize_report", "sample_quality_topk", "search_autocomplete")
+    "tokenize_report", "sample_quality_topk", "search_autocomplete",
+    // r15 additions: the IVF posting-store fold (vector twin of
+    // maintenance_index_compact)
+    "maintenance_ivf_compact")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -407,6 +407,25 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "re-fold of a single-segment index committed a new version")
   }
 
+  test("maintenance_ivf_compact: the folded posting store serves the " +
+      "inline IVF ranking bit-for-bit, one segment survives") {
+    val full = SearchQueries.queries("maintenance_ivf_compact")
+      .fn(spark, sf).collect().map(_.toSeq).toSeq
+    // post-fold serving == the inline (never-persisted, never-folded)
+    // IVF compute — the strongest losslessness statement available:
+    // neither the 4-segment layout nor the fold may move one score bit
+    val inline = llm.LlmQueries.queries("sim_search_ivf").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full.map(_.take(4)) == inline,
+      "folded IVF store serving diverged from the inline IVF ranking")
+    assert(full.map(_.drop(4)).distinct == Seq(Seq(4L, 1L)),
+      s"segment counts drifted: ${full.map(_.drop(4)).distinct}")
+    val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val store = new java.io.File(s"/tmp/graft_ivfcmp_$san")
+    assert(engine.stream.AppendTable.segmentCount(store) == 1,
+      "fold left more than one segment")
+  }
+
   test("segmented index: ingest resuming after a compaction with a " +
       "batch id equal to the current version still lands its segment") {
     // r14 advisor: version ids used to BE batch ids, so a compaction
