@@ -65,6 +65,29 @@ class StreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_asof_enrich: trigger split does not change the enrichment " +
+      "and matches batch join_asof") {
+    // under time-ordered admission, "latest dimension seen so far" is
+    // the event-time as-of for ANY split point — state carries exactly
+    // the last dimension row per key across triggers, so the 3-trigger
+    // run must equal the single-trigger default AND the batch operator
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_asof_enrich")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.asofStream.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.asofStream.mft")
+    val single = run()
+    assert(multi == single)
+    assert(multi.nonEmpty)
+    val batch = graft.SparkEntry.queries("join_asof")(spark, sf)
+      .select(col("event_id"), col("user_id"), col("matched_order"))
+      .collect().map(_.toSeq).toSeq
+    assert(multi == batch,
+      "streaming as-of enrichment diverged from batch join_asof")
+  }
+
   test("ordered publish yields >maxFilesPerTrigger contiguous-range files") {
     val df = (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
     val tag = "spec_layout_" + System.nanoTime() // unique: force a fresh publish
