@@ -905,6 +905,39 @@ object SearchQueries {
           .orderBy(col("cos").desc, col("nbr_id"))))
       .filter(col("rank") <= KnnK)
 
+  /** Measured WITHIN-CELL recall of the blocked kNN build against the
+    * exact corpus-wide top-[[KnnK]], over the deterministic query
+    * sample `vec_id % sampleMod == 0` — r14 verdict item 5: the √N
+    * cell recipe's recall trade was asserted from the SemDeDup
+    * literature; this measures it in-engine at whatever (corpus, k)
+    * point the session confs select. ScaleProbe reports it at BOTH the
+    * oracle-pinned 16 cells and the √N-scaled count on the 10×
+    * corpus; SearchSpec pins small-scale floors at two k points. The
+    * exact side is a broadcast-sample nested-loop over the corpus
+    * (|sample| · N dots — a QA readout's budget, not a serving
+    * path). */
+  def blockedKnnRecall(s: SparkSession, d: String, sampleMod: Int)
+      : Double = {
+    val e = LlmQueries.unitCorpus(s, d)
+    val q = e.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr_id"),
+        dot(col("qu"), col("u")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nbr_id"))))
+      .filter(col("rk") <= KnnK)
+      .select(col("qid"), col("nbr_id"))
+    val blocked = knnGraphFrame(s, d) // honors spark.graft.knng.k
+      .select(col("vec_id").as("qid"), col("nbr_id"))
+      .join(q.select(col("qid")), Seq("qid"), "leftsemi")
+    val tot = exact.count()
+    if (tot == 0) 0.0
+    else exact.join(blocked, Seq("qid", "nbr_id"), "leftsemi")
+      .count().toDouble / tot
+  }
+
   private val simKnnGraph = Q(
     (s, d) => knnGraphFrame(s, d)
       .select(col("vec_id"), col("rank"), col("nbr_id"),

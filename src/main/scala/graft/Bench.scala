@@ -39,10 +39,13 @@ object Bench {
     // once() drains it into the op's attribution entry, so a slow op
     // decomposes into WHICH trigger paid and how much.
     val triggerLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val streamsStarted = new java.util.concurrent.atomic.AtomicLong(0)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(e: org.apache.spark.sql.streaming
-          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+            .StreamingQueryListener.QueryStartedEvent): Unit = {
+          streamsStarted.incrementAndGet(): Unit
+        }
         override def onQueryProgress(e: org.apache.spark.sql.streaming
             .StreamingQueryListener.QueryProgressEvent): Unit = {
           val p = e.progress
@@ -92,6 +95,7 @@ object Bench {
       def once(): (Double, Seq[String], Seq[String]) = {
         engine.ScratchCache.drainBuiltLog() // discard pre-window noise
         drainTriggers()                     // discard pre-window events
+        val s0 = streamsStarted.get()
         val t0 = System.nanoTime()
         // a crash records -1, never a flatteringly-fast time-to-failure
         val dt =
@@ -101,11 +105,28 @@ object Bench {
             -1.0
           }
         val built = engine.ScratchCache.drainBuiltLog()
-        // progress events post asynchronously, but a terminated stream
-        // has flushed its bus by the time awaitTermination returns, so
-        // this drain captures the op's triggers (a straggler would
-        // surface in the NEXT op's list — diagnostic, not accounting)
-        val trig = drainTriggers()
+        // progress events post on an ASYNC listener bus with no flush
+        // guarantee at termination (r14 advisor — the old comment
+        // claimed the opposite), so the final trigger could land in the
+        // NEXT op's list. If this window ran any stream, grace-drain
+        // outside the timed region until two consecutive 50 ms polls
+        // come back empty; batch-only windows skip the wait entirely.
+        val trig = {
+          val got = Seq.newBuilder[String]
+          got ++= drainTriggers()
+          if (streamsStarted.get() != s0) {
+            var quiet = 0
+            var spins = 0
+            while (quiet < 2 && spins < 40) { // ≤ 2 s hard bound
+              Thread.sleep(50)
+              val more = drainTriggers()
+              if (more.isEmpty) quiet += 1
+              else { quiet = 0; got ++= more }
+              spins += 1
+            }
+          }
+          got.result()
+        }
         engine.ScratchCache.drain() // blocking; outside the timed region
         (dt, built, trig)
       }

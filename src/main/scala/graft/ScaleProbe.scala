@@ -104,6 +104,23 @@ object ScaleProbe {
       engine.ScratchCache.drain(); System.gc()
       (q, sec, c)
     }
+    // r15 (r14 verdict item 5): the √N recipe's RECALL trade, measured
+    // in-engine — within-cell kNN recall vs the exact corpus-wide top-k
+    // on a deterministic query sample, at BOTH the oracle-pinned 16
+    // cells and the √N-scaled count. On this replica-built corpus the
+    // true neighbors are mostly exact replicas (which always share a
+    // cell), so these numbers are a FLOOR check here; the sf-native
+    // two-k trade is pinned in SearchSpec.
+    val knngRecall = if (scale != 10) Nil
+      else Seq(16, knnK).distinct.map { k =>
+        spark.conf.set("spark.graft.knng.k", k.toString)
+        val r = engine.llm.SearchQueries.blockedKnnRecall(spark, out, 101)
+        engine.ScratchCache.drain(); System.gc()
+        println(f"SCALE knng_recall k=$k: $r%.3f")
+        (k, r)
+      }
+    if (knngRecall.nonEmpty)
+      spark.conf.set("spark.graft.knng.k", knnK.toString)
     val tenRows = readPrevRows(artifactPath(10))
     val flagged = if (scale == 10) Nil
       else results.flatMap { case (q, sec, c) =>
@@ -138,6 +155,9 @@ object ScaleProbe {
     }.mkString(
       s"""{\n  "sf_base": "sf0.1", "scale": $scale,""" +
         s""" "flagged": [${flagged.map("\"" + _._1 + "\"").mkString(", ")}],""" +
+        (if (knngRecall.isEmpty) ""
+         else knngRecall.map { case (k, r) => f""""k$k": $r%.3f""" }
+           .mkString(" \"knng_recall\": {", ", ", "},")) +
         "\n  \"ops\": {\n",
       ",\n", "\n  }\n}\n")
     java.nio.file.Files.writeString(

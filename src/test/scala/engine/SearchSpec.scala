@@ -464,6 +464,30 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally engine.stream.VersionedTable.destroy(root)
   }
 
+  test("blocked kNN recall is MEASURED at two cell counts (the √N " +
+      "recipe's recall trade, in-engine)") {
+    // r14 verdict item 5: the blocking-recall trade of the √N cell
+    // recipe was asserted from the SemDeDup literature; measure it.
+    // On the isotropic testdata, within-cell (nprobe=1-equivalent)
+    // recall@3 sits ≈ 0.26 at k=16 and ≈ 0.26 at k=32 (sf0.001,
+    // sample mod 3) — the documented isotropic-data ceiling (clustered
+    // real embeddings sit far higher); more cells can only shrink
+    // cells, so recall must not RISE materially with k. ScaleProbe
+    // writes the same readout for the 10× corpus into scaleprobe.json.
+    def at(k: Int): Double = {
+      spark.conf.set("spark.graft.knng.k", k.toString)
+      try SearchQueries.blockedKnnRecall(spark, sf, 3)
+      finally spark.conf.unset("spark.graft.knng.k")
+    }
+    val r16 = at(16)
+    val r32 = at(32)
+    assert(r16 > 0.15 && r16 <= 1.0, s"k=16 recall out of band: $r16")
+    assert(r32 > 0.15 && r32 <= 1.0, s"k=32 recall out of band: $r32")
+    assert(r16 >= r32 - 0.05,
+      s"recall rose with cell count (k16=$r16, k32=$r32) — the blocked " +
+        "build is not measuring what it claims")
+  }
+
   test("hot-cell cap: sub-blocked pair enumeration equals the uncapped " +
       "result on both consumers, and spreads the grid across tasks") {
     // r14 verdict item 3: the √N recipe balances AVERAGE cell size; a
