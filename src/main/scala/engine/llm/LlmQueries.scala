@@ -1206,6 +1206,66 @@ object LlmQueries {
         round(cos, 4) AS cosine
       FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
+  // ------------------------------------------- B49h mine_hard_negatives
+  /** B49h: HARD-NEGATIVE MINING — the contrastive-training data op
+    * (DPR / SimCLR / E5 recipe): for each anchor, the top-5
+    * highest-cosine corpus vectors whose `label` DIFFERS from the
+    * anchor's (the confusable negatives a contrastive loss learns
+    * most from), each with the anchor's best same-label cosine and the
+    * margin (pos − neg; a negative margin marks an anchor whose
+    * nearest neighbor crosses the label boundary — the hardest
+    * training rows). The anchor set is the id < 5 query convention; in
+    * production it is the training batch, equally broadcast-sized.
+    *
+    * Shape: [[simSearchTopk]]'s — anchors broadcast, the corpus
+    * streams through one codegen'd projection (label test + dot), NO
+    * corpus shuffle at any scale; the per-anchor rank is a
+    * WindowGroupLimit over anchor-keyed rows. */
+  private val mineHardNegatives = Q(
+    (s, d) => {
+      val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val e = unitCorpus(s, d).join(lbl, "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"),
+          col("label").as("ql"))
+      val sc = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("ql"), col("vec_id").as("cid"),
+          col("label"), dot(col("qu"), col("u")).as("cos"))
+      val pos = sc.filter(col("label") === col("ql"))
+        .groupBy(col("qid")).agg(max(col("cos")).as("pos_cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      sc.filter(col("label") =!= col("ql"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(broadcast(pos), Seq("qid"))
+        .select(col("qid"), col("rank"), col("cid").as("neg_id"),
+          col("label").as("neg_label"), r4(col("cos")).as("cosine"),
+          r4(col("pos_cos")).as("pos_cos"),
+          r4(col("pos_cos") - col("cos")).as("margin"))
+        .orderBy("qid", "rank")
+    },
+    Some(unitSql + """,
+      eq AS (SELECT e.vec_id, e.u, lb.label
+             FROM e JOIN embeddings lb USING (vec_id)
+             WHERE e.u IS NOT NULL),
+      q AS (SELECT vec_id qid, u qu, label ql FROM eq WHERE vec_id < 5),
+      sc AS (SELECT q.qid, q.ql, c.vec_id cid, c.label,
+               list_sum(list_transform(list_zip(q.qu, c.u),
+                 p -> p[1] * p[2])) cos
+             FROM q, eq c WHERE c.vec_id <> q.qid),
+      pos AS (SELECT qid, max(cos) pos_cos FROM sc
+              WHERE label = ql GROUP BY qid),
+      neg AS (SELECT qid, cid, label, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, cid) rank
+              FROM sc WHERE label <> ql)
+      SELECT n.qid, n.rank, n.cid AS neg_id, n.label AS neg_label,
+        round(n.cos, 4) AS cosine, round(p.pos_cos, 4) AS pos_cos,
+        round(p.pos_cos - n.cos, 4) AS margin
+      FROM neg n JOIN pos p USING (qid) WHERE n.rank <= 5
+      ORDER BY n.qid, n.rank"""))
+
   /** ANN via sign-random-projection LSH: 16-bit SRP code per vector,
     * banded 4×4; candidates share a band (equi-join), then exact cosine +
     * top-k *within candidates only*. Approximate w.r.t. the true top-k
@@ -2362,6 +2422,7 @@ object LlmQueries {
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "sim_search_topk" -> simSearchTopk,
+    "mine_hard_negatives" -> mineHardNegatives,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_ivf_indexed" -> simSearchIvfIndexed,

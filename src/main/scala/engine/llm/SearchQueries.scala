@@ -386,6 +386,137 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM mtop ORDER BY qid, rank"""))
 
+  // -------------------------------------------------- B53p search_snippet
+  /** Query terms kept for snippet retrieval (3, not [[MltM]]'s 5: the
+    * 30-word testdata vocabulary makes wider term sets match nearly
+    * every position, degenerating the window argmax) / snippet window
+    * width in tokens / candidate docs per query. */
+  private val SnipM = 3
+  private val SnipW = 10
+  private val SnipTop = 3
+
+  /** B53p: SNIPPET (highlight) generation — the serving step after
+    * ranking that every search UI runs: for each of the query's
+    * top-[[SnipTop]] BM25 candidates, the best [[SnipW]]-token window
+    * — the one containing the most query-term occurrences (ties → the
+    * earliest window), emitted with its start, hit count, and text.
+    * Query terms are the top-[[SnipM]] tf·idf terms of the query doc
+    * (the [[searchMlt]] selection — selective enough to make the
+    * window argmax meaningful). The optimal window can always start AT
+    * a matched position (shifting a window right to its first hit
+    * keeps every hit), so the argmax enumerates matched starts only —
+    * O(matches²) per candidate, never O(doc_len²).
+    *
+    * Shape at 100 TB: ranking is the shared posting-table BM25; the
+    * snippet stage touches ONLY the ≤ queries × [[SnipTop]] candidate
+    * docs (broadcast ids restrict the token explode), so its cost is
+    * serving-bounded, not corpus-bounded. */
+  private val searchSnippet = Q(
+    (s, d) => {
+      val posts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val qposts = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      val qdf0 = dfs.join(broadcast(qposts.select(col("term")).distinct()),
+        "term")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val sqt = qposts.join(broadcast(qdf0), "term")
+        .crossJoin(broadcast(glob))
+        .select(col("qid"), col("term"),
+          round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
+        .withColumn("trank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ts").desc, col("term"))))
+        .filter(col("trank") <= SnipM)
+        .select(col("qid"), col("term"))
+      val sdf = dfs.join(broadcast(sqt.select(col("term")).distinct()),
+        "term")
+      val top = bm25Rank(posts, sqt, sdf, glob)
+        .filter(col("rank") <= SnipTop)
+        .select(col("qid"), col("cid"), col("rank"))
+      val mpos = docs(s, d)
+        .join(broadcast(top.select(col("cid").as("doc_id")).distinct()),
+          Seq("doc_id"), "leftsemi")
+        .select(col("doc_id").as("cid"),
+          posexplode(tokens(col("text"))).as(Seq("p", "term")))
+        .join(broadcast(top), Seq("cid"))
+        .join(broadcast(sqt), Seq("qid", "term"))
+        .select(col("qid"), col("cid"), col("rank"), col("p"))
+      val hits = mpos.as("a").join(mpos.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
+            col("b.p") >= col("a.p") && col("b.p") < col("a.p") + SnipW)
+        .groupBy(col("a.qid").as("qid"), col("a.cid").as("cid"),
+          col("a.rank").as("rank"), col("a.p").as("p"))
+        .agg(count(lit(1)).as("h"))
+      val best = hits.withColumn("brk", row_number().over(
+          Window.partitionBy(col("qid"), col("cid"))
+            .orderBy(col("h").desc, col("p"))))
+        .filter(col("brk") === 1)
+      best.join(docs(s, d).select(col("doc_id").as("cid"), col("text")),
+          Seq("cid"))
+        .select(col("qid"), col("cid"), col("rank"),
+          col("p").cast("int").as("snip_start"),
+          col("h").cast("long").as("snip_hits"),
+          concat_ws(" ", slice(tokens(col("text")),
+            col("p").cast("int") + lit(1), lit(SnipW))).as("snippet"))
+        .orderBy("qid", "rank")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
+      ntok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      nq0 AS (SELECT doc_id qid, term, tf FROM bpdl WHERE doc_id < 5),
+      nsel AS (SELECT q.qid, q.term,
+                CAST(round(q.tf * ln(1.0 +
+                  ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                  (f.df::DOUBLE + 0.5)) * 1e6, 0) AS BIGINT) ts
+               FROM nq0 q JOIN bdfs f USING (term) CROSS JOIN bglob g),
+      nqt AS (SELECT qid, term,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ts DESC, term) trank
+              FROM nsel QUALIFY trank <= $SnipM),
+      nsc AS (SELECT q.qid, p.doc_id cid,
+               CAST(round(
+                 ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.dl / g.avgdl))) * 1e6, 0)
+                 AS BIGINT) m
+              FROM bpdl p JOIN nqt q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN bdfs f ON f.term = p.term
+              CROSS JOIN bglob g),
+      nagg AS (SELECT qid, cid, sum(m) ms FROM nsc GROUP BY 1, 2),
+      nrk AS (SELECT qid, cid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ms DESC, cid) rank
+              FROM nagg QUALIFY rank <= $SnipTop),
+      ntk AS (SELECT doc_id cid,
+                unnest(generate_series(1, len(w))) - 1 AS p,
+                unnest(w) AS term
+              FROM ntok WHERE doc_id IN (SELECT cid FROM nrk)),
+      nmp AS (SELECT r.qid, t.cid, r.rank, t.p
+              FROM ntk t JOIN nrk r ON r.cid = t.cid
+              JOIN nqt q ON q.qid = r.qid AND q.term = t.term),
+      nh AS (SELECT a.qid, a.cid, a.rank, a.p, count(*) h
+             FROM nmp a JOIN nmp b ON a.qid = b.qid AND a.cid = b.cid
+               AND b.p >= a.p AND b.p < a.p + $SnipW
+             GROUP BY 1, 2, 3, 4),
+      nb AS (SELECT qid, cid, rank, p, h,
+              row_number() OVER (PARTITION BY qid, cid
+                ORDER BY h DESC, p) brk
+             FROM nh QUALIFY brk = 1)
+      SELECT nb.qid, nb.cid, nb.rank, CAST(nb.p AS INT) AS snip_start,
+        nb.h::BIGINT AS snip_hits,
+        array_to_string(ntok.w[nb.p + 1 : nb.p + $SnipW], ' ') AS snippet
+      FROM nb JOIN ntok ON ntok.doc_id = nb.cid
+      ORDER BY nb.qid, nb.rank"""))
+
   // -------------------------------------------------- B53m search_passage
   /** B53m: chunk-granular PASSAGE retrieval — the RAG serving shape:
     * BM25 over the [[chunkFrame]] chunk table (each chunk scored as its
@@ -2152,6 +2283,7 @@ object SearchQueries {
     "maintenance_ivf_compact" -> maintenanceIvfCompact,
     "search_phrase" -> searchPhrase,
     "search_mlt" -> searchMlt,
+    "search_snippet" -> searchSnippet,
     "sim_knn_graph" -> simKnnGraph,
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,

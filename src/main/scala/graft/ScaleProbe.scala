@@ -220,8 +220,9 @@ object ScaleProbe {
     "search_passage", "corpus_report_incremental", "graph_pagerank",
     "tokenize_report", "sample_quality_topk", "search_autocomplete",
     // r15 additions: the IVF posting-store fold (vector twin of
-    // maintenance_index_compact)
-    "maintenance_ivf_compact")
+    // maintenance_index_compact), contrastive hard-negative mining,
+    // snippet generation
+    "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

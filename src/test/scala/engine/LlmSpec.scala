@@ -623,4 +623,29 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(sz == 4L && w == 0.25, "clique members carry weight 1/4")
     }
   }
+
+  test("mine_hard_negatives: negatives cross the label boundary, ranks " +
+      "are cosine-ordered, margin is pos - neg") {
+    val rows = llm.LlmQueries.queries("mine_hard_negatives").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val anchorLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.size), s"ranks not dense for $qid")
+      assert(g.size <= 5)
+      g.foreach { case (_, _, negId, negLabel, cos, posCos, margin) =>
+        assert(negLabel != anchorLabel(qid),
+          s"negative $negId shares anchor $qid's label")
+        assert(negLabel == anchorLabel(negId), "neg_label is not the corpus label")
+        assert(math.abs(margin - (posCos - cos)) < 2e-4,
+          s"margin drifted: $margin vs ${posCos - cos}")
+      }
+      // cosine non-increasing in rank
+      val byRank = g.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -464,6 +464,27 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally engine.stream.VersionedTable.destroy(root)
   }
 
+  test("search_snippet: each snippet is the doc's contiguous window at " +
+      "snip_start with at least one query-term hit") {
+    val rows = SearchQueries.queries("search_snippet").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (qid, cid, rank, start, hits, snip) =>
+      assert(rank >= 1 && rank <= 3)
+      assert(hits >= 1, s"($qid,$cid) snippet has no query-term hit")
+      val toks = text(cid).split(" ")
+      val expect = toks.slice(start, start + 10).mkString(" ")
+      assert(snip == expect,
+        s"($qid,$cid) snippet is not the doc window at $start")
+    }
+    // one snippet per (query, candidate)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("blocked kNN recall is MEASURED at two cell counts (the √N " +
       "recipe's recall trade, in-engine)") {
     // r14 verdict item 5: the blocking-recall trade of the √N cell
