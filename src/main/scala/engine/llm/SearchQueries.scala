@@ -1187,6 +1187,77 @@ object SearchQueries {
       FROM p$PrRounds ORDER BY vec_id"""
     })
 
+  // ------------------------------------------- B58b graph_label_prop
+  /** Label-propagation rounds. */
+  private val LpRounds = 3
+
+  /** B58b: LABEL PROPAGATION over the kNN similarity graph — the
+    * community-smoothing readout beside [[graphPagerank]]'s centrality:
+    * each node repeatedly adopts the MAJORITY label among itself and
+    * its kNN neighbors (ties → the smallest label), [[LpRounds]]
+    * synchronous rounds. Curation stacks run exactly this to denoise
+    * sparse domain/quality labels over a similarity graph (a mislabeled
+    * doc inside a coherent neighborhood flips; boundary docs surface as
+    * `changed`). All-integer counts ⇒ no float discipline needed; the
+    * oracle unrolls the rounds as CTEs over the same edge table.
+    *
+    * Shape at 100 TB: per round one src-keyed edge join + one
+    * (id, label) count shuffle = O(E) = O(N·k), lineage truncated per
+    * round ([[engine.Core.checkpointFresh]]); rounds are a fixed
+    * constant; no driver-side data. */
+  private val graphLabelProp = Q(
+    (s, d) => {
+      val edges = engine.ScratchCache.persist(knnGraphFrame(s, d)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        .repartition(col("src")))
+      val l0 = engine.ScratchCache.persist(
+        engine.Core.t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"))
+          .join(LlmQueries.unitCorpus(s, d).select(col("vec_id")),
+            Seq("vec_id"), "leftsemi"))
+      var lbl = l0
+      for (_ <- 1 to LpRounds) {
+        val votes = edges
+          .join(lbl.withColumnRenamed("vec_id", "dst"), "dst")
+          .select(col("src").as("vec_id"), col("label"))
+          .unionByName(lbl)
+          .groupBy(col("vec_id"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        lbl = engine.Core.checkpointFresh(
+          votes.groupBy(col("vec_id"))
+            .agg(expr("max_by(label, struct(c, -label))").as("label")))
+      }
+      l0.withColumnRenamed("label", "label0")
+        .join(lbl, "vec_id")
+        .select(col("vec_id"), col("label0"), col("label"),
+          (col("label") =!= col("label0")).as("changed"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def lpRound(r: Int): String = s""",
+      lpv$r AS (SELECT e.src AS vec_id, l.label, count(*) c
+               FROM lped e JOIN lp${r - 1} l ON l.vec_id = e.dst
+               GROUP BY 1, 2
+               UNION ALL SELECT vec_id, label, 1 FROM lp${r - 1}),
+      lps$r AS (SELECT vec_id, label, sum(c) c FROM lpv$r GROUP BY 1, 2),
+      lp$r AS (SELECT vec_id, label FROM lps$r
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY c DESC, label) = 1)"""
+      LlmQueries.coarseChainSql + knnSqlCtes + s""",
+      lped AS (SELECT vec_id src, nbr_id dst FROM (
+               SELECT vec_id, nbr_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nbr_id) rank
+               FROM gp) WHERE rank <= $KnnK),
+      lp0 AS (SELECT eb.vec_id, eb.label FROM embeddings eb
+              JOIN eu ON eu.vec_id = eb.vec_id)""" +
+      (1 to LpRounds).map(lpRound).mkString + s"""
+      SELECT a.vec_id, a.label AS label0, b.label AS label,
+        (a.label <> b.label) AS changed
+      FROM lp0 a JOIN lp$LpRounds b ON b.vec_id = a.vec_id
+      ORDER BY a.vec_id"""
+    })
+
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
     * embedding concentrates signal in a short prefix (P of 8-16 serves
@@ -2287,5 +2358,6 @@ object SearchQueries {
     "sim_knn_graph" -> simKnnGraph,
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,
+    "graph_label_prop" -> graphLabelProp,
     "search_autocomplete" -> searchAutocomplete)
 }

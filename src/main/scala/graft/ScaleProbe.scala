@@ -222,7 +222,8 @@ object ScaleProbe {
     // r15 additions: the IVF posting-store fold (vector twin of
     // maintenance_index_compact), contrastive hard-negative mining,
     // snippet generation
-    "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet")
+    "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet",
+    "graph_label_prop")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -464,6 +464,32 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally engine.stream.VersionedTable.destroy(root)
   }
 
+  test("graph_label_prop matches a driver-side recompute over the kNN " +
+      "edges") {
+    val out = SearchQueries.queries("graph_label_prop").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3)))
+    val edges = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl = out.map(r => r._1 -> r._2).toMap
+    val l0 = lbl
+    for (_ <- 1 to 3) {
+      lbl = lbl.map { case (v, _) =>
+        val votes = (edges.getOrElse(v, Seq.empty).map(lbl) :+ lbl(v))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    out.foreach { case (v, lab0, lab3, changed) =>
+      assert(lab0 == l0(v))
+      assert(lab3 == lbl(v), s"node $v propagated label diverged")
+      assert(changed == (lab3 != lab0))
+    }
+    assert(out.exists(_._4), "no label ever changed — degenerate test")
+  }
+
   test("search_snippet: each snippet is the doc's contiguous window at " +
       "snip_start with at least one query-term hit") {
     val rows = SearchQueries.queries("search_snippet").fn(spark, sf)
