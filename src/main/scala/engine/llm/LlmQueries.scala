@@ -1206,6 +1206,91 @@ object LlmQueries {
         round(cos, 4) AS cosine
       FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
+  // --------------------------------------------- B49i sim_search_range
+  /** Cosine threshold for the range search — ~2σ of the isotropic
+    * testdata's cosine distribution (σ = 1/√64), so each query matches
+    * a small but non-empty neighbor set. */
+  private val RangeTau = 0.25
+
+  /** The range-search pipeline split into its three stages so LlmSpec
+    * can verify the PRUNING BOUND directly (every dropped (query, cell)
+    * pair provably contains no match) as well as the end result:
+    * returns (cell assignment with member·centroid dot, surviving
+    * (qid, cent_id) probe list, final (qid, vec_id, cos) matches). */
+  private[engine] def rangeSearchParts(s: SparkSession, d: String,
+      tau: Double): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = unitCorpus(s, d)
+    val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
+    // cell assignment, carrying the member·centroid dot: min(cd) per
+    // cell is the cell's angular ZONE MAP (cos of its widest member
+    // angle) — the per-segment stat a 100 TB layout keeps beside each
+    // cell partition, exactly like parquet min/max but in angle space
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").desc, col("cent_id"))
+    val asg = engine.ScratchCache.persist(
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .withColumn("rk", row_number().over(w0))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cent_id"), col("cd")))
+    val zone = asg.groupBy(col("cent_id")).agg(min(col("cd")).as("mincd"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    // LOSSLESS cell pruning by the angular triangle inequality: for x
+    // in cell c, θ(q,x) >= θ(q,c) − θ(c,x) >= θ(q,c) − acos(mincd), so
+    // cos(q,x) <= cos(max(0, θ(q,c) − acos(mincd))) — a cell whose
+    // bound falls below τ cannot contain a match and is never scanned.
+    // The 1e-9 slack absorbs acos/cos ulp error so a boundary cell is
+    // kept, never wrongly dropped (pruning must stay exact; the bound
+    // itself never reaches the output, which is pure exact-order dots).
+    def clamp(c: Column) = greatest(lit(-1d), least(lit(1d), c))
+    val live = q.join(broadcast(cents))
+      .select(col("qid"), col("cent_id"), dot(col("qu"), col("cu")).as("qcd"))
+      .join(broadcast(zone), "cent_id")
+      .filter(cos(greatest(lit(0d),
+          acos(clamp(col("qcd"))) - acos(clamp(col("mincd")))))
+        + lit(1e-9) >= lit(tau))
+      .select(col("qid"), col("cent_id"))
+    val out = asg.join(broadcast(live), "cent_id")
+      .select(col("qid"), col("vec_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e, "vec_id")
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), dot(col("qu"), col("u")).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .select(col("qid"), col("vec_id"), r4(col("cos")).as("cos"))
+      .orderBy("qid", "vec_id")
+    (asg, live, out)
+  }
+
+  /** B49i: RANGE (radius) SEARCH — all corpus vectors within cosine
+    * [[RangeTau]] of each query, EXACT, with cell-level pruning: the
+    * dedup-threshold twin of [[simSearchTopk]] (near-dup screens ask
+    * "everything above τ", not "the best k"). Reuses the trained
+    * 16-cell spherical codebook; each cell carries a one-double
+    * angular zone map (min member·centroid cosine) and a query scans
+    * only cells the triangle-inequality bound cannot rule out — the
+    * pruning is provably lossless (LlmSpec pins it per dropped cell),
+    * so the oracle is plain brute force. On the ISOTROPIC testdata the
+    * bound never fires (within-cell angles are wide — the same regime
+    * effect ann_recall_report documents for PQ residuals); on clustered
+    * real embeddings cells are tight and most of the corpus is never
+    * touched. At 100 TB the cell id is the storage partition key and
+    * the zone map a per-partition stat, so a pruned cell is a skipped
+    * partition scan, not a filtered one. */
+  private val simSearchRange = Q(
+    (s, d) => rangeSearchParts(s, d, RangeTau)._3,
+    Some(unitSql + s""",
+      eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      q AS (SELECT vec_id qid, u qu FROM eu WHERE vec_id < 5),
+      sc AS (SELECT q.qid, e2.vec_id,
+               list_sum(list_transform(list_zip(q.qu, e2.u), p -> p[1]*p[2])) cos
+             FROM q, eu e2 WHERE e2.vec_id <> q.qid)
+      SELECT qid, vec_id, round(cos, 4) AS cos
+      FROM sc WHERE cos >= $RangeTau ORDER BY qid, vec_id"""))
+
   // ------------------------------------------- B49h mine_hard_negatives
   /** B49h: HARD-NEGATIVE MINING — the contrastive-training data op
     * (DPR / SimCLR / E5 recipe): for each anchor, the top-5
@@ -2422,6 +2507,7 @@ object LlmQueries {
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "sim_search_topk" -> simSearchTopk,
+    "sim_search_range" -> simSearchRange,
     "mine_hard_negatives" -> mineHardNegatives,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,

@@ -648,4 +648,45 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("sim_search_range: equals brute force, and the angular zone-map " +
+      "prune is lossless (no dropped cell holds a match)") {
+    val tau = 0.25
+    val (asg, live, out) = llm.LlmQueries.rangeSearchParts(spark, sf, tau)
+    // 1. end result == brute-force range over the unit corpus
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0d),
+        (a, x) => a + x * x)))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val brute = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qu"), col("u"), (a, b) => a * b),
+          lit(0d), (a, x) => a + x).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == brute, s"range result drifted: ${got.size} vs ${brute.size}")
+    assert(got.nonEmpty, "tau=0.25 should match some neighbors at sf0.001")
+    // 2. pruning soundness: for every (query, cell) the bound dropped,
+    // the true max cosine over that cell's members stays below tau
+    val liveSet = live.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellMax = asg.select(col("vec_id"), col("cent_id"))
+      .join(e, "vec_id")
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cent_id"),
+        aggregate(zip_with(col("qu"), col("u"), (a, b) => a * b),
+          lit(0d), (a, x) => a + x).as("cos"))
+      .groupBy(col("qid"), col("cent_id")).agg(max(col("cos")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    cellMax.foreach { case ((qid, cid), m) =>
+      if (!liveSet.contains((qid, cid)))
+        assert(m < tau, s"pruned cell ($qid,$cid) holds a match: max cos $m")
+    }
+  }
 }
