@@ -581,6 +581,91 @@ object StreamQueries {
       FROM events QUALIFY rank <= $TopKDepth
       ORDER BY event_type, rank"""))
 
+  // ------------------------------------------------ B5g stream_cdc_apply
+  /** B5g: CDC CHANGELOG APPLY — the Debezium→lakehouse merge shape:
+    * a keyed change stream of upserts (`I`/`U`) and deletes (`D`,
+    * tombstones), applied to a keyed state table via `foreachBatch`.
+    * The changelog is derived deterministically from `events`
+    * (seq = event_id; every 10th change is a delete) so the whole-log
+    * DuckDB oracle replays it declaratively.
+    *
+    * The delete handling is what distinguishes this from
+    * [[streamUpsertSink]]: the fold RETAINS tombstone rows in state
+    * (last-writer-wins over op included), and deleted keys are filtered
+    * only at read time. Tombstone retention is what makes the fold
+    * ASSOCIATIVE — drop a tombstone during the fold and a key whose
+    * last change is a delete would resurrect its previous version when
+    * an earlier batch's row merges later; retained, any trigger split
+    * lands on the identical state (StreamSourceSpec pins a 3-round
+    * split). A production applier purges tombstones after a compaction
+    * horizon (Kafka compacted-topic semantics) — a retention decision
+    * outside the fold's correctness contract.
+    *
+    * Scale posture: state is ONE row per live-or-tombstoned key; each
+    * trigger's merge is O(keys + batch) — one groupBy over
+    * (state ∪ batch) with max_by(_, seq) per column, committed under
+    * the [[VersionedTable]] atomic pointer. At 100 TB the state table
+    * is hash-partitioned on the key and the merge is partition-local
+    * (the batch shuffles once on the same key). */
+  private val streamCdcApply = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val state = new java.io.File(s"/tmp/graft_cdc_state_$san")
+      VersionedTable.destroy(state) // fresh fold — the run IS the replay
+      val src = asFileStream(s,
+        t(s, d, "events").select(col("event_id").as("seq"), col("user_id"),
+          when(col("event_id") % 10 === 0, lit("D"))
+            .when(col("event_id") % 10 < 4, lit("I"))
+            .otherwise(lit("U")).as("op"),
+          col("event_type"), col("value")),
+        s"cdc_$san", orderedBy = Some("seq"),
+        maxFilesPerTrigger =
+          Some(s.conf.get("spark.graft.cdc.mft", "32").toInt))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val prev = VersionedTable.read(sp, state).getOrElse(
+          sp.emptyDataFrame.select(lit(0L).as("user_id"),
+            lit(0L).as("seq"), lit("").as("op"),
+            lit("").as("event_type"), lit(0.0).as("value")).limit(0))
+        val up = batch.select(col("user_id"), col("seq"), col("op"),
+            col("event_type"), col("value"))
+          .unionByName(prev)
+          .groupBy(col("user_id"))
+          .agg(max(col("seq")).as("seq"),
+            expr("max_by(op, seq)").as("op"),
+            expr("max_by(event_type, seq)").as("event_type"),
+            expr("max_by(value, seq)").as("value"))
+        VersionedTable.commit(up, state, batchId)
+      }
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_cdc_${java.util.UUID.randomUUID}")
+      def rmCk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
+      }
+      try {
+        src.writeStream.queryName("cdc_apply").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally rmCk(ck)
+      VersionedTable.read(s, state)
+        .getOrElse(sys.error(s"cdc state missing at $state"))
+        .filter(col("op") =!= "D") // tombstoned keys leave the served view
+        .select(col("user_id"), col("seq").as("last_seq"),
+          col("event_type").as("last_type"), r4(col("value")).as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH cdc AS (SELECT event_id AS seq, user_id,
+          CASE WHEN event_id % 10 = 0 THEN 'D'
+               WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+          event_type, value FROM events),
+        last AS (SELECT user_id, max(seq) AS last_seq,
+          arg_max(op, seq) AS op, arg_max(event_type, seq) AS last_type,
+          round(arg_max(value, seq), 4) AS last_value
+        FROM cdc GROUP BY user_id)
+      SELECT user_id, last_seq, last_type, last_value
+      FROM last WHERE op <> 'D' ORDER BY user_id"""))
+
   // ------------------------------------------------ B5f stream_asof_enrich
   /** Union-row of the as-of enrich stream: a dimension VERSION (`ok`
     * set) or an EVENT (`event_id` set), both keyed and timestamped —
@@ -672,6 +757,7 @@ object StreamQueries {
     "stream_join_static" -> streamJoinStatic,
     "stream_join_stream" -> streamJoinStream,
     "stream_upsert_sink" -> streamUpsertSink,
+    "stream_cdc_apply" -> streamCdcApply,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_watermark_late" -> streamWatermarkLate,

@@ -45,6 +45,38 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("stream_cdc_apply: trigger split does not change the applied state, " +
+      "and tombstoned keys are absent from the served view") {
+    // tombstone retention in the fold is what makes last-writer-wins
+    // associative over deletes: the 3-round fold (mft=11) must land on
+    // exactly the single-trigger default's served view
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_cdc_apply")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.cdc.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.cdc.mft")
+    val single = run()
+    assert(multi == single)
+    assert(multi.nonEmpty)
+    // every key whose LAST change is a delete must be missing; every
+    // other key present exactly once with its last non-recomputed row
+    import org.apache.spark.sql.functions._
+    val last = engine.Core.t(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(max(col("event_id")).as("last_seq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = single.map(r => r.head.asInstanceOf[Long]).toSet
+    last.foreach { case (k, seq) =>
+      if (seq % 10 == 0)
+        assert(!served.contains(k), s"tombstoned key $k resurrected")
+      else assert(served.contains(k), s"live key $k missing")
+    }
+    assert(last.exists(_._2 % 10 == 0),
+      "testdata should contain at least one final-delete key")
+  }
+
   test("stream_topk: trigger split does not change the leaderboard") {
     // top-k selection is associative (topk(topk(A) ∪ B) = topk(A ∪ B)),
     // so the 3-round fold must land on the single-trigger default's
