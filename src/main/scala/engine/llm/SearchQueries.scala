@@ -688,6 +688,88 @@ object SearchQueries {
       SELECT qid, pfx, rank, word, cnt
       FROM ac ORDER BY qid, pfx, rank"""))
 
+  // --------------------------------------------------- B53m search_spell
+  /** Suggestions kept per typo. */
+  private val SpellTopK = 3
+
+  /** B53m: SPELL CORRECTION via the SymSpell deletion neighborhood —
+    * the suggester beside [[searchAutocomplete]]: every vocabulary word
+    * is indexed under its 1-deletion variants (plus itself); a typo
+    * probes the index under ITS 1-deletion variants (plus itself), so
+    * key equality proposes exactly the words within one
+    * insert/delete/substitute step (delete hits `del1(w) ∋ t`, insert
+    * hits `del1(t) ∋ w`, substitute hits `del1(w) ∩ del1(t) ≠ ∅`);
+    * candidates are then verified with true `levenshtein ≤ 1` (the
+    * key-intersection route alone would also admit transpositions —
+    * Damerau distance 1, edit distance 2) and ranked by corpus
+    * frequency. Typos are derived deterministically from the corpus
+    * (2nd char deleted from the 5 alphabetically-first words of length
+    * ≥ 3) so the oracle replays them.
+    *
+    * The SymSpell trade at scale: the index is O(V·L) short keys built
+    * once beside the vocabulary (a model artifact, like the
+    * autocomplete edge table), and a query is a handful of broadcast
+    * key probes — versus O(V) levenshtein evaluations per query for
+    * the scan form. The expensive verify runs only on key-collision
+    * candidates, which the 1-deletion key structure bounds. */
+  private val searchSpell = Q(
+    (s, d) => {
+      def delKeys(w: Column): Column = array_distinct(concat(
+        array(w),
+        transform(sequence(lit(1), length(w)), i =>
+          concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
+      val wf = docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val vocabKeys = wf.select(col("word"), col("cnt"),
+        explode(delKeys(col("word"))).as("key"))
+      val typos = wf.filter(length(col("word")) >= 3)
+        .orderBy(col("word")).limit(5)
+        .select(concat(col("word").substr(lit(1), lit(1)),
+          col("word").substr(lit(3), length(col("word")))).as("typo"))
+      val typoKeys = typos
+        .select(col("typo"), explode(delKeys(col("typo"))).as("key"))
+      vocabKeys.join(broadcast(typoKeys), "key")
+        .select(col("typo"), col("word"), col("cnt")).distinct()
+        .withColumn("dist", levenshtein(col("typo"), col("word")))
+        .filter(col("dist") <= 1)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("typo"))
+            .orderBy(col("cnt").desc, col("word"))))
+        .filter(col("rank") <= SpellTopK)
+        .select(col("typo"), col("rank"), col("word").as("suggestion"),
+          col("cnt"), col("dist"))
+        .orderBy("typo", "rank")
+    },
+    Some(s"""WITH sw AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+      swf AS (SELECT word, count(*) AS cnt FROM sw GROUP BY word),
+      svk AS (SELECT word, cnt, unnest(list_distinct(list_append(
+                 list_transform(generate_series(1, length(word)),
+                   i -> substr(word, 1, i::INT - 1)
+                     || substr(word, i::INT + 1, length(word))),
+                 word))) AS key
+              FROM swf),
+      sty AS (SELECT substr(word, 1, 1) || substr(word, 3, length(word))
+                 AS typo
+              FROM swf WHERE length(word) >= 3 ORDER BY word LIMIT 5),
+      stk AS (SELECT typo, unnest(list_distinct(list_append(
+                 list_transform(generate_series(1, length(typo)),
+                   i -> substr(typo, 1, i::INT - 1)
+                     || substr(typo, i::INT + 1, length(typo))),
+                 typo))) AS key
+              FROM sty),
+      scand AS (SELECT DISTINCT t.typo, v.word, v.cnt
+                FROM stk t JOIN svk v USING (key)),
+      sver AS (SELECT typo, word, cnt,
+                 levenshtein(typo, word)::INT AS dist
+               FROM scand WHERE levenshtein(typo, word) <= 1)
+      SELECT typo,
+        row_number() OVER (PARTITION BY typo
+          ORDER BY cnt DESC, word) AS rank,
+        word AS suggestion, cnt, dist
+      FROM sver QUALIFY rank <= $SpellTopK ORDER BY typo, rank"""))
+
   // ----------------------------------------------- B53c search_hybrid_rrf
   /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (RRF, k=60): score(q,doc) = Σ_modality 1/(60 + rank_modality) over
@@ -2359,5 +2441,6 @@ object SearchQueries {
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
-    "search_autocomplete" -> searchAutocomplete)
+    "search_autocomplete" -> searchAutocomplete,
+    "search_spell" -> searchSpell)
 }

@@ -847,6 +847,42 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.values.toSet.size > 1)
   }
 
+  test("search_spell: deletion-key candidates are COMPLETE for edit " +
+      "distance <= 1, ranks follow corpus frequency") {
+    val rows = SearchQueries.queries("search_spell").fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // brute-force ground truth: every (typo, word) with levenshtein <= 1
+    val wf = Core.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val typos = wf.keys.filter(_.length >= 3).toSeq.sorted.take(5)
+      .map(w => w.take(1) + w.drop(2))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      t <- typos; (w, c) <- wf if lev(t, w) <= 1
+    } yield (t, w, c)).groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, w, c) => (-c, w) }.take(3)
+        .map { case (_, w, c) => (w, c) }.toSeq).toMap
+    rows.groupBy(_._1).foreach { case (typo, g) =>
+      val got = g.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == truth(typo),
+        s"$typo: engine $got vs brute-force ${truth(typo)}")
+      g.foreach { case (t, _, w, _, dist) =>
+        assert(dist == lev(t, w), s"dist drifted for ($t,$w)") }
+    }
+    assert(rows.groupBy(_._1).keySet == truth.filter(_._2.nonEmpty).keySet)
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
