@@ -386,6 +386,86 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM mtop ORDER BY qid, rank"""))
 
+  // ------------------------------------------------- B53n search_boolean
+  /** AND-set size for boolean retrieval. */
+  private val BoolM = 3
+
+  /** B53n: BOOLEAN retrieval — conjunctive (`AND`) posting-list
+    * intersection with a `NOT` screen, the query algebra ranked
+    * retrieval sits on (Lucene's BooleanQuery MUST/MUST_NOT): a doc
+    * matches iff it contains ALL [[BoolM]] of the query's top-tf·idf
+    * terms ([[searchMlt]]'s selection, micronat-quantized) and NOT the
+    * query's least-discriminative term. Each match carries the summed
+    * occurrence count of its AND terms — exact integers, no float
+    * discipline.
+    *
+    * Shape at 100 TB: intersection-by-counting — the corpus posting
+    * stream filters map-side against the broadcast AND set, and the
+    * only exchange carries (qid, doc_id) match rows aggregated to
+    * `count == M` (bounded by the RAREST term's postings, the boolean
+    * planner's classic bound); the NOT screen is a per-query anti-join
+    * against one term's postings. No corpus text rides any shuffle. */
+  private val searchBoolean = Q(
+    (s, d) => {
+      val posts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val qposts = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      val qdf0 = dfs.join(broadcast(qposts.select(col("term")).distinct()),
+        "term")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val ranked = qposts.join(broadcast(qdf0), "term")
+        .crossJoin(broadcast(glob))
+        .select(col("qid"), col("term"),
+          round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
+        .withColumn("trank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ts").desc, col("term"))))
+        .withColumn("nterms", count(lit(1)).over(
+          Window.partitionBy(col("qid"))))
+      val qand = ranked.filter(col("trank") <= BoolM)
+        .select(col("qid"), col("term"))
+      val qnot = ranked.filter(col("trank") === col("nterms"))
+        .select(col("qid"), col("term"))
+      val matched = posts.join(broadcast(qand), "term")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("nm"), sum(col("tf")).as("and_tf"))
+        .filter(col("nm") === BoolM)
+      val neg = posts.join(broadcast(qnot), "term")
+        .select(col("qid"), col("doc_id"))
+      matched.join(neg, Seq("qid", "doc_id"), "left_anti")
+        .select(col("qid"), col("doc_id"), col("and_tf"))
+        .orderBy("qid", "doc_id")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
+      xq0 AS (SELECT doc_id qid, term, tf FROM bpdl WHERE doc_id < 5),
+      xsel AS (SELECT q.qid, q.term,
+                CAST(round(q.tf * ln(1.0 +
+                  ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                  (f.df::DOUBLE + 0.5)) * 1e6, 0) AS BIGINT) ts
+               FROM xq0 q JOIN bdfs f USING (term) CROSS JOIN bglob g),
+      xrk AS (SELECT qid, term,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ts DESC, term) trank,
+                count(*) OVER (PARTITION BY qid) nterms
+              FROM xsel),
+      xand AS (SELECT qid, term FROM xrk WHERE trank <= $BoolM),
+      xnot AS (SELECT qid, term FROM xrk WHERE trank = nterms),
+      xmatch AS (SELECT q.qid, p.doc_id, sum(p.tf)::BIGINT AS and_tf
+                 FROM bpdl p JOIN xand q
+                   ON p.term = q.term AND p.doc_id <> q.qid
+                 GROUP BY 1, 2 HAVING count(*) = $BoolM),
+      xneg AS (SELECT n.qid, p.doc_id FROM bpdl p JOIN xnot n USING (term))
+      SELECT m.qid, m.doc_id, m.and_tf FROM xmatch m
+      ANTI JOIN xneg g ON g.qid = m.qid AND g.doc_id = m.doc_id
+      ORDER BY m.qid, m.doc_id"""))
+
   // -------------------------------------------------- B53p search_snippet
   /** Query terms kept for snippet retrieval (3, not [[MltM]]'s 5: the
     * 30-word testdata vocabulary makes wider term sets match nearly
@@ -2442,5 +2522,6 @@ object SearchQueries {
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
     "search_autocomplete" -> searchAutocomplete,
-    "search_spell" -> searchSpell)
+    "search_spell" -> searchSpell,
+    "search_boolean" -> searchBoolean)
 }

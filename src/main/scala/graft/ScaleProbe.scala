@@ -223,7 +223,8 @@ object ScaleProbe {
     // maintenance_index_compact), contrastive hard-negative mining,
     // snippet generation
     "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet",
-    "graph_label_prop", "sim_search_range", "search_spell")
+    "graph_label_prop", "sim_search_range", "search_spell",
+    "search_boolean")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -883,6 +883,39 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows.groupBy(_._1).keySet == truth.filter(_._2.nonEmpty).keySet)
   }
 
+  test("search_boolean: MUST/MUST_NOT semantics hold doc-by-doc against " +
+      "the raw token sets") {
+    val rows = SearchQueries.queries("search_boolean").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val docToks = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = docToks.size.toDouble
+    // recompute each query's AND set (top-3 tf·idf) and NOT term with
+    // the op's own quantization
+    val df = docToks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def termRank(qid: Long): Seq[String] = {
+      val tf = docToks(qid).groupBy(identity).view.mapValues(_.size)
+      tf.map { case (t, f) =>
+        val idf = math.log(1.0 + ((n - df(t)) + 0.5) / (df(t) + 0.5))
+        (t, math.round(f * idf * 1e6))
+      }.toSeq.sortBy { case (t, ts) => (-ts, t) }.map(_._1)
+    }
+    (0L until 5L).foreach { qid =>
+      val ranked = termRank(qid)
+      val andSet = ranked.take(3)
+      val notTerm = ranked.last
+      val expect = docToks.collect { case (id, w)
+        if id != qid && andSet.forall(w.contains) && !w.contains(notTerm) =>
+          id -> andSet.map(t => w.count(_ == t).toLong).sum
+      }.toMap
+      val got = rows.filter(_._1 == qid).map(r => r._2 -> r._3).toMap
+      assert(got == expect, s"qid $qid: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
