@@ -220,6 +220,70 @@ object RelQueries {
         FROM zb GROUP BY zb ORDER BY zb"""
     })
 
+  // --------------------------------------- B4d maintenance_stats_analyze
+  /** Columns profiled by the stats job, with their portable projection
+    * (timestamps → epoch seconds, doubles → 4-dp rounded — min/max must
+    * stringify identically in both engines). */
+  private val StatsCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_discount", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** B4d: ANALYZE-style TABLE STATISTICS — the maintenance job behind
+    * every cost-based planner and zone-map layout decision: per column,
+    * row count, null count, exact NDV, and stringified min/max. One row
+    * per profiled column (`stack` unpivot of a single wide aggregate).
+    *
+    * Exact multi-column `count(DISTINCT)` is the oracle-checkable form:
+    * Spark plans it as one Expand (×|cols| row multiplication) feeding
+    * a two-phase aggregate — a real but bounded cost, and the classic
+    * reason production ANALYZE flips to one-pass HLL sketches
+    * (`approx_count_distinct`, the agg_approx_distinct operator) once
+    * the table is 100 TB: same plan minus the Expand, each sketch
+    * mergeable across partitions. The stats themselves are what the
+    * planner consumes for join ordering and broadcast thresholds, and
+    * what segment-level pruning (the AppendTable Bloom/zone-map
+    * sidecars) generalizes.
+    *
+    * Portability: min/max comparisons happen in each column's native
+    * type (never on strings); only the RESULT is stringified, with
+    * timestamps pre-projected to epoch seconds and doubles 4-dp rounded
+    * so both engines print identical literals. */
+  private val maintenanceStatsAnalyze = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), r4(col("l_quantity")).as("l_quantity"),
+        r4(col("l_discount")).as("l_discount"), col("l_returnflag"),
+        col("l_linestatus"),
+        unix_timestamp(col("l_shipdate")).as("l_shipdate"))
+      val aggs = StatsCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(expr(s"stack(${StatsCols.size}, " + StatsCols.map(c =>
+            s"'$c', n_rows, n_rows - cnt_$c, ndv_$c, min_$c, max_$c")
+          .mkString(", ") +
+          ") as (col_name, n_rows, n_nulls, ndv, min_s, max_s)"))
+        .orderBy("col_name")
+    },
+    Some {
+      val arms = StatsCols.map { c =>
+        val e = c match {
+          case "l_shipdate" => "epoch(l_shipdate)::BIGINT"
+          case "l_quantity" | "l_discount" => s"round($c, 4)"
+          case _ => c
+        }
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           (count(*) - count($e))::BIGINT AS n_nulls,
+           count(DISTINCT $e)::BIGINT AS ndv,
+           min($e)::VARCHAR AS min_s, max($e)::VARCHAR AS max_s
+           FROM lineitem"""
+      }
+      arms.mkString(" UNION ALL ") + " ORDER BY col_name"
+    })
+
   // --------------------------------------------------- B.2 projection / filter
   /** B6: projection + computed columns (GGA field extraction :174-187). */
   private val projectSelect = Q(
@@ -1296,6 +1360,7 @@ object RelQueries {
     "source_partitioned" -> sourcePartitioned,
     "maintenance_compact" -> maintenanceCompact,
     "maintenance_zorder" -> maintenanceZorder,
+    "maintenance_stats_analyze" -> maintenanceStatsAnalyze,
     "project_select" -> projectSelect,
     "filter_quality" -> filterQuality,
     "filter_completeness" -> filterCompleteness,
