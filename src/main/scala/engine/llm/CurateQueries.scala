@@ -790,6 +790,65 @@ object CurateQueries {
       FROM documents d JOIN rdt USING (doc_id)
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  // ------------------------------------------------- embedding_dim_stats
+  /** EMBEDDING QA — per-dimension distribution stats (mean, std,
+    * min/max, zero count): the health check run before any embedding
+    * corpus is trusted — dead dimensions (std ≈ 0) break PQ codebooks
+    * and cosine math silently, per-dim scale drift between embedding
+    * model versions is the classic silent retrieval regression, and the
+    * zero fraction exposes ReLU-style sparsity that changes which
+    * quantizer applies. The aggregate sibling of [[embeddingQuantize]]'s
+    * per-dim scale vector.
+    *
+    * Shape at 100 TB: posexplode is a 64× row expansion of (int,
+    * double) pairs that the map-side partial aggregate collapses to 64
+    * groups BEFORE the exchange — the shuffle carries 64 rows per
+    * partition whatever the corpus size. Sums ride the nano-grid
+    * integer quantization (the lloydRound discipline) so they are
+    * exact, associative, and bit-identical in the oracle regardless of
+    * partition order; min/max/counts are order-free natively. At ~1e12
+    * rows the 1e9-grid long sums approach overflow — the deployment
+    * note is decimal(38,0) sum columns, same plan. */
+  private val embeddingDimStats = Q(
+    (s, d) => {
+      import VectorFunctions.asDouble
+      val mRaw = (col("sx").cast("double") / 1e9) / col("n")
+      val vRaw = (col("sq").cast("double") / 1e9) / col("n") - mRaw * mRaw
+      t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(asDouble(col("embedding")))
+          .as(Seq("p", "x")))
+        .select((col("p") + 1).as("dim"), col("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 1e9, 0).cast("long")).as("sx"),
+          sum(round(col("x") * col("x") * 1e9, 0).cast("long")).as("sq"),
+          min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+          sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+        .select(col("dim"), col("n"), Core.r4(mRaw).as("mean"),
+          Core.r4(sqrt(greatest(lit(0.0), vRaw))).as("std"),
+          Core.r4(col("vmin")).as("vmin"), Core.r4(col("vmax")).as("vmax"),
+          col("n_zero"))
+        .orderBy("dim")
+    },
+    Some("""WITH ed AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        dx AS (SELECT i AS dim, v[i] AS x
+               FROM ed CROSS JOIN generate_series(1, 64) g(i)),
+        ag AS (SELECT dim, count(*)::BIGINT n,
+               sum(CAST(round(x * 1e9, 0) AS BIGINT)) sx,
+               sum(CAST(round(x * x * 1e9, 0) AS BIGINT)) sq,
+               min(x) vmin, max(x) vmax,
+               sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END)::BIGINT n_zero
+               FROM dx GROUP BY dim)
+      SELECT dim, n,
+        round((sx::DOUBLE / 1e9) / n, 4) AS mean,
+        round(sqrt(greatest(0.0,
+          (sq::DOUBLE / 1e9) / n
+            - ((sx::DOUBLE / 1e9) / n) * ((sx::DOUBLE / 1e9) / n))), 4)
+          AS std,
+        round(vmin, 4) AS vmin, round(vmax, 4) AS vmax, n_zero
+      FROM ag ORDER BY dim"""))
+
   // -------------------------------------------------- embedding_quantize
   /** Int8 scalar quantization of the embedding column — the 4x storage
     * cut every large-scale vector store applies before anything else
@@ -2216,6 +2275,7 @@ object CurateQueries {
     "tokenize_bpe_apply" -> tokenizeBpeApply,
     "tokenize_report" -> tokenizeReport,
     "embedding_quantize" -> embeddingQuantize,
+    "embedding_dim_stats" -> embeddingDimStats,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,
     "sim_search_pq_indexed" -> simSearchPqIndexed,
