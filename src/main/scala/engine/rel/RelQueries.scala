@@ -673,6 +673,37 @@ object RelQueries {
         / 100.0 AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ------------------------------------------------- B19d agg_decimal
+  /** B19d: exact DECIMAL money aggregation — the financial-grade sum
+    * path: prices cast to `decimal(18,2)` at the scan and summed as
+    * decimals (Spark widens to decimal(28,2), DuckDB to DECIMAL(38,2) —
+    * both EXACT integer arithmetic under the hood), so the totals are
+    * order-free and associative with no rounding discipline needed,
+    * unlike double sums where partition order changes ulps (the reason
+    * the rest of the suite quantizes to integer grids). The cast
+    * double→decimal(18,2) is itself exact here: the source values are
+    * 2-dp money, and a double within 1 ulp of a 2-dp value rounds to
+    * that value under every tie mode. Totals are projected as strings
+    * (both engines print the same digits; trailing-zero scale is fixed
+    * by the declared type). Fully codegen'd, map-side partial-agg
+    * friendly — decimal is the type a 100 TB ledger sums in. */
+  private val aggDecimal = Q(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).as("sp"), sum(col("qty")).as("sq"))
+      .select(col("l_returnflag"), col("n"),
+        col("sp").cast("string").as("sum_price"),
+        col("sq").cast("string").as("sum_qty"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+        sum(l_extendedprice::DECIMAL(18,2))::VARCHAR AS sum_price,
+        sum(l_quantity::DECIMAL(18,2))::VARCHAR AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** B19c: statistical aggregates — stddev and correlation, bit-exact
     * across engines. The moment sums are computed over INTEGER cents as
     * exact wide integers (Spark decimal(38,0) ≙ DuckDB HUGEINT — plain
@@ -1382,6 +1413,7 @@ object RelQueries {
     "agg_filtered" -> aggFiltered,
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
+    "agg_decimal" -> aggDecimal,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
