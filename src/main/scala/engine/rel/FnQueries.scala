@@ -260,6 +260,66 @@ object FnQueries {
         ON c.user_id = p.k AND c.ts <= p.at
       ORDER BY click_id"""))
 
+  // --------------------------------------- B16c join_asof_tolerance
+  /** Max staleness an as-of match may carry (24 h, in microseconds). */
+  private val AsofTolUs = 86400000000L
+
+  /** B16c: TOLERANCE-BOUNDED as-of join — [[joinAsof]]'s semantics
+    * with a max-staleness bound: each click matches the user's latest
+    * purchase at-or-before it ONLY if that purchase is within
+    * [[AsofTolUs]] (recency-bounded attribution; in market data,
+    * "quote valid for at most n seconds"). pandas' `merge_asof
+    * (tolerance=...)` / QuestDB's bounded ASOF — the variant that
+    * keeps a stale dimension from silently enriching forever.
+    *
+    * Same single-pass union+window shape as [[joinAsof]]: the carried
+    * match must also surface its OWN timestamp for the bound, so the
+    * window carries two `last(_, ignoreNulls)` columns — both resolve
+    * to the same last purchase row by construction (one non-null iff
+    * the other is), keeping id and timestamp consistent. Staleness is
+    * compared in exact integer microseconds (`unix_micros` ≙ DuckDB
+    * `epoch_us`) — sub-second timestamps make float/truncated-second
+    * staleness non-portable. One shuffle on the key at any scale; the
+    * tolerance is a post-window filter, never a join predicate (no
+    * range-join blowup). */
+  private val joinAsofTolerance = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("k"), col("ts").as("at"))
+        .agg(min(col("event_id")).as("pid"))
+        .select(col("k"), col("at"), col("pid"),
+          lit(null: java.lang.Long).as("click_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts").as("at"),
+          lit(null: java.lang.Long).as("pid"),
+          col("event_id").as("click_id"))
+      // purchases sort before clicks at equal ts (asof <= includes
+      // equality): pid non-null → NULLS FIRST on click_id
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("at"), col("click_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      p.unionByName(c)
+        .withColumn("purchase_id", last(col("pid"), ignoreNulls = true).over(w))
+        .withColumn("matched_at", last(when(col("pid").isNotNull, col("at")),
+          ignoreNulls = true).over(w))
+        .filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+        .withColumn("staleness_us",
+          unix_micros(col("at")) - unix_micros(col("matched_at")))
+        .filter(col("staleness_us") <= AsofTolUs)
+        .select(col("click_id"), col("k").as("user_id"),
+          col("purchase_id"), col("staleness_us"))
+        .orderBy("click_id")
+    },
+    Some(s"""SELECT c.event_id AS click_id, c.user_id, p.pid AS purchase_id,
+        (epoch_us(c.ts) - epoch_us(p.at))::BIGINT AS staleness_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT user_id AS k, ts AS at, min(event_id) AS pid
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        ON c.user_id = p.k AND c.ts >= p.at
+      WHERE epoch_us(c.ts) - epoch_us(p.at) <= $AsofTolUs
+      ORDER BY click_id"""))
+
   /** B21: approximate distinct (scale mandate — 100 TB cardinalities
     * can't be counted exactly without shuffling every key). Two surfaces:
     *
@@ -311,5 +371,6 @@ object FnQueries {
     "fn_json" -> fnJson,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "agg_approx_distinct" -> aggApproxDistinct)
 }
