@@ -729,6 +729,79 @@ object CurateQueries {
       FROM bth JOIN f$BpeMerges USING (word) JOIN bvocab USING (sym)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ tokenize_decode
+  /** DETOKENIZATION round-trip QA — the decode half of the tokenizer
+    * pair ([[tokenizeBpeApply]] encodes): recover each document's text
+    * from its BPE token-id sequence and pin byte equality with the
+    * original. Every serving stack runs exactly this join (generated
+    * ids → text via the broadcast id→symbol vocabulary), and the
+    * round-trip flag is the lossless-tokenizer invariant a tokenizer
+    * release gate checks corpus-wide — a `false` anywhere means the
+    * merge table or vocab mapping corrupts data.
+    *
+    * The decode is honest: symbols are recovered by joining the
+    * encoded (doc, pos, rank, tid) postings to the vocabulary ON tid
+    * (never by carrying the symbol through from the encode side), then
+    * stitched in (pos, rank) order and `</w>` markers restored to
+    * spaces. Shape: the same one corpus posting join as the encode
+    * plus one broadcast vocab join at |ids| cardinality; reassembly is
+    * the same per-doc sorted collect. */
+  private val tokenizeDecode = Q(
+    (s, d) => {
+      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
+      val wf = engine.ScratchCache.persist(docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+      val fin = engine.ScratchCache.persist(
+        bpeApply(wf.select(col("word")), merges))
+      val vocab = fin.join(wf, "word")
+        .groupBy(col("sym")).agg(sum(col("freq")).as("cf"))
+        .select(col("sym"), row_number().over(
+          Window.orderBy(col("cf").desc, col("sym"))).cast("long").as("tid"))
+      // encode side: word → (rn, tid) — ids only, symbols dropped
+      val enc = fin.join(broadcast(vocab), "sym")
+        .select(col("word"), col("rn"), col("tid"))
+      val th = docs(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          posexplode(tokens(col("text"))).as(Seq("p", "word")))
+      // decode: tid → sym via the broadcast vocabulary, then stitch
+      th.join(broadcast(enc), "word")
+        .select(col("doc_id"), col("text"), col("p"), col("rn"), col("tid"))
+        .join(broadcast(vocab), "tid")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), first(col("text")).as("text"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("rn"), col("sym")))),
+            x => x.getField("sym")), "").as("blob"))
+        .withColumn("decoded", rtrim(expr("replace(blob, '</w>', ' ')")))
+        .select(col("doc_id"), col("n_tokens"),
+          length(col("decoded")).as("decoded_len"),
+          (col("decoded") === col("text")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    },
+    Some(bpeOracleCtes + s""",
+      dsym AS (SELECT f.sym, sum(wf.freq) AS cf
+               FROM f$BpeMerges f JOIN wf USING (word) GROUP BY f.sym),
+      dvocab AS (SELECT sym,
+               CAST(row_number() OVER (ORDER BY cf DESC, sym) AS BIGINT)
+                 AS tid
+             FROM dsym),
+      dth AS (SELECT doc_id, text,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS p
+             FROM documents),
+      ddec AS (SELECT doc_id, any_value(text) AS text,
+               count(*) AS n_tokens,
+               array_to_string(list(v.sym ORDER BY p, rn), '') AS blob
+             FROM dth JOIN f$BpeMerges USING (word)
+             JOIN dvocab v USING (sym)
+             GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        length(rtrim(replace(blob, '</w>', ' '))) AS decoded_len,
+        (rtrim(replace(blob, '</w>', ' ')) = text) AS roundtrip_ok
+      FROM ddec ORDER BY doc_id"""))
+
   // ------------------------------------------------------ tokenize_report
   /** Tokenizer QA DATA CARD — the per-language evaluation table a
     * tokenizer review reads before committing a vocabulary: FERTILITY
@@ -2273,6 +2346,7 @@ object CurateQueries {
     "tokenize_ids" -> tokenizeIds,
     "tokenize_bpe" -> tokenizeBpe,
     "tokenize_bpe_apply" -> tokenizeBpeApply,
+    "tokenize_decode" -> tokenizeDecode,
     "tokenize_report" -> tokenizeReport,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_dim_stats" -> embeddingDimStats,

@@ -491,4 +491,18 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     assert(report.map(_.getString(0)).toSet == byLang.keySet)
   }
+
+  test("tokenize_decode: every document round-trips losslessly through " +
+      "encode → id-decode, token counts match the encode path") {
+    val dec = llm.CurateQueries.queries("tokenize_decode").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(dec.nonEmpty)
+    dec.foreach { case (id, _, ok) =>
+      assert(ok, s"doc $id failed the decode round-trip") }
+    val enc = llm.CurateQueries.queries("tokenize_bpe_apply").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dec.foreach { case (id, n, _) =>
+      assert(enc(id) == n, s"doc $id: decode saw $n tokens, encode ${enc(id)}")
+    }
+  }
 }
