@@ -2205,6 +2205,74 @@ object LlmQueries {
         FROM documents)
       WHERE bucket < 10 ORDER BY doc_id"""))
 
+  /** ANNEALED curriculum sampling — the epoch-dependent mixture a
+    * staged pretraining run consumes (the "quality anneal": every
+    * epoch keeps all high-quality documents, while the low-quality
+    * band's keep-rate decays 60% → 30% → 10%, shifting the late-
+    * training token distribution toward the best data — the multi-
+    * epoch refinement of [[sampleMixture]]'s single static mixture).
+    * Membership is the sample_hash contract PER EPOCH: the epoch
+    * number is part of the md5 salt, so each epoch's sample is an
+    * independent deterministic function of doc_id — re-derivable
+    * downstream, stable under any partitioning, and a doc dropped in
+    * epoch 2 can reappear in epoch 3 (sampling, not progressive
+    * filtering). Bands come from the shared [[qualityScore]] composite
+    * at the pipeline_curate gate threshold.
+    *
+    * Shape: the 3× epoch fan-out is a per-row generate on the scan
+    * (no shuffle); the only exchange is the (epoch, band) accounting
+    * agg — 6 groups at any corpus size. Emitting the schedule as the
+    * data card (not 3× doc rows) is deliberate: the training loader
+    * re-derives membership from (salt, epoch, doc_id) locally. */
+  private val sampleAnneal = Q(
+    (s, d) => {
+      val band = when(qualityScore >= 0.3, "hi").otherwise("lo")
+      val rate = when(col("band") === "hi", lit(100))
+        .otherwise(element_at(map(lit(1), lit(60), lit(2), lit(30),
+          lit(3), lit(10)), col("epoch")))
+      val bucket = pmod(
+        conv(substring(md5(concat_ws("|", lit("ann"),
+          col("epoch").cast("string"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100))
+      docs(s, d)
+        .select(col("doc_id"), band.as("band"))
+        .withColumn("epoch", explode(array(lit(1), lit(2), lit(3))))
+        .groupBy(col("epoch"), col("band"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("epoch"), col("band"), col("n_total"), col("n_kept"),
+          (floor(col("n_kept") / col("n_total") * 10000 + lit(0.5))
+            / 10000.0).as("rate_achieved"))
+        .orderBy("epoch", "band")
+    },
+    Some("""WITH ab AS (SELECT doc_id,
+          CASE WHEN floor((least(1.0, len(string_split(text, ' ')) / 100.0)
+              * 0.6
+            + len(list_filter(string_split(text, ' '),
+                x -> list_contains(['the', 'a'], x)))
+              / len(string_split(text, ' ')) * 0.2
+            + (1.0 - least(1.0,
+                abs((length(text) - (len(string_split(text, ' ')) - 1))
+                  / len(string_split(text, ' ')) - 5.0) / 5.0)) * 0.2)
+            * 10000 + 0.5) / 10000.0 >= 0.3
+          THEN 'hi' ELSE 'lo' END AS band
+        FROM documents),
+      ae AS (SELECT doc_id, band, epoch
+             FROM ab CROSS JOIN generate_series(1, 3) g(epoch)),
+      ak AS (SELECT epoch, band, count(*) AS n_total,
+          CAST(sum(CASE WHEN
+            ('0x' || substr(md5('ann|' || epoch || '|' || doc_id), 1, 8))
+              ::BIGINT % 100 <
+            CASE WHEN band = 'hi' THEN 100
+                 ELSE CASE epoch WHEN 1 THEN 60 WHEN 2 THEN 30
+                                 ELSE 10 END END
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ae GROUP BY 1, 2)
+      SELECT epoch::INT AS epoch, band, n_total, n_kept,
+        floor(n_kept / n_total * 10000 + 0.5) / 10000.0 AS rate_achieved
+      FROM ak ORDER BY epoch, band"""))
+
   /** Deterministic MIXTURE sampling — rebalance a corpus to target
     * per-domain rates (the "mix corpora to proportions" step after
     * quality filtering: downweight over-represented languages/sources
@@ -2521,6 +2589,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
+    "sample_anneal" -> sampleAnneal,
     "sample_temperature" -> sampleTemperature,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_logprob" -> textBigramLogprob,
