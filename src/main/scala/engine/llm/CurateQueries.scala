@@ -2231,6 +2231,64 @@ object CurateQueries {
       FROM m${QcRounds + 1} m ORDER BY m.doc_id"""
     })
 
+  // ---------------------------------------------------------- corpus_drift
+  /** DISTRIBUTION-DRIFT report between a reference corpus slice and an
+    * incoming batch (even/odd doc_id here; in production, last month's
+    * corpus vs this crawl) — the data-drift monitor a continuously-fed
+    * training pipeline runs before admitting a batch: per term, both
+    * slices' Laplace-smoothed unigram rates, the log-rate-ratio, and a
+    * drift flag at |Δ| > 0.2 nats. The per-term rows ARE the KL
+    * decomposition (KL(new‖ref) = Σ p_new · log_ratio), so the report
+    * doubles as the divergence audit trail — which terms moved, not
+    * just how much.
+    *
+    * Float discipline: rates are exact integer ratios (add-one
+    * smoothing keeps absent-in-one-slice terms finite); `ln` runs on
+    * the identical double ratio in both engines and snaps to the
+    * integer micronat grid before anything downstream (the
+    * text_unigram_logprob discipline). Shape: one posting shuffle for
+    * the per-term slice counts (map-side partial agg), a 1-row totals
+    * broadcast — vocabulary-scale output at any corpus size. */
+  private val corpusDrift = Q(
+    (s, d) => {
+      val c = docs(s, d)
+        .select((col("doc_id") % 2 === 0).as("is_ref"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_new"))
+      val tot = c.agg(sum(col("n_ref")).as("tr"), sum(col("n_new")).as("tn"),
+        count(lit(1)).as("v"))
+      val pRef = (col("n_ref") + 1).cast("double") / (col("tr") + col("v"))
+      val pNew = (col("n_new") + 1).cast("double") / (col("tn") + col("v"))
+      val lr = round(log(pNew / pRef) * 1e6, 0).cast("long")
+      c.crossJoin(broadcast(tot))
+        .select(col("term"), col("n_ref"), col("n_new"),
+          Core.r4(pRef).as("p_ref"), Core.r4(pNew).as("p_new"),
+          Core.r4(lr / 1e6).as("log_ratio"),
+          (abs(lr) > 200000L).as("drifted"))
+        .orderBy("term")
+    },
+    Some("""WITH dt AS (SELECT doc_id % 2 = 0 AS is_ref,
+            unnest(string_split(text, ' ')) AS term FROM documents),
+      dc AS (SELECT term,
+            sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+            sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_new
+          FROM dt GROUP BY term),
+      dtot AS (SELECT sum(n_ref)::BIGINT tr, sum(n_new)::BIGINT tn,
+            count(*)::BIGINT v FROM dc),
+      dr AS (SELECT term, n_ref, n_new,
+            (n_ref + 1)::DOUBLE / (tr + v) AS p_ref,
+            (n_new + 1)::DOUBLE / (tn + v) AS p_new,
+            CAST(round(ln(((n_new + 1)::DOUBLE / (tn + v))
+              / ((n_ref + 1)::DOUBLE / (tr + v))) * 1e6, 0) AS BIGINT)
+              AS lr
+          FROM dc CROSS JOIN dtot)
+      SELECT term, n_ref, n_new, round(p_ref, 4) AS p_ref,
+        round(p_new, 4) AS p_new, round(lr / 1e6, 4) AS log_ratio,
+        (abs(lr) > 200000) AS drifted
+      FROM dr ORDER BY term"""))
+
   // --------------------------------------------------------- corpus_report
   /** Per-(source, lang) corpus data card — the mixture-design surface a
     * pretraining run reads before setting sample_mixture / temperature
@@ -2335,6 +2393,7 @@ object CurateQueries {
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_train" -> qualityClassifierTrain,
     "corpus_report" -> corpusReport,
+    "corpus_drift" -> corpusDrift,
     "dedup_lines" -> dedupLines,
     "dedup_url" -> dedupUrl,
     "pipeline_pretrain" -> pipelinePretrain,
