@@ -1206,6 +1206,55 @@ object LlmQueries {
         round(cos, 4) AS cosine
       FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
+  // ------------------------------------------ B49j sim_search_filtered
+  /** B49j: FILTERED vector search — top-k under a metadata predicate
+    * (same `label` as the query), with PRE-FILTER semantics: the
+    * predicate restricts the candidate set BEFORE ranking, so every
+    * query gets its full k among eligible vectors — versus post-filter
+    * (rank first, filter after), which silently returns < k when the
+    * predicate is selective. The distinction is the central design
+    * question of every filtered-ANN system (exactly why vector DBs
+    * advertise "filtered search" as a feature, not a WHERE clause).
+    *
+    * Shape: the filter AND the rank run in one pass — the label
+    * equality rides the broadcast-query join condition, so ineligible
+    * vectors never reach the ranking window; at 100 TB with a
+    * partition-keyed predicate column this is partition pruning plus
+    * the [[simSearchTopk]] scan posture. */
+  private val simSearchFiltered = Q(
+    (s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        .join(unitEmbeddings(s, d), "vec_id")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("u").as("qu"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      e.join(broadcast(q),
+          col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+        .select(col("qid"), col("vec_id").as("cid"), col("label"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("label"),
+          r4(col("cos")).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(unitSql + """,
+      el AS (SELECT e.vec_id, b.label, e.u FROM e
+             JOIN embeddings b ON b.vec_id = e.vec_id),
+      fq AS (SELECT vec_id qid, label qlabel, u qu FROM el
+             WHERE vec_id < 5),
+      fsc AS (SELECT q.qid, el.vec_id cid, el.label,
+               list_sum(list_transform(list_zip(q.qu, el.u),
+                 p -> p[1]*p[2])) cos
+             FROM fq q JOIN el
+               ON el.vec_id <> q.qid AND el.label = q.qlabel)
+      SELECT qid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        cid, label, round(cos, 4) AS cosine
+      FROM fsc QUALIFY rank <= 5 ORDER BY qid, rank"""))
+
   // --------------------------------------------- B49i sim_search_range
   /** Cosine threshold for the range search — ~2σ of the isotropic
     * testdata's cosine distribution (σ = 1/√64), so each query matches
@@ -2576,6 +2625,7 @@ object LlmQueries {
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_range" -> simSearchRange,
+    "sim_search_filtered" -> simSearchFiltered,
     "mine_hard_negatives" -> mineHardNegatives,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,
