@@ -230,6 +230,40 @@ object SearchQueries {
       SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
       FROM ltop ORDER BY qid, rank"""))
 
+  // -------------------------------------------------- B53q search_facets
+  /** B53q: FACETED result aggregation — the navigation rail beside the
+    * ranked list: per query, the BM25 top-[[Bm25TopK]] candidates
+    * rolled up by (lang, source) with a hit count and the facet's best
+    * rank (what orders facet values in the UI). Facets are an
+    * AGGREGATION over the match set, not a filter — the complement of
+    * [[searchBoolean]]'s MUST/MUST_NOT, and the other half of every
+    * retrieval serving API (Lucene facets / Elasticsearch aggs).
+    *
+    * Shape: the expensive work is the shared [[bm25TopK]] chain
+    * (session-keyed postings, match-bounded agg); faceting itself
+    * joins the ≤ queries × k candidate frame to the docs' metadata
+    * columns (a broadcast of the candidate ids into the metadata scan
+    * at 100 TB — never the reverse) and aggregates queries × facets
+    * rows. */
+  private val searchFacets = Q(
+    (s, d) => {
+      val top = bm25TopK(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+        .select(col("qid"), col("cid"), col("rank"))
+      val meta = docs(s, d).select(col("doc_id").as("cid"), col("lang"),
+        col("source"))
+      top.join(meta, "cid")
+        .groupBy(col("qid"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("rank")).as("best_rank"))
+        .orderBy("qid", "lang", "source")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
+      fmeta AS (SELECT doc_id AS cid, lang, source FROM documents)
+      SELECT t.qid, m.lang, m.source, count(*) AS n_docs,
+        min(t.rank) AS best_rank
+      FROM ltop t JOIN fmeta m USING (cid)
+      GROUP BY 1, 2, 3 ORDER BY qid, lang, source"""))
+
   // --------------------------------------------------- B53j search_phrase
   /** Phrase window width (tokens). 2 is the testdata operating point:
     * the driver corpus's ~30-word vocabulary makes longer literal
@@ -2523,5 +2557,6 @@ object SearchQueries {
     "graph_label_prop" -> graphLabelProp,
     "search_autocomplete" -> searchAutocomplete,
     "search_spell" -> searchSpell,
-    "search_boolean" -> searchBoolean)
+    "search_boolean" -> searchBoolean,
+    "search_facets" -> searchFacets)
 }
