@@ -550,6 +550,99 @@ object IncrementalDedup {
         ORDER BY doc_id) = 1
       ORDER BY doc_id"""))
 
+  // -------------------------------------------- corpus_drift_incremental
+  /** The DISTRIBUTION-DRIFT monitor maintained ONLINE — CurateQueries'
+    * corpus_drift as a cross-run fold: the reference slice's term
+    * counts are seeded into an [[engine.stream.AppendTable]] store once
+    * (last month's audited corpus); each incoming batch then appends
+    * O(batch-vocabulary) term-count DELTAS, and the served report joins
+    * the folded new-side counts against the reference store — per term,
+    * both Laplace-smoothed rates, the micronat log-ratio, and the
+    * drift flag, byte-identical to the batch op on the same data
+    * because count folds are associative under ANY trigger split
+    * (IncrementalSpec pins a 3-round split; the DuckDB oracle is the
+    * whole-corpus batch form verbatim).
+    *
+    * Per-trigger cost is O(batch vocabulary) append I/O — nothing
+    * reads the store during ingest; the report is a serve-time fold,
+    * so a nightly 100 TB ingest pays counts-shuffle per batch and one
+    * vocabulary-scale join when someone looks. */
+  private val corpusDriftIncremental = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val refStore = new java.io.File(s"/tmp/graft_driftref_store_$san")
+      val newStore = new java.io.File(s"/tmp/graft_driftnew_store_$san")
+      engine.stream.AppendTable.destroy(refStore) // fresh replay
+      engine.stream.AppendTable.destroy(newStore)
+      def tcOf(batch: DataFrame): DataFrame = batch
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // seed the reference store: one direct batch append (the audited
+      // prior corpus — not part of this run's stream)
+      val refSrc = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val tcSchema = tcOf(refSrc.limit(0)).schema
+      engine.stream.AppendTable.append(tcOf(refSrc), refStore, 0L)
+      val src0 = t(s, d, "documents").filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+        engine.stream.AppendTable.append(tcOf(batch), newStore, batchId)
+      val mft = s.conf.get("spark.graft.driftIncr.mft", "32").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, src0,
+        s"driftincr_$san", orderedBy = Some("doc_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_driftincr_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.queryName("drift_incr").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      val refC = engine.stream.AppendTable.read(s, refStore, tcSchema)
+        .groupBy(col("term")).agg(sum(col("cnt")).as("n_ref"))
+      val newC = engine.stream.AppendTable.read(s, newStore, tcSchema)
+        .groupBy(col("term")).agg(sum(col("cnt")).as("n_new"))
+      val c = refC.join(newC, Seq("term"), "full_outer")
+        .select(col("term"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val tot = c.agg(sum(col("n_ref")).as("tr"), sum(col("n_new")).as("tn"),
+        count(lit(1)).as("v"))
+      val pRef = (col("n_ref") + 1).cast("double") / (col("tr") + col("v"))
+      val pNew = (col("n_new") + 1).cast("double") / (col("tn") + col("v"))
+      val lr = round(log(pNew / pRef) * 1e6, 0).cast("long")
+      c.crossJoin(broadcast(tot))
+        .select(col("term"), col("n_ref"), col("n_new"),
+          engine.Core.r4(pRef).as("p_ref"), engine.Core.r4(pNew).as("p_new"),
+          engine.Core.r4(lr / 1e6).as("log_ratio"),
+          (abs(lr) > 200000L).as("drifted"))
+        .orderBy("term")
+    },
+    // whole-corpus oracle: the batch corpus_drift chain verbatim — the
+    // fold must reproduce the one-pass report exactly
+    Some("""WITH dt AS (SELECT doc_id % 2 = 0 AS is_ref,
+            unnest(string_split(text, ' ')) AS term FROM documents),
+      dc AS (SELECT term,
+            sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+            sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_new
+          FROM dt GROUP BY term),
+      dtot AS (SELECT sum(n_ref)::BIGINT tr, sum(n_new)::BIGINT tn,
+            count(*)::BIGINT v FROM dc),
+      dr AS (SELECT term, n_ref, n_new,
+            (n_ref + 1)::DOUBLE / (tr + v) AS p_ref,
+            (n_new + 1)::DOUBLE / (tn + v) AS p_new,
+            CAST(round(ln(((n_new + 1)::DOUBLE / (tn + v))
+              / ((n_ref + 1)::DOUBLE / (tr + v))) * 1e6, 0) AS BIGINT)
+              AS lr
+          FROM dc CROSS JOIN dtot)
+      SELECT term, n_ref, n_new, round(p_ref, 4) AS p_ref,
+        round(p_new, 4) AS p_new, round(lr / 1e6, 4) AS log_ratio,
+        (abs(lr) > 200000) AS drifted
+      FROM dr ORDER BY term"""))
+
   // ------------------------------------------- corpus_report_incremental
   /** The corpus DATA CARD maintained ONLINE — corpus_report as a
     * cross-run fold: each ingest batch appends O(batch) MERGEABLE
@@ -747,5 +840,6 @@ object IncrementalDedup {
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_exact_incremental" -> dedupExactIncremental,
     "maintenance_store_compact" -> maintenanceStoreCompact,
-    "corpus_report_incremental" -> corpusReportIncremental)
+    "corpus_report_incremental" -> corpusReportIncremental,
+    "corpus_drift_incremental" -> corpusDriftIncremental)
 }

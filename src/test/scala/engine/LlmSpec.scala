@@ -222,6 +222,24 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batch.nonEmpty)
   }
 
+  test("corpus_drift_incremental: any trigger split folds to the " +
+      "one-pass drift report") {
+    // term-count deltas are associative, so the 3-batch fold, the
+    // single-trigger fold, and the batch corpus_drift must agree
+    def run(): Seq[Seq[Any]] =
+      LlmQueries.queries("corpus_drift_incremental").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.driftIncr.mft", "11") // 3 batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.driftIncr.mft")
+    val single = run()
+    val batch = LlmQueries.queries("corpus_drift").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(multi == single)
+    assert(single == batch, "incremental fold diverged from corpus_drift")
+    assert(batch.nonEmpty)
+  }
+
   test("dedup_exact_incremental: null-text docs dedup across triggers " +
       "(sentinel digest, not a NULL join key)") {
     // a NULL digest groups fine INSIDE a batch but never equi-joins the
