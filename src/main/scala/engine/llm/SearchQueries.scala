@@ -1296,6 +1296,76 @@ object SearchQueries {
              JOIN eu ua ON ua.vec_id = a.vec_id
              JOIN eu ub ON ub.vec_id = b.vec_id)"""
 
+  // ------------------------------------------ B58c graph_triangle_count
+  /** B58c: TRIANGLE COUNT + local clustering coefficient over the kNN
+    * similarity graph — the community-density readout beside
+    * [[graphPagerank]] (centrality) and [[graphLabelProp]] (label
+    * smoothing): a node in a tight duplicate/boilerplate community
+    * closes most of its wedges (coefficient → 1), an isolated bridge
+    * doc closes none — the standard graph feature curation stacks use
+    * to find template farms that pairwise dedup under-counts. Directed
+    * kNN edges are symmetrized to distinct undirected pairs first;
+    * each triangle a<b<c is enumerated ONCE (ordered wedge (a<b)(b<c)
+    * closed by the (a,c) edge — the classic compact-forward algorithm)
+    * and credited to all three corners.
+    *
+    * Shape at 100 TB: the wedge join is bounded by Σ deg² ≤ N·(2k)²
+    * (degree ≤ 2·[[KnnK]] by construction), the closure check is one
+    * more equi-join against the edge table, and every frame is (long,
+    * long) pairs — O(N·k²) total with no corpus payload anywhere. All
+    * integer counts; the only double is the final coefficient ratio. */
+  private val graphTriangleCount = Q(
+    (s, d) => {
+      val und = engine.ScratchCache.persist(
+        knnGraphFrame(s, d)
+          .select(least(col("vec_id"), col("nbr_id")).as("a"),
+            greatest(col("vec_id"), col("nbr_id")).as("b"))
+          .distinct())
+      val tri = und.as("x")
+        .join(und.as("y"), col("y.a") === col("x.b"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"),
+          col("y.b").as("tc"))
+        .join(und.select(col("a").as("ta"), col("b").as("tc")),
+          Seq("ta", "tc"))
+      val perNode = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc")))
+          .as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("triangles"))
+      val deg = und
+        .select(explode(array(col("a"), col("b"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+      deg.join(perNode, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          engine.Core.r4(when(col("degree") > 1,
+              lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                (col("degree") * (col("degree") - 1)))
+            .otherwise(lit(0.0))).as("clustering"))
+        .orderBy("vec_id")
+    },
+    Some(LlmQueries.coarseChainSql + knnSqlCtes + s""",
+      ted AS (SELECT vec_id, nbr_id FROM (
+               SELECT vec_id, nbr_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nbr_id) rank
+               FROM gp) WHERE rank <= $KnnK),
+      tund AS (SELECT DISTINCT least(vec_id, nbr_id) a,
+                 greatest(vec_id, nbr_id) b FROM ted),
+      ttri AS (SELECT x.a ta, x.b tb, y.b tc
+               FROM tund x JOIN tund y ON y.a = x.b
+               JOIN tund z ON z.a = x.a AND z.b = y.b),
+      tpn AS (SELECT v AS vec_id, count(*) triangles FROM (
+               SELECT unnest([ta, tb, tc]) v FROM ttri) GROUP BY 1),
+      tdg AS (SELECT v AS vec_id, count(*) degree FROM (
+               SELECT unnest([a, b]) v FROM tund) GROUP BY 1)
+      SELECT d.vec_id, d.degree,
+        COALESCE(t.triangles, 0)::BIGINT AS triangles,
+        round(CASE WHEN d.degree > 1
+          THEN 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+          ELSE 0.0 END, 4) AS clustering
+      FROM tdg d LEFT JOIN tpn t USING (vec_id)
+      ORDER BY d.vec_id"""))
+
   // ----------------------------------------------- B58 graph_pagerank
   /** Power-iteration rounds / damping factor (the canonical 0.85). */
   private val PrRounds = 10
@@ -2555,6 +2625,7 @@ object SearchQueries {
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
+    "graph_triangle_count" -> graphTriangleCount,
     "search_autocomplete" -> searchAutocomplete,
     "search_spell" -> searchSpell,
     "search_boolean" -> searchBoolean,
