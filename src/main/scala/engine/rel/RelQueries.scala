@@ -562,6 +562,77 @@ object RelQueries {
         AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
+  // -------------------------------------------------- B17b attribution
+  /** B17b: MULTI-TOUCH ATTRIBUTION — the marketing-analytics capstone
+    * over the event log: every purchase is credited to the user's
+    * clicks since their PREVIOUS purchase (purchase-session
+    * attribution), reporting the click count plus the first-touch and
+    * last-touch click ids — the two standard credit models. Clicks
+    * after a user's final purchase stay unattributed.
+    *
+    * Deliberately NOT a range join: a running purchase counter over
+    * the per-user ordered stream (clicks sort before the purchase at
+    * an equal timestamp, so a same-instant click is credited) gives
+    * every row a SEGMENT id, purchases and their clicks share the
+    * segment, and attribution becomes one (user, segment) equi-join —
+    * the union+window discipline of [[engine.rel.FnQueries]]'s as-of
+    * family. One shuffle on the user key, a match-bounded equi-join,
+    * no interval predicate anywhere — the shape that survives a 100 TB
+    * clickstream where per-user ranges would nest-loop. */
+  private val attribution = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("k"), col("ts").as("at"),
+          (col("event_type") === "purchase").as("isp"), col("event_id"))
+      // false < true: clicks before the purchase at equal (at); the
+      // running sum over the EXCLUSIVE-preceding frame is the segment
+      val ord = Window.partitionBy(col("k"))
+        .orderBy(col("at"), col("isp"), col("event_id"))
+      val seg = coalesce(sum(when(col("isp"), 1L).otherwise(0L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val w = ev.withColumn("seg", seg)
+      val clicks = w.filter(!col("isp"))
+      val cw = Window.partitionBy(col("k"), col("seg"))
+      val cs = clicks
+        .withColumn("rf", row_number().over(
+          cw.orderBy(col("at"), col("event_id"))))
+        .withColumn("rl", row_number().over(
+          cw.orderBy(col("at").desc, col("event_id").desc)))
+        .groupBy(col("k"), col("seg"))
+        .agg(count(lit(1)).as("n_clicks"),
+          max(when(col("rf") === 1, col("event_id"))).as("first_click"),
+          max(when(col("rl") === 1, col("event_id"))).as("last_click"))
+      w.filter(col("isp"))
+        .select(col("k"), col("seg"), col("event_id").as("purchase_id"))
+        .join(cs, Seq("k", "seg"))
+        .select(col("purchase_id"), col("k").as("user_id"),
+          col("n_clicks"), col("first_click"), col("last_click"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH au AS (SELECT user_id AS k, ts AS at,
+            event_type = 'purchase' AS isp, event_id
+          FROM events WHERE event_type IN ('click', 'purchase')),
+      aw AS (SELECT *, COALESCE(sum(CASE WHEN isp THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY at, isp, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS seg
+             FROM au),
+      ac AS (SELECT k, seg, count(*) AS n_clicks,
+               max(CASE WHEN rf = 1 THEN event_id END) AS first_click,
+               max(CASE WHEN rl = 1 THEN event_id END) AS last_click
+             FROM (SELECT k, seg, event_id,
+                     row_number() OVER (PARTITION BY k, seg
+                       ORDER BY at, event_id) rf,
+                     row_number() OVER (PARTITION BY k, seg
+                       ORDER BY at DESC, event_id DESC) rl
+                   FROM aw WHERE NOT isp)
+             GROUP BY 1, 2)
+      SELECT p.event_id AS purchase_id, p.k AS user_id,
+        c.n_clicks, c.first_click, c.last_click
+      FROM aw p JOIN ac c ON c.k = p.k AND c.seg = p.seg
+      WHERE p.isp ORDER BY purchase_id"""))
+
   /** B18: cartesian product (bounded small×small). */
   private val joinCross = Q(
     (s, d) => t(s, d, "region").select(col("r_name"))
@@ -1405,6 +1476,7 @@ object RelQueries {
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
+    "attribution" -> attribution,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
