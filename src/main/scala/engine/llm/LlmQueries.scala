@@ -1635,7 +1635,7 @@ object LlmQueries {
     * operating point (scan fraction NProbe/16 of the corpus) against
     * the same trained codebook. */
   private[engine] def ivfTopK(s: SparkSession, d: String,
-      NProbe: Int): DataFrame = {
+      NProbe: Int, sameLabelOnly: Boolean = false): DataFrame = {
       val TopK = 5
       // e consumed 5x (codebook, assignment, probes, both re-attach sides)
       val e = unitCorpus(s, d)
@@ -1662,25 +1662,86 @@ object LlmQueries {
       // cell-postings equi-join: each corpus vector sits in exactly one
       // cell and a query's probed cells are distinct, so (qid, cid) pairs
       // are already unique — no dedup step needed (unlike LSH banding)
-      val candIds = asg.join(broadcast(qprobe), Seq("cent_id"))
+      val candIds0 = asg.join(broadcast(qprobe), Seq("cent_id"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"))
+      // filtered-ANN mode: the metadata predicate (same label as the
+      // query) prunes candidates BEFORE the re-rank — pre-filter
+      // semantics inside the probed cells, so the k results are the
+      // best ELIGIBLE candidates the probe saw. At 100 TB the label
+      // rides the posting row, so this is a pushed filter on the cell
+      // partition scan, not a post-rank drop.
+      val candIds = if (!sameLabelOnly) candIds0 else {
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        candIds0
+          .join(lbl.toDF("cid", "clabel"), "cid")
+          .join(broadcast(lbl.filter(col("vec_id") < 5)
+            .toDF("qid", "qlabel")), "qid")
+          .filter(col("clabel") === col("qlabel"))
+          .select(col("qid"), col("cid"), col("clabel").as("label"))
+      }
       val qv = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("u").as("qu"))
       val cand = e.join(broadcast(candIds), col("vec_id") === col("cid"))
         .join(broadcast(qv), Seq("qid"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
-      cand.select(col("qid"), col("cid"), dot(col("qu"), col("u")).as("cos"))
+      val extra = if (sameLabelOnly) Seq(col("label")) else Nil
+      cand.select(Seq(col("qid"), col("cid"),
+          dot(col("qu"), col("u")).as("cos")) ++ extra: _*)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
-        .select(col("qid"), col("cid"), col("rank"), r4(col("cos")).as("cosine"))
+        .select(Seq(col("qid"), col("cid"), col("rank"),
+          r4(col("cos")).as("cosine")) ++ extra: _*)
         .orderBy("qid", "rank")
   }
 
   private val simSearchIvf = Q(
     (s, d) => ivfTopK(s, d, 4),
     Some(ivfOracleSql()))
+
+  /** B49k: FILTERED search through the IVF index — the indexed twin of
+    * [[simSearchFiltered]]: probe nprobe=4 cells as [[simSearchIvf]]
+    * does, but apply the metadata predicate (same label as the query)
+    * INSIDE the probed cells before the re-rank, so each query's k are
+    * the best eligible candidates the probe reached. The composition
+    * every filtered-vector-search engine ships: coarse quantization
+    * bounds the scan, the predicate prunes the posting rows (label is a
+    * posting column → a pushed partition-scan filter at rest), and only
+    * eligible vectors pay a distance computation. Recall vs the exact
+    * pre-filter scan is the [[simSearchIvf]] trade measured by
+    * ann_recall_report — cells are probed by QUERY geometry, so a rare
+    * label concentrated in unprobed cells is the known failure mode
+    * (the reason production systems over-probe when filters are
+    * selective). */
+  private val simSearchIvfFiltered = Q(
+    (s, d) => ivfTopK(s, d, 4, sameLabelOnly = true),
+    Some(coarseChainSql + s""",
+      asgx AS (SELECT eu.vec_id, c.cent_id,
+                 list_sum(list_transform(list_zip(eu.u, c.cu),
+                   p -> p[1] * p[2])) AS cd
+               FROM eu CROSS JOIN c2 c),
+      asg AS (SELECT vec_id, cent_id FROM asgx
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cd DESC, cent_id) = 1),
+      qprobe AS (SELECT vec_id AS qid, cent_id FROM asgx WHERE vec_id < 5
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cd DESC, cent_id) <= 4),
+      flbl AS (SELECT vec_id, label FROM embeddings),
+      cand AS (SELECT q.qid, a.vec_id AS cid, lc.label
+               FROM asg a JOIN qprobe q USING (cent_id)
+               JOIN flbl lc ON lc.vec_id = a.vec_id
+               JOIN flbl lq ON lq.vec_id = q.qid AND lq.label = lc.label
+               WHERE a.vec_id <> q.qid),
+      sc AS (SELECT cand.qid, cand.cid, cand.label,
+               list_sum(list_transform(list_zip(eq.u, ec.u),
+                 p -> p[1] * p[2])) AS cos
+             FROM cand JOIN eu eq ON eq.vec_id = cand.qid
+                       JOIN eu ec ON ec.vec_id = cand.cid)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank,
+        round(cos, 4) AS cosine, label
+      FROM sc QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
   /** Shared oracle for both IVF serving paths: seeds → two Lloyd rounds
     * → assignment → nprobe probe → tie-broken re-rank. [[simSearchIvf]]
@@ -2626,6 +2687,7 @@ object LlmQueries {
     "sim_search_topk" -> simSearchTopk,
     "sim_search_range" -> simSearchRange,
     "sim_search_filtered" -> simSearchFiltered,
+    "sim_search_ivf_filtered" -> simSearchIvfFiltered,
     "mine_hard_negatives" -> mineHardNegatives,
     "sim_search_ann" -> simSearchAnn,
     "sim_search_ivf" -> simSearchIvf,

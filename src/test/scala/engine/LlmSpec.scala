@@ -667,6 +667,31 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("sim_search_ivf_filtered: every result shares the query's label, " +
+      "recall vs the exact pre-filter scan clears the IVF floor") {
+    val anchorLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = llm.LlmQueries.queries("sim_search_ivf_filtered").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, cid, label) =>
+      assert(label == anchorLabel(qid), s"($qid,$cid) crosses the filter")
+      assert(label == anchorLabel(cid), "label is not the corpus label")
+    }
+    val exact = llm.LlmQueries.queries("sim_search_filtered").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ivf.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // the measured point is 0.28 at sf0.001 (deterministic — md5 seeds,
+    // tie-broken ranks): ~50 same-label vectors spread over 16 cells
+    // with 4 probed is exactly the selective-filter regime the op's doc
+    // calls out (production over-probes when filters are selective); at
+    // sf0.01 the same pipeline measures 0.6. The floor pins the
+    // mechanism works at all, not a serving-grade recall.
+    assert(recall >= 0.2, s"filtered-IVF recall $recall (np=4 of 16 cells)")
+  }
+
   test("sim_search_range: equals brute force, and the angular zone-map " +
       "prune is lossless (no dropped cell holds a match)") {
     val tau = 0.25
