@@ -1296,6 +1296,136 @@ object SearchQueries {
              JOIN eu ua ON ua.vec_id = a.vec_id
              JOIN eu ub ON ub.vec_id = b.vec_id)"""
 
+  // ----------------------------------- B58d sim_knn_graph_incremental
+  /** B58d: the kNN similarity graph maintained ONLINE — [[simKnnGraph]]
+    * as a cross-run fold, the incremental-ANN-maintenance job a
+    * continuously-fed embedding corpus runs instead of rebuilding the
+    * graph nightly. The coarse quantizer is a PRE-EXISTING model
+    * artifact (trained before going online — the production posture;
+    * here the shared [[LlmQueries.trainedSphericalCells]] codebook, so
+    * the oracle's 16-cell replay matches). Per ingest batch:
+    *
+    *  1. assign the batch's vectors to cells (broadcast codebook;
+    *     unit-normalization is [[LlmQueries.unitEmbeddings]]'s exact
+    *     expression chain, so every cosine is bit-identical to the
+    *     batch build);
+    *  2. read ONLY the member-store segments that can hold the batch's
+    *     cells ([[engine.stream.AppendTable.readPruned]] on cent_id —
+    *     segment skipping, not a full-store scan);
+    *  3. enumerate the batch's new within-cell pairs — batch×prior in
+    *     BOTH directions plus batch×batch (a≠b). Each unordered pair
+    *     is generated exactly once, when its LATER member arrives, so
+    *     the union over any trigger split is exactly the batch build's
+    *     pair universe;
+    *  4. fold into the graph state: per-node top-[[KnnK]] over
+    *     (state ∪ new edges) — associative (the stream_topk identity:
+    *     topk(topk(A) ∪ B) = topk(A ∪ B)), committed under the
+    *     [[engine.stream.VersionedTable]] atomic pointer;
+    *  5. append the batch's (cell, vector) rows to the member store —
+    *     O(batch) written, never O(store).
+    *
+    * Decomposition invariance (3) + fold associativity (4) make ANY
+    * trigger split land on the batch [[simKnnGraph]] result exactly —
+    * the whole-corpus DuckDB oracle is simKnnGraph's verbatim, and
+    * SearchSpec pins a 3-round split. Per-trigger cost is
+    * O(batch × cellmates) pair dots + O(keys) state rewrite; nothing
+    * scales with total history except the pruned member read. */
+  private val simKnnGraphIncremental = Q(
+    (s, d) => {
+      import s.implicits._
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val memberStore = new java.io.File(s"/tmp/graft_knngm_store_$san")
+      val graphState = new java.io.File(s"/tmp/graft_knng_state_$san")
+      engine.stream.AppendTable.destroy(memberStore) // fresh replay
+      engine.stream.VersionedTable.destroy(graphState)
+      val k = s.conf.get("spark.graft.knng.k", "16").toInt
+      val cents = LlmQueries.trainedSphericalCells(s, d,
+        LlmQueries.unitCorpus(s, d), k).toDF("cent_id", "cu")
+      // the batch-side unitization — unitEmbeddings' exact op chain
+      def unitize(batch: DataFrame): DataFrame = batch
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm"))
+          .as("u"))
+        .filter(col("u").isNotNull)
+      def asgOf(batch: DataFrame): DataFrame = unitize(batch)
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("u"), col("cent_id"),
+          dot(col("u"), col("cu")).as("cd"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(cd, -cent_id))").as("cent_id"),
+          first(col("u")).as("u"))
+      val src0 = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val memberSchema = asgOf(src0.limit(0)).schema
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val basg = asgOf(batch).persist() // one micro-batch lifetime
+        try {
+          val prior = engine.stream.AppendTable.readPruned(sp, memberStore,
+            memberSchema, "cent_id", basg.select(col("cent_id"))).df
+          val bp = basg.select(col("cent_id").as("bc"),
+            col("vec_id").as("bid"), col("u").as("bu"))
+          val pm = prior.select(col("cent_id").as("pc"),
+            col("vec_id").as("pid"), col("u").as("pu"))
+          // batch×prior, both directions + batch×batch (a ≠ b)
+          val bxp = bp.join(pm, col("bc") === col("pc"))
+          val newEdges = bxp.select(col("bid").as("vec_id"),
+              col("pid").as("nbr_id"), dot(col("bu"), col("pu")).as("cos"))
+            .unionByName(bxp.select(col("pid").as("vec_id"),
+              col("bid").as("nbr_id"), dot(col("pu"), col("bu")).as("cos")))
+            .unionByName(bp.as("x").join(bp.as("y"),
+                col("x.bc") === col("y.bc") && col("x.bid") =!= col("y.bid"))
+              .select(col("x.bid").as("vec_id"), col("y.bid").as("nbr_id"),
+                dot(col("x.bu"), col("y.bu")).as("cos")))
+          val prev = engine.stream.VersionedTable.read(sp, graphState)
+            .getOrElse(sp.emptyDataFrame.select(lit(0L).as("vec_id"),
+              lit(0L).as("nbr_id"), lit(0.0).as("cos")).limit(0))
+          val merged = prev.unionByName(newEdges)
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("vec_id"))
+                .orderBy(col("cos").desc, col("nbr_id"))))
+            .filter(col("rk") <= KnnK)
+            .select(col("vec_id"), col("nbr_id"), col("cos"))
+          engine.stream.VersionedTable.commit(merged, graphState, batchId)
+          engine.stream.AppendTable.append(basg, memberStore, batchId)
+        } finally { basg.unpersist(); () }
+      }
+      val mft = s.conf.get("spark.graft.knngIncr.mft", "32").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, src0,
+        s"knngincr_$san", orderedBy = Some("vec_id"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_knngincr_${java.util.UUID.randomUUID}")
+      def rmCk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
+      }
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.queryName("knng_incr").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rmCk(ck) }
+      engine.stream.VersionedTable.read(s, graphState)
+        .getOrElse(sys.error(s"knn graph state missing at $graphState"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nbr_id"))))
+        .select(col("vec_id"), col("rank"), col("nbr_id"),
+          r4(col("cos")).as("cosine"))
+        .orderBy("vec_id", "rank")
+    },
+    // whole-corpus oracle: the batch sim_knn_graph chain verbatim
+    Some(LlmQueries.coarseChainSql + knnSqlCtes + s"""
+      SELECT vec_id,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, nbr_id) AS rank,
+        nbr_id, round(cos, 4) AS cosine
+      FROM gp QUALIFY rank <= $KnnK ORDER BY vec_id, rank"""))
+
   // ------------------------------------------ B58c graph_triangle_count
   /** B58c: TRIANGLE COUNT + local clustering coefficient over the kNN
     * similarity graph — the community-density readout beside
@@ -2626,6 +2756,7 @@ object SearchQueries {
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
     "graph_triangle_count" -> graphTriangleCount,
+    "sim_knn_graph_incremental" -> simKnnGraphIncremental,
     "search_autocomplete" -> searchAutocomplete,
     "search_spell" -> searchSpell,
     "search_boolean" -> searchBoolean,

@@ -847,6 +847,26 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.values.toSet.size > 1)
   }
 
+  test("sim_knn_graph_incremental: any trigger split folds to the batch " +
+      "kNN graph") {
+    // pair generation is decomposition-invariant (a pair materializes
+    // when its later member arrives) and the per-node top-k fold is
+    // associative, so the 3-round fold, the single-trigger fold, and
+    // the batch sim_knn_graph must agree row-for-row
+    def run(): Seq[Seq[Any]] =
+      SearchQueries.queries("sim_knn_graph_incremental").fn(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.knngIncr.mft", "11") // 3 batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.knngIncr.mft")
+    val single = run()
+    val batch = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(multi == single)
+    assert(single == batch, "incremental fold diverged from sim_knn_graph")
+    assert(batch.nonEmpty)
+  }
+
   test("search_spell: deletion-key candidates are COMPLETE for edit " +
       "distance <= 1, ranks follow corpus frequency") {
     val rows = SearchQueries.queries("search_spell").fn(spark, sf)
