@@ -2289,6 +2289,87 @@ object LlmQueries {
         round(sum(m)::DOUBLE / 1e6 / count(*), 4) AS avg_surprisal
       FROM u GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Bloom parameters: k hash functions over an m-position table. m is
+    * deliberately small for the testdata (250 ref digests × 4 hashes ≈
+    * 64% fill) so FALSE POSITIVES actually occur and the accounting
+    * column is exercised — production sizes m ≈ −n·ln(p)/ln(2)² for a
+    * target FP rate p. */
+  private val BloomK = 4
+  private val BloomM = 1024L
+
+  /** BLOOM-FILTER dedup SCREEN — the approximate-membership pre-pass a
+    * cross-shard dedup runs before any exact work: the reference
+    * slice's (even doc_id) digest set is folded into a [[BloomK]]-hash
+    * [[BloomM]]-position Bloom table; each candidate (odd doc_id) is
+    * flagged `bloom_hit` iff ALL its positions are set, beside its
+    * `exact_dup` ground truth. One-sided error by construction — a
+    * true duplicate can never be missed (LlmSpec pins zero false
+    * negatives), false positives occur at the fill-ratio^k rate and
+    * are what the exact pass downstream resolves; the screen's job is
+    * discarding the overwhelming non-duplicate majority without
+    * touching the reference data itself.
+    *
+    * The bit array is RELATIONALIZED (the set-position set, ≤ m rows —
+    * broadcast at any corpus size) so the semantics are oracle-checked
+    * bit-for-bit; the at-rest form is the packed-bitset sidecar
+    * [[engine.stream.AppendTable]] writes ([[engine.stream.AppendTable
+    * .readPruned]]'s segment Blooms — same math, serving form). Shape:
+    * candidates stream through a map-side join against the broadcast
+    * position set; the reference corpus is read once to build it. */
+  /** The screen over an arbitrary `(doc_id, text)` frame — factored so
+    * LlmSpec can plant cross-slice duplicates (the driver testdata has
+    * none straddling the even/odd split) and pin the zero-false-
+    * negative guarantee on them. */
+  private[engine] def bloomScreenFrame(docsDf: DataFrame): DataFrame = {
+      def posOf(i: Int, dg: Column): Column = pmod(
+        conv(substring(md5(concat_ws("|", lit(i.toString), dg)), 1, 8),
+          16, 10).cast("long"), lit(BloomM))
+      val dgAll = docsDf
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("dg"))
+      val ref = dgAll.filter(col("doc_id") % 2 === 0)
+        .select(col("dg")).distinct()
+      val refPos = ref.select(explode(array((1 to BloomK).map(i =>
+          posOf(i, col("dg"))): _*)).as("pos")).distinct()
+      val cand = dgAll.filter(col("doc_id") % 2 === 1)
+      val cpos = cand.select(col("doc_id"), explode(array(
+          (1 to BloomK).map(i => posOf(i, col("dg"))): _*)).as("pos"))
+        .distinct()
+      val hits = cpos
+        .join(broadcast(refPos.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0)))
+          .as("h"))
+        .select(col("doc_id"), (col("h") === col("n")).as("bloom_hit"))
+      val exact = cand
+        .join(ref.withColumn("e", lit(1)), Seq("dg"), "left")
+        .select(col("doc_id"), (col("e").isNotNull).as("exact_dup"))
+      hits.join(exact, "doc_id")
+        .select(col("doc_id"), col("bloom_hit"), col("exact_dup"))
+        .orderBy("doc_id")
+  }
+
+  private val dedupBloomScreen = Q(
+    (s, d) => bloomScreenFrame(docs(s, d)),
+    Some(s"""WITH bdg AS (SELECT doc_id, md5(lower(trim(text))) AS dg
+               FROM documents),
+      bref AS (SELECT DISTINCT dg FROM bdg WHERE doc_id % 2 = 0),
+      brpos AS (SELECT DISTINCT
+                 ('0x' || substr(md5(i || '|' || dg), 1, 8))::BIGINT
+                   % $BloomM AS pos
+               FROM bref CROSS JOIN generate_series(1, $BloomK) g(i)),
+      bcand AS (SELECT doc_id, dg FROM bdg WHERE doc_id % 2 = 1),
+      bcpos AS (SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(i || '|' || dg), 1, 8))::BIGINT
+                   % $BloomM AS pos
+               FROM bcand CROSS JOIN generate_series(1, $BloomK) g(i)),
+      bhits AS (SELECT c.doc_id, count(*) AS n,
+                 sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+               FROM bcpos c LEFT JOIN brpos r USING (pos) GROUP BY 1),
+      bex AS (SELECT c.doc_id, (r.dg IS NOT NULL) AS exact_dup
+              FROM bcand c LEFT JOIN bref r USING (dg))
+      SELECT h.doc_id, (h.h = h.n) AS bloom_hit, e.exact_dup
+      FROM bhits h JOIN bex e USING (doc_id) ORDER BY doc_id"""))
+
   /** Deterministic hash-bucket sampling — the only sampling that is
     * reproducible at 100 TB: membership depends on md5(salt|id) alone, so
     * the same 10% sample falls out on any cluster size, any partitioning,
@@ -2673,6 +2754,7 @@ object LlmQueries {
   // mid-init (null queries map → NPE) whenever CurateQueries loads first
   lazy val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_bloom_screen" -> dedupBloomScreen,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,

@@ -667,6 +667,37 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dedup_bloom_screen: zero false negatives on planted cross-slice " +
+      "duplicates; false positives occur and stay bounded at this fill") {
+    // planted: odd docs 1,3 duplicate even docs 0,2; odd 5..199 unique
+    val rows = (0L until 200L).map { i =>
+      val text = if (i == 1L) "planted dup zero"
+        else if (i == 3L) "planted dup two"
+        else if (i == 0L) "planted dup zero"
+        else if (i == 2L) "planted dup two"
+        else s"unique doc number $i payload"
+      (i, text)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = llm.LlmQueries.bloomScreenFrame(df).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(got.size == 100) // one row per odd candidate
+    // the Bloom guarantee: every exact duplicate is a hit
+    assert(got(1L) == (true, true) && got(3L) == (true, true))
+    got.foreach { case (id, (hit, exact)) =>
+      if (exact) assert(hit, s"false negative at $id — Bloom broke") }
+    // FP accounting: deterministic hashes, ~98 unique candidates over a
+    // ~400-position fill → some FPs are expected, most candidates clean
+    val fps = got.count { case (_, (hit, exact)) => hit && !exact }
+    assert(fps < 50, s"$fps FPs of 98 unique — fill ratio out of regime")
+    // the real testdata run must also be FN-free (no planted cross-slice
+    // dups there, so this pins only the one-sided-error direction)
+    val real = llm.LlmQueries.queries("dedup_bloom_screen").fn(spark, sf)
+      .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
+    assert(real.nonEmpty)
+    real.foreach { case (hit, exact) => if (exact) assert(hit) }
+  }
+
   test("sim_search_ivf_filtered: every result shares the query's label, " +
       "recall vs the exact pre-filter scan clears the IVF floor") {
     val anchorLabel = spark.read.parquet(s"$sf/embeddings.parquet")
