@@ -666,6 +666,161 @@ object StreamQueries {
       SELECT user_id, last_seq, last_type, last_value
       FROM last WHERE op <> 'D' ORDER BY user_id"""))
 
+  // ------------------------------------------------ B5h stream_scd2_apply
+  /** B5h: TYPE-2 DIMENSION maintained ONLINE — scd2_build as a
+    * cross-run fold (the warehouse CDC→SCD2 merge job): closed
+    * versions land once in an append-only archive
+    * ([[engine.stream.AppendTable]]); each key's OPEN run (version
+    * counter, state, valid_from, event count) lives under the
+    * [[VersionedTable]] pointer and folds with each batch.
+    *
+    * The fold is RUN-LENGTH MERGE: the batch's rows collapse to runs
+    * (the scd2_build window logic at batch scale), the key's open run
+    * is prepended as run 0, and adjacent same-state runs coalesce — so
+    * a state run spanning a trigger boundary merges instead of
+    * splitting, which is exactly what makes the fold associative under
+    * ANY split of the ordered log (StreamSourceSpec pins a 3-round
+    * split ≡ the batch scd2_build; the DuckDB oracle is scd2_build's
+    * verbatim). Version numbers stay absolute: each user's runs are
+    * renumbered from its carried base, closed runs take their
+    * successor's valid_from as valid_to before they are archived.
+    *
+    * Scale posture: per trigger, runs-in-batch is one keyed window at
+    * batch scale; the open-state merge touches O(touched keys) rows;
+    * closed versions append O(batch) — nothing reads the closed
+    * archive on the ingest path. At rest the archive partitions by
+    * valid_from date and the open table by key hash — the standard
+    * warehouse layout this op models. */
+  private val streamScd2Apply = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val closedStore = new java.io.File(s"/tmp/graft_scd2_closed_$san")
+      val openState = new java.io.File(s"/tmp/graft_scd2_open_$san")
+      AppendTable.destroy(closedStore) // fresh fold — the run IS the replay
+      VersionedTable.destroy(openState)
+      val src0 = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tu"))
+      val closedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("state",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("valid_from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType)))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val sp = batch.sparkSession
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+        val bruns = batch
+          .withColumn("chg", when(lag(col("event_type"), 1).over(byTime)
+            === col("event_type"), 0).otherwise(1))
+          .withColumn("bver", sum(col("chg")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("bver"))
+          .agg(first(col("event_type")).as("state"),
+            min(struct(col("tu"), col("event_id"))).as("fst"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("bver"), col("state"),
+            col("fst").getField("tu").as("vf"), col("n_events"))
+        val prev = VersionedTable.read(sp, openState).getOrElse(
+          sp.emptyDataFrame.select(lit(0L).as("user_id"),
+            lit(0L).as("version"), lit("").as("state"),
+            lit(0L).as("valid_from"), lit(0L).as("n_events")).limit(0))
+        val touched = bruns.select(col("user_id")).distinct()
+        val prevTouched = prev.join(touched, Seq("user_id"), "leftsemi")
+        // prepend each touched key's open run as run 0, carry the
+        // absolute version base, coalesce adjacent same-state runs
+        val allRuns = prevTouched
+          .select(col("user_id"), lit(0L).as("bver"), col("state"),
+            col("valid_from").as("vf"), col("n_events"))
+          .unionByName(bruns)
+          .join(prevTouched.select(col("user_id"),
+            (col("version") - 1).as("pbase")), Seq("user_id"), "left")
+          .withColumn("pbase", coalesce(col("pbase"), lit(0L)))
+        val byRun = Window.partitionBy(col("user_id")).orderBy(col("bver"))
+        val folded = allRuns
+          .withColumn("chg2", when(lag(col("state"), 1).over(byRun)
+            === col("state"), 0).otherwise(1))
+          .withColumn("ver2", sum(col("chg2")).over(
+            byRun.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("ver2"))
+          .agg(first(col("state")).as("state"), min(col("vf")).as("vf"),
+            sum(col("n_events")).as("n_events"),
+            first(col("pbase")).as("pbase"))
+          .withColumn("version", col("pbase") + col("ver2"))
+          .withColumn("valid_to", lead(col("vf"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ver2"))))
+        val closed = folded.filter(col("valid_to").isNotNull)
+          .select(col("user_id"), col("version"), col("state"),
+            col("vf").as("valid_from"), col("valid_to"), col("n_events"))
+        val newOpen = folded.filter(col("valid_to").isNull)
+          .select(col("user_id"), col("version"), col("state"),
+            col("vf").as("valid_from"), col("n_events"))
+        val untouched = prev.join(touched, Seq("user_id"), "left_anti")
+        AppendTable.append(closed, closedStore, batchId)
+        VersionedTable.commit(untouched.unionByName(newOpen), openState,
+          batchId)
+      }
+      val mft = s.conf.get("spark.graft.scd2.mft", "32").toInt
+      val src = asFileStream(s, src0, s"scd2_$san",
+        orderedBy = Some("event_id"), maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_scd2_${java.util.UUID.randomUUID}")
+      def rmCk(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
+      }
+      try {
+        src.writeStream.queryName("scd2_apply").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally rmCk(ck)
+      val closed = AppendTable.read(s, closedStore, closedSchema)
+        .withColumn("is_current", lit(false))
+      val open = VersionedTable.read(s, openState)
+        .getOrElse(sys.error(s"scd2 open state missing at $openState"))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), lit(null: java.lang.Long).as("valid_to"),
+          col("n_events"))
+        .withColumn("is_current", lit(true))
+      closed.unionByName(open)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_events"))
+        .orderBy("user_id", "version")
+    },
+    // whole-log oracle: scd2_build's chain verbatim — the online fold
+    // must reproduce the batch dimension table exactly
+    Some("""WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+               THEN 0 ELSE 1 END AS chg
+        FROM events),
+      runs AS (
+        SELECT user_id, ts, event_id, event_type,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        FROM marked),
+      vers AS (
+        SELECT user_id, version, min(event_type) AS state,
+          min(ts) AS fst, count(*) AS n_events
+        FROM runs GROUP BY user_id, version)
+      SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        epoch_us(fst) AS valid_from,
+        epoch_us(lead(fst) OVER (PARTITION BY user_id ORDER BY version))
+          AS valid_to,
+        lead(fst) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+          AS is_current,
+        n_events
+      FROM vers ORDER BY user_id, version"""))
+
   // ------------------------------------------------ B5f stream_asof_enrich
   /** Union-row of the as-of enrich stream: a dimension VERSION (`ok`
     * set) or an EVENT (`event_id` set), both keyed and timestamped —
@@ -758,6 +913,7 @@ object StreamQueries {
     "stream_join_stream" -> streamJoinStream,
     "stream_upsert_sink" -> streamUpsertSink,
     "stream_cdc_apply" -> streamCdcApply,
+    "stream_scd2_apply" -> streamScd2Apply,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_watermark_late" -> streamWatermarkLate,

@@ -77,6 +77,27 @@ class StreamSourceSpec extends AnyFunSuite {
       "testdata should contain at least one final-delete key")
   }
 
+  test("stream_scd2_apply: trigger split does not change the dimension " +
+      "table — boundary-spanning runs merge instead of splitting") {
+    // the run-length merge fold is associative only because a state run
+    // crossing a trigger boundary coalesces with the carried open run;
+    // the 3-round fold must equal the single-trigger default AND the
+    // batch scd2_build
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_scd2_apply")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.scd2.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.scd2.mft")
+    val single = run()
+    val batch = graft.SparkEntry.queries("scd2_build")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(multi == single)
+    assert(single == batch, "online fold diverged from scd2_build")
+    assert(batch.nonEmpty)
+  }
+
   test("stream_topk: trigger split does not change the leaderboard") {
     // top-k selection is associative (topk(topk(A) ∪ B) = topk(A ∪ B)),
     // so the 3-round fold must land on the single-trigger default's
