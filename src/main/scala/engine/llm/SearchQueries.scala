@@ -884,6 +884,127 @@ object SearchQueries {
         word AS suggestion, cnt, dist
       FROM sver QUALIFY rank <= $SpellTopK ORDER BY typo, rank"""))
 
+  // ------------------------------------------- B53r sim_search_rerank_mmr
+  /** MMR parameters: relevance weight λ, candidate depth, picks. */
+  private val MmrLambda = 0.7
+  private val MmrDepth = 10
+  private val MmrK = 5
+
+  /** B53r: MAXIMAL MARGINAL RELEVANCE rerank — the diversified top-k
+    * every retrieval-for-RAG stack runs after similarity ranking
+    * (Carbonell & Goldstein '98): greedily pick [[MmrK]] of the cosine
+    * top-[[MmrDepth]], each pick maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — near-dup
+    * results (which the isotropic testdata's replica structure and any
+    * real corpus both produce) stop crowding out coverage. The greedy
+    * loop is UNROLLED ([[MmrK]] is a constant): each round is a
+    * max-sim join against the selected set and a per-query argmax —
+    * every frame is ≤ queries × depth rows, so the whole rerank is
+    * broadcast-local at any corpus size (the heavy work stays in the
+    * candidate generation, here the [[LlmQueries]] brute scan, in
+    * production the ANN index).
+    *
+    * Determinism: MMR scores snap to the integer micronat grid before
+    * each argmax (identical 0.7/0.3 literals, left-to-right
+    * arithmetic, exact-order dots), ties break to the lower cid — the
+    * oracle unrolls the same picks as CTEs. */
+  private val simSearchRerankMmr = Q(
+    (s, d) => {
+      val e = LlmQueries.unitCorpus(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val top = engine.ScratchCache.persist(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            dot(col("qu"), col("u")).as("rel"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("rel").desc, col("cid"))))
+          .filter(col("rk") <= MmrDepth)
+          .select(col("qid"), col("cid"), col("rel")))
+      val withU = top.join(e.select(col("vec_id").as("cid"), col("u")),
+        "cid")
+      val pair = engine.ScratchCache.persist(withU.as("a")
+        .join(withU.as("b"),
+          col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+        .select(col("a.qid").as("qid"), col("a.cid").as("cid"),
+          col("b.cid").as("oid"), dot(col("a.u"), col("b.u")).as("sim")))
+      def mmrScore(ms: Column): Column =
+        round((lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * ms)
+          * 1e6, 0).cast("long")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sc").desc, col("cid"))
+      var sel = top.withColumn("sc", mmrScore(lit(0.0)))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(1).as("pick"))
+      for (k <- 2 to MmrK) {
+        val ms = pair.join(sel.select(col("qid"), col("cid").as("oid")),
+            Seq("qid", "oid"))
+          .groupBy(col("qid"), col("cid")).agg(max(col("sim")).as("ms"))
+        val picked = top.join(sel.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_anti")
+          .join(ms, Seq("qid", "cid"))
+          .withColumn("sc", mmrScore(col("ms")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), lit(k).as("pick"))
+        // truncate lineage per pick (the bpeApply discipline): without
+        // it each round replans the whole union-of-windows chain and
+        // the constant-size rerank pays seconds of planning
+        sel = engine.Core.checkpointFresh(sel.unionByName(picked))
+      }
+      sel.join(top, Seq("qid", "cid"))
+        .select(col("qid"), col("pick"), col("cid"), r4(col("rel")).as("rel"))
+        .orderBy("qid", "pick")
+    },
+    Some {
+      def pickCte(k: Int): String = s""",
+      mms$k AS (SELECT p.qid, p.cid, max(p.sim) AS ms
+               FROM mpair p JOIN msel${k - 1} s
+                 ON s.qid = p.qid AND s.cid = p.oid
+               GROUP BY 1, 2),
+      mpk$k AS (SELECT qid, cid, $k AS pick FROM (
+               SELECT t.qid, t.cid,
+                 row_number() OVER (PARTITION BY t.qid ORDER BY
+                   CAST(round((0.7 * t.rel - 0.3 * m.ms) * 1e6, 0)
+                     AS BIGINT) DESC, t.cid) rn
+               FROM mtop t JOIN mms$k m
+                 ON m.qid = t.qid AND m.cid = t.cid
+               ANTI JOIN msel${k - 1} s
+                 ON s.qid = t.qid AND s.cid = t.cid)
+             WHERE rn = 1),
+      msel$k AS (SELECT qid, cid FROM msel${k - 1}
+              UNION ALL SELECT qid, cid FROM mpk$k)"""
+      LlmQueries.unitSql + s""",
+      meu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      mq AS (SELECT vec_id qid, u qu FROM meu WHERE vec_id < 5),
+      msc AS (SELECT q.qid, e2.vec_id cid,
+               list_sum(list_transform(list_zip(q.qu, e2.u),
+                 p -> p[1]*p[2])) rel
+             FROM mq q, meu e2 WHERE e2.vec_id <> q.qid),
+      mtop AS (SELECT qid, cid, rel FROM (
+               SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+                 ORDER BY rel DESC, cid) rk FROM msc) WHERE rk <= $MmrDepth),
+      mpair AS (SELECT a.qid, a.cid, b.cid oid,
+               list_sum(list_transform(list_zip(ua.u, ub.u),
+                 p -> p[1]*p[2])) sim
+             FROM mtop a JOIN mtop b
+               ON a.qid = b.qid AND a.cid <> b.cid
+             JOIN meu ua ON ua.vec_id = a.cid
+             JOIN meu ub ON ub.vec_id = b.cid),
+      mpk1 AS (SELECT qid, cid, 1 AS pick FROM (
+               SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                 ORDER BY CAST(round((0.7 * rel - 0.3 * 0.0) * 1e6, 0)
+                   AS BIGINT) DESC, cid) rn
+               FROM mtop) WHERE rn = 1),
+      msel1 AS (SELECT qid, cid FROM mpk1)""" +
+      (2 to MmrK).map(pickCte).mkString + s"""
+      SELECT p.qid, p.pick, p.cid, round(t.rel, 4) AS rel
+      FROM (${(1 to MmrK).map(k => s"SELECT * FROM mpk$k")
+        .mkString(" UNION ALL ")}) p
+      JOIN mtop t ON t.qid = p.qid AND t.cid = p.cid
+      ORDER BY p.qid, p.pick"""
+    })
+
   // ----------------------------------------------- B53c search_hybrid_rrf
   /** B53c: hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (RRF, k=60): score(q,doc) = Σ_modality 1/(60 + rank_modality) over
@@ -2757,6 +2878,7 @@ object SearchQueries {
     "graph_label_prop" -> graphLabelProp,
     "graph_triangle_count" -> graphTriangleCount,
     "sim_knn_graph_incremental" -> simKnnGraphIncremental,
+    "sim_search_rerank_mmr" -> simSearchRerankMmr,
     "search_autocomplete" -> searchAutocomplete,
     "search_spell" -> searchSpell,
     "search_boolean" -> searchBoolean,

@@ -224,7 +224,8 @@ object ScaleProbe {
     // snippet generation
     "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet",
     "graph_label_prop", "sim_search_range", "search_spell",
-    "search_boolean", "embedding_dim_stats", "sample_anneal", "corpus_drift", "graph_triangle_count", "dedup_bloom_screen")
+    "search_boolean", "embedding_dim_stats", "sample_anneal", "corpus_drift", "graph_triangle_count", "dedup_bloom_screen",
+    "sim_search_rerank_mmr")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

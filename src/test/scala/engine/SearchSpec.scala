@@ -847,6 +847,39 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.values.toSet.size > 1)
   }
 
+  test("sim_search_rerank_mmr: pick 1 is the relevance top-1 and the " +
+      "selected set is no less diverse than the plain top-k") {
+    val mmr = SearchQueries.queries("sim_search_rerank_mmr").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mmr.nonEmpty)
+    val plain = engine.llm.LlmQueries.queries("sim_search_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    val e = Core.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (e(a), e(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(ids(i), ids(j))
+      ps.sum / ps.size
+    }
+    mmr.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.size == 5 && g.map(_._2).sorted.toSeq == (1 to 5))
+      val top = plain.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(g.minBy(_._2)._3 == top.head,
+        s"qid $qid: MMR pick 1 must be the relevance top-1")
+      val mmrSim = avgPairSim(g.sortBy(_._2).map(_._3).toSeq)
+      val topSim = avgPairSim(top)
+      assert(mmrSim <= topSim + 1e-9,
+        s"qid $qid: MMR set less diverse ($mmrSim) than plain top-5 ($topSim)")
+    }
+  }
+
   test("sim_knn_graph_incremental: any trigger split folds to the batch " +
       "kNN graph") {
     // pair generation is decomposition-invariant (a pair materializes
