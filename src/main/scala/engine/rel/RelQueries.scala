@@ -1240,6 +1240,63 @@ object RelQueries {
         FROM events)
       WHERE last_purchase IS NOT NULL ORDER BY event_id"""))
 
+  // ---------------------------------------------------- B27d ts_gapfill
+  /** B27d: TIME-SERIES GAP FILL — sparse per-user daily activity
+    * densified onto a calendar spine (every analytics/feature pipeline
+    * does this before windowed models: missing days must be explicit
+    * rows, not absent ones): per user, a row for EVERY date between
+    * their first and last event, observed days carrying that day's
+    * value sum, gap days forward-filling the last observed value, with
+    * an `observed` flag so downstream can tell data from fill. Daily
+    * sums ride the integer-micro grid (order-free, the house float
+    * discipline); the spine is a per-row `sequence` generate — the
+    * fan-out is output-bound (the dense series IS the result), no
+    * shuffle beyond the daily pre-agg and the spine join on
+    * (user, date).
+    *
+    * Scale note: per-user spines bound the generate by each user's own
+    * span — a global min/max spine would explode sparse users at 100 TB
+    * (the classic gapfill mistake); partition pruning on the date
+    * column serves downstream range scans. */
+  private val tsGapfill = Q(
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          round(col("value") * 1e6, 0).cast("long").as("vq"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("vq")).as("dvq"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_q",
+          last(col("dvq"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("dvq").isNotNull.as("observed"),
+          r4(col("filled_q") / 1e6).as("value_filled"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH gdaily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS dvq
+          FROM events GROUP BY 1, 2),
+      gspine AS (SELECT user_id, unnest(generate_series(d0, d1,
+            INTERVAL 1 DAY))::DATE AS day
+          FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM gdaily GROUP BY 1)),
+      gj AS (SELECT s.user_id, s.day, d.dvq,
+            last_value(d.dvq IGNORE NULLS) OVER (
+              PARTITION BY s.user_id ORDER BY s.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS filled_q
+          FROM gspine s LEFT JOIN gdaily d
+            ON d.user_id = s.user_id AND d.day = s.day)
+      SELECT user_id, day::VARCHAR AS day, (dvq IS NOT NULL) AS observed,
+        round(filled_q / 1e6, 4) AS value_filled
+      FROM gj ORDER BY user_id, day"""))
+
   /** B27b: value-RANGE window frame — the trailing-hour running sum per
     * user, framed by EVENT TIME (micros), not row count: a rows-frame is
     * wrong whenever arrival density varies (the 100 TB norm). Value in
@@ -1501,6 +1558,7 @@ object RelQueries {
     "win_range_frame" -> winRangeFrame,
     "win_distribution" -> winDistribution,
     "win_carry_forward" -> winCarryForward,
+    "ts_gapfill" -> tsGapfill,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "scd2_build" -> scd2Build,
