@@ -2122,8 +2122,10 @@ object CurateQueries {
     * Lloyd/BPE driver-fold shape); emit = one final margin pass. Rounds
     * are driver-sequenced like every iterative trainer here, but all
     * per-round work is map-side aggregation over the feature frame. */
-  private val qualityClassifierTrain = Q(
-    (s, d) => {
+  /** The trained-perceptron scoring frame `(doc_id, y, mg)` — the train
+    * body factored so [[qualityClassifierEval]] can aggregate the same
+    * scored corpus without retraining (weights memoize per corpus). */
+  private[llm] def qcScored(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       // Tokens MATERIALIZED as a column before the bigram lambda:
       // element_at(tok, i) with an inline `split` re-evaluates the split
@@ -2179,12 +2181,24 @@ object CurateQueries {
             j -> (w0.getOrElse(j, 0L) + grad.getOrElse(j, 0L))).toMap
         })
       margins(w)
+  }
+
+  private val qualityClassifierTrain = Q(
+    (s, d) => qcScored(s, d)
         .select(col("doc_id"), col("y"), col("mg").as("margin"),
           when(col("mg") > 0, 1L).otherwise(-1L).as("predicted"))
         .withColumn("correct", col("predicted") === col("y"))
-        .orderBy("doc_id")
-    },
-    Some {
+        .orderBy("doc_id"),
+    Some(qcOracleChain + s"""
+      SELECT m.doc_id, m.y, m.mg::BIGINT AS margin,
+        CASE WHEN m.mg > 0 THEN 1 ELSE -1 END AS predicted,
+        (CASE WHEN m.mg > 0 THEN 1 ELSE -1 END) = m.y AS correct
+      FROM m${QcRounds + 1} m ORDER BY m.doc_id"""))
+
+  /** The train oracle's full chain (features → weak labels → unrolled
+    * perceptron rounds → final margins `m{QcRounds+1}(doc_id, y, mg)`),
+    * factored for the eval oracle. */
+  private lazy val qcOracleChain: String = {
       // one perceptron round as CTEs: margins under w{r-1}, gradient
       // over misclassified docs, w{r} — the tokenize_bpe unrolled-round
       // oracle discipline; the final round emits only its margin CTE
@@ -2224,12 +2238,62 @@ object CurateQueries {
                 THEN 1 ELSE -1 END y FROM q),
       w0 AS (SELECT j, 0::BIGINT w FROM generate_series(0, ${QcF - 1}) t(j))
       ${(1 to QcRounds).map(round).mkString}
-      ${marginCte(QcRounds + 1)}
-      SELECT m.doc_id, m.y, m.mg::BIGINT AS margin,
-        CASE WHEN m.mg > 0 THEN 1 ELSE -1 END AS predicted,
-        (CASE WHEN m.mg > 0 THEN 1 ELSE -1 END) = m.y AS correct
-      FROM m${QcRounds + 1} m ORDER BY m.doc_id"""
-    })
+      ${marginCte(QcRounds + 1)}"""
+  }
+
+  /** EVAL of the trained quality gate — the per-language confusion
+    * matrix + derived rates against the weak labels it was distilled
+    * from: the release-gate table an ML-ops review reads before a
+    * classifier replaces the heuristic (a language whose recall lags
+    * is about to be over-filtered — the Common Crawl non-English
+    * failure mode). Same scored frame as the train op (weights
+    * memoized, scoring is one broadcast-weights margin pass); the
+    * rollup is a |langs|-row aggregate. Rates are exact integer ratios
+    * → r4 (guards for empty cells). */
+  private val qualityClassifierEval = Q(
+    (s, d) => {
+      val pred = when(col("mg") > 0, 1L).otherwise(-1L)
+      qcScored(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("y"), pred.as("p"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("y") === 1 && col("p") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("y") === -1 && col("p") === 1, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1 && col("p") === -1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("y") === -1 && col("p") === -1, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+          Core.r4((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")))
+            .as("accuracy"),
+          Core.r4(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(0.0)).as("precision"),
+          Core.r4(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(0.0)).as("recall"))
+        .orderBy("lang")
+    },
+    Some(qcOracleChain + s""",
+      qcp AS (SELECT d.lang, m.y,
+               CASE WHEN m.mg > 0 THEN 1 ELSE -1 END AS p
+             FROM m${QcRounds + 1} m JOIN documents d USING (doc_id)),
+      qcc AS (SELECT lang,
+               sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT tp,
+               sum(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT fp,
+               sum(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END)::BIGINT fn,
+               sum(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END)::BIGINT tn
+             FROM qcp GROUP BY 1)
+      SELECT lang, tp, fp, fn, tn,
+        round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 4) AS accuracy,
+        round(CASE WHEN tp + fp > 0
+          THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END, 4) AS precision,
+        round(CASE WHEN tp + fn > 0
+          THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END, 4) AS recall
+      FROM qcc ORDER BY lang"""))
 
   // ---------------------------------------------------------- corpus_drift
   /** DISTRIBUTION-DRIFT report between a reference corpus slice and an
@@ -2392,6 +2456,7 @@ object CurateQueries {
     "corpus_mixture_plan" -> corpusMixturePlan,
     "quality_classifier" -> qualityClassifier,
     "quality_classifier_train" -> qualityClassifierTrain,
+    "quality_classifier_eval" -> qualityClassifierEval,
     "corpus_report" -> corpusReport,
     "corpus_drift" -> corpusDrift,
     "dedup_lines" -> dedupLines,
