@@ -884,6 +884,103 @@ object SearchQueries {
         word AS suggestion, cnt, dist
       FROM sver QUALIFY rank <= $SpellTopK ORDER BY typo, rank"""))
 
+  // ------------------------------------------------- B53s search_prf
+  /** PRF parameters: feedback depth / expansion terms added. */
+  private val PrfFb = 3
+  private val PrfE = 3
+
+  /** B53s: PSEUDO-RELEVANCE FEEDBACK — the RM3/Rocchio query-expansion
+    * loop classical IR runs when queries are short: rank once with
+    * BM25, treat the top-[[PrfFb]] results as relevant, mine their
+    * top-[[PrfE]] tf·idf terms NOT already in the query, and re-rank
+    * with the expanded term set. Recall-oriented retrieval's standard
+    * second pass (Lucene MoreLikeThis generalized to feedback), and the
+    * lexical analogue of [[sim_search_rerank_mmr]]'s serve-side
+    * post-processing.
+    *
+    * Shape: both ranking passes are the shared [[bm25Rank]]
+    * match-bounded join; the feedback mining touches only the
+    * ≤ queries × [[PrfFb]] feedback docs' postings (broadcast-sized),
+    * scored with the [[searchMlt]] micronat-quantized selection so the
+    * expanded term set is bit-identical in the oracle. Expansion adds
+    * ≤ [[PrfE]] broadcast terms per query — the second pass costs the
+    * same as the first however large the corpus. */
+  private val searchPrf = Q(
+    (s, d) => {
+      val posts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val fb = bm25TopK(docs(s, d),
+          Some(engine.Core.fpKey("bm25posts", d, "documents")))
+        .filter(col("rank") <= PrfFb).select(col("qid"), col("cid"))
+      val orig = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val fbTerms = posts.join(broadcast(fb),
+          col("doc_id") === col("cid"))
+        .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("ftf"))
+      val fdf = dfs.join(broadcast(fbTerms.select(col("term")).distinct()),
+        "term")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val expansion = fbTerms.join(broadcast(fdf), "term")
+        .crossJoin(broadcast(glob))
+        .select(col("qid"), col("term"),
+          round(col("ftf") * idf * lit(1e6), 0).cast("long").as("es"))
+        .join(orig, Seq("qid", "term"), "left_anti")
+        .withColumn("tr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("es").desc, col("term"))))
+        .filter(col("tr") <= PrfE)
+        .select(col("qid"), col("term"))
+      val qexp = orig.unionByName(expansion)
+      val qdf = dfs.join(broadcast(qexp.select(col("term")).distinct()),
+        "term")
+      bm25Rank(posts, qexp, qdf, glob)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("ms") / lit(1e6)).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
+      pfb AS (SELECT qid, cid FROM ltop WHERE rank <= $PrfFb),
+      porig AS (SELECT DISTINCT doc_id qid, term FROM bposts
+                WHERE doc_id < 5),
+      pft AS (SELECT f.qid, p.term, sum(p.tf) AS ftf
+              FROM pfb f JOIN bpdl p ON p.doc_id = f.cid GROUP BY 1, 2),
+      pes AS (SELECT t.qid, t.term,
+               CAST(round(t.ftf * ln(1.0 +
+                 ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                 (f.df::DOUBLE + 0.5)) * 1e6, 0) AS BIGINT) es
+             FROM pft t JOIN bdfs f USING (term) CROSS JOIN bglob g
+             ANTI JOIN porig o ON o.qid = t.qid AND o.term = t.term),
+      pexp AS (SELECT qid, term FROM (
+               SELECT qid, term, row_number() OVER (PARTITION BY qid
+                 ORDER BY es DESC, term) tr FROM pes) WHERE tr <= $PrfE),
+      pq AS (SELECT qid, term FROM porig
+             UNION ALL SELECT qid, term FROM pexp),
+      pmsc AS (SELECT q.qid, p.doc_id cid,
+               CAST(round(
+                 ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.dl / g.avgdl))) * 1e6, 0)
+                 AS BIGINT) m
+              FROM bpdl p JOIN pq q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN bdfs f ON f.term = p.term
+              CROSS JOIN bglob g),
+      pagg AS (SELECT qid, cid, sum(m) ms FROM pmsc GROUP BY 1, 2),
+      ptop AS (SELECT qid, cid, ms,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ms DESC, cid) rank
+               FROM pagg QUALIFY rank <= $Bm25TopK)
+      SELECT qid, cid, rank, round(ms::DOUBLE / 1e6, 4) AS score
+      FROM ptop ORDER BY qid, rank"""))
+
   // ------------------------------------------- B53r sim_search_rerank_mmr
   /** MMR parameters: relevance weight λ, candidate depth, picks. */
   private val MmrLambda = 0.7
@@ -2879,6 +2976,7 @@ object SearchQueries {
     "graph_triangle_count" -> graphTriangleCount,
     "sim_knn_graph_incremental" -> simKnnGraphIncremental,
     "sim_search_rerank_mmr" -> simSearchRerankMmr,
+    "search_prf" -> searchPrf,
     "search_autocomplete" -> searchAutocomplete,
     "search_spell" -> searchSpell,
     "search_boolean" -> searchBoolean,

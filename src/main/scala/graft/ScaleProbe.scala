@@ -224,8 +224,12 @@ object ScaleProbe {
     // snippet generation
     "maintenance_ivf_compact", "mine_hard_negatives", "search_snippet",
     "graph_label_prop", "sim_search_range", "search_spell",
-    "search_boolean", "embedding_dim_stats", "sample_anneal", "corpus_drift", "graph_triangle_count", "dedup_bloom_screen",
-    "sim_search_rerank_mmr")
+    "search_boolean", "embedding_dim_stats", "sample_anneal",
+    "corpus_drift", "graph_triangle_count", "dedup_bloom_screen",
+    "sim_search_rerank_mmr", "tokenize_decode",
+    "corpus_drift_incremental", "sim_knn_graph_incremental",
+    "quality_classifier_eval", "sim_search_filtered",
+    "sim_search_ivf_filtered", "search_facets", "search_prf")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
