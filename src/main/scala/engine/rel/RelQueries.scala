@@ -52,6 +52,48 @@ object RelQueries {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey"""))
 
+  // ------------------------------------- B4e sink_dynamic_overwrite
+  /** B4e: DYNAMIC PARTITION OVERWRITE — the idempotent-backfill write
+    * mode every partitioned lakehouse job runs: a full partitioned
+    * write, then a second `overwrite` touching ONLY the `lang=en`
+    * slice (its rows re-written with a +1e6 char marker) under
+    * `partitionOverwriteMode=dynamic`, which replaces just the
+    * partitions present in the incoming data. The read-back per-lang
+    * totals prove the semantics: `en` carries the v2 marker, every
+    * other partition still holds v1 — under the default STATIC mode
+    * the second write would have deleted them all (the classic
+    * backfill data-loss foot-gun this mode exists to fix). At 100 TB
+    * this is how a day's recompute lands inside a years-partitioned
+    * table without rewriting history. */
+  private val sinkDynamicOverwrite = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_sink_dynpart_$san"
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+      }
+      rmTree(new java.io.File(out)) // clean slate — the run IS the replay
+      val src = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      src.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "dynamic")
+        src.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1000000L)
+          .write.mode("overwrite").partitionBy("lang").parquet(out)
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*)::BIGINT AS n_docs,
+        (sum(n_chars) + CASE WHEN lang = 'en'
+          THEN 1000000 * count(*) ELSE 0 END)::BIGINT AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** B4c: hive-layout partitioned sink + partition-PRUNED source — the
     * 100 TB table layout: data physically split by a low-cardinality
     * column, so a filter on it prunes whole directories at PLANNING time
@@ -1515,6 +1557,7 @@ object RelQueries {
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "sink_parquet" -> sinkParquet,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite,
     "source_orc" -> sourceOrc,
     "source_partitioned" -> sourcePartitioned,
     "maintenance_compact" -> maintenanceCompact,
