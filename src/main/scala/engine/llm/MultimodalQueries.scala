@@ -348,9 +348,107 @@ object MultimodalQueries {
       SELECT da, db, n_common, jaccard FROM j
       WHERE jaccard >= 0.5 ORDER BY da, db"""))
 
+  // --------------------------------------- B51e multimodal_phash_dedup
+  /** Average-hash parameters: 60 stride samples (the house 60-bit hash
+    * width), 4 bands × 15 bits, hamming verify ≤ 8, and a band-bucket
+    * occupancy cap (non-uniform media hashes concentrate — the simhash
+    * mega-bucket discipline, here replicated in the ORACLE too so the
+    * cap is part of the checked semantics, inert at test scale). */
+  private val PhBits = 60
+  private val PhHam = 8
+  private val PhCap = 64
+
+  /** 60-bit average hash of a payload — the aHash stand-in for a
+    * perceptual image hash (a real deployment swaps in pHash/DCT over
+    * decoded pixels; the signature — payload in, fixed-width hash out,
+    * pure — is the contract): sample [[PhBits]] evenly-strided bytes,
+    * set bit i iff sample i clears the sample mean. Deterministic
+    * integer/exact-double math, replayed byte-for-byte by the oracle
+    * over the ASCII payload. */
+  def aHash60(payload: Array[Byte]): Long =
+    if (payload.isEmpty) 0L
+    else {
+      val sam = (0 until PhBits)
+        .map(i => payload((i.toLong * payload.length / PhBits).toInt) & 0xff)
+      val mean = sam.sum.toDouble / PhBits
+      sam.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (v >= mean) h | (1L << i) else h
+      }
+    }
+
+  /** B51e: PERCEPTUAL-HASH near-dup over media payloads — the image-
+    * dedup screen every multimodal pretraining pipeline runs (exact
+    * payload dedup misses re-encoded or near-identical media; a perceptual
+    * hash bands like simhash): [[aHash60]] per payload
+    * (partition-local typed transform, the decode-stub surface), 4×15
+    * bit LSH bands propose candidates, exact hamming ≤ [[PhHam]]
+    * verifies. Band buckets above [[PhCap]] occupancy are dropped in
+    * BOTH engines — media hashes are non-uniform and a viral payload's
+    * bucket would re-quadratize the self-join (the dedup_simhash
+    * discipline, made part of the oracle contract). Emits verified
+    * (da, db, hamming) pairs. */
+  private val multimodalPhashDedup = Q(
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("payload"),
+          lit(0).as("width"), lit(0).as("height"), lit(3).as("channels"))
+        .as[MediaRow]
+      val hashes = engine.ScratchCache.persist(
+        media.mapPartitions(_.map(m => (m.doc_id, aHash60(m.payload))))
+          .toDF("doc_id", "hash"))
+      val bands = hashes.select(col("doc_id"), col("hash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              shiftright(col("hash"), 15 * b).bitwiseAND(lit(32767L))
+                .as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("hash"), col("bb.b").as("b"),
+          col("bb.bv").as("bv"))
+      val capped = bands.withColumn("occ", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("b"), col("bv"))))
+        .filter(col("occ") <= PhCap)
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("x.hash").as("ha"),
+          col("y.doc_id").as("db"), col("y.hash").as("hb"))
+        .distinct()
+      cand.withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast("int"))
+        .filter(col("hamming") <= PhHam)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH mph AS (SELECT doc_id, length(text) len, text
+               FROM documents),
+      mbits AS (SELECT doc_id, i,
+                 ascii(substr(text, (i * len // $PhBits)::INT + 1, 1)) v
+               FROM mph CROSS JOIN range($PhBits) t(i)),
+      mmean AS (SELECT doc_id, sum(v) / ${PhBits}.0 AS mean
+               FROM mbits GROUP BY 1),
+      mh AS (SELECT b.doc_id,
+               sum(CASE WHEN b.v >= m.mean THEN (1::BIGINT << i::INT)
+                   ELSE 0 END)::BIGINT AS hash
+             FROM mbits b JOIN mmean m USING (doc_id) GROUP BY 1),
+      mbands AS (SELECT doc_id, hash, b::INT AS b,
+                 (hash >> (15 * b::INT)) & 32767 AS bv
+               FROM mh CROSS JOIN range(4) t(b)),
+      mcap AS (SELECT * FROM (SELECT doc_id, hash, b, bv,
+                 count(*) OVER (PARTITION BY b, bv) AS occ FROM mbands)
+               WHERE occ <= $PhCap),
+      mcand AS (SELECT DISTINCT x.doc_id da, x.hash ha,
+                 y.doc_id db, y.hash hb
+               FROM mcap x JOIN mcap y
+                 ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT da, db, bit_count(xor(ha, hb))::INT AS hamming
+      FROM mcand WHERE bit_count(xor(ha, hb)) <= $PhHam
+      ORDER BY da, db"""))
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_framesample" -> multimodalFramesample,
     "multimodal_resize" -> multimodalResize,
-    "multimodal_payload_dedup" -> multimodalPayloadDedup)
+    "multimodal_payload_dedup" -> multimodalPayloadDedup,
+    "multimodal_phash_dedup" -> multimodalPhashDedup)
 }

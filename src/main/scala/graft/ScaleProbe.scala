@@ -229,7 +229,8 @@ object ScaleProbe {
     "sim_search_rerank_mmr", "tokenize_decode",
     "corpus_drift_incremental", "sim_knn_graph_incremental",
     "quality_classifier_eval", "sim_search_filtered",
-    "sim_search_ivf_filtered", "search_facets", "search_prf")
+    "sim_search_ivf_filtered", "search_facets", "search_prf",
+    "multimodal_phash_dedup")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
