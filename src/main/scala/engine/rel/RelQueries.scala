@@ -604,6 +604,43 @@ object RelQueries {
         AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
+  // ---------------------------------------------- B4f observe_metrics
+  /** B4f: PIPELINE OBSERVABILITY via `Dataset.observe` — the
+    * accumulator-backed metrics surface a production job attaches to
+    * its flow (rows seen, rows passing the gate, value totals) so
+    * data-quality counters come out of the SAME pass as the data, not
+    * a second scan: an `Observation` rides the scan as an
+    * AggregatingAccumulator, the filter's own action materializes it,
+    * and the emitted row is the job's metrics record (what a real
+    * pipeline ships to its metrics store per run). Totals ride the
+    * integer-micro grid so the observed sum is order-free and matches
+    * the oracle's declarative recompute exactly — pinning that the
+    * observe path loses nothing vs a dedicated aggregation. */
+  private val observeMetrics = Q(
+    (s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val flow = t(s, d, "events").observe(obs,
+        count(lit(1)).as("n_seen"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+      val nOut = flow.filter(col("event_type") === "purchase").count()
+      val m = obs.get
+      Seq((m("n_seen").asInstanceOf[Long],
+          m("n_purchase").asInstanceOf[Long],
+          m("value_micro").asInstanceOf[Long], nOut))
+        .toDF("n_seen", "n_purchase", "value_micro_total", "n_out")
+    },
+    Some("""SELECT count(*)::BIGINT AS n_seen,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+          AS n_purchase,
+        sum(CAST(round(value * 1e6, 0) AS BIGINT))::BIGINT
+          AS value_micro_total,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+          AS n_out
+      FROM events"""))
+
   // -------------------------------------------------- B17b attribution
   /** B17b: MULTI-TOUCH ATTRIBUTION — the marketing-analytics capstone
     * over the event log: every purchase is credited to the user's
@@ -1577,6 +1614,7 @@ object RelQueries {
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
     "attribution" -> attribution,
+    "observe_metrics" -> observeMetrics,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
