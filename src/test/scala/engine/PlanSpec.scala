@@ -511,6 +511,22 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"bm25 exchange carries the document body: ${e.output.map(_.name)}"))
   }
 
+  test("search_boolean / search_prf / search_facets: no exchange ships " +
+      "document text") {
+    // the r15 retrieval completions inherit the lexical family's
+    // posture: corpus text stays inside the scan stage, only posting
+    // keys and match rows ride exchanges
+    for (q <- Seq("search_boolean", "search_prf", "search_facets")) {
+      val exec = unwrapped(q)
+      assert(!exec.toString.contains("CartesianProduct"),
+        s"$q has a cartesian product")
+      exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach(e => assert(!e.output.map(_.name).contains("text"),
+        s"$q exchange carries the document body: ${e.output.map(_.name)}"))
+    }
+  }
+
   test("cluster_kmeans and sim_search_matryoshka: corpus-side joins are " +
       "broadcast, never shuffled") {
     // the centroid / query / candidate frames are bounded model
