@@ -376,7 +376,7 @@ object MultimodalQueries {
       }
     }
 
-  /** B51e: PERCEPTUAL-HASH near-dup over media payloads — the image-
+  /** B51f: PERCEPTUAL-HASH near-dup over media payloads — the image-
     * dedup screen every multimodal pretraining pipeline runs (exact
     * payload dedup misses re-encoded or near-identical media; a perceptual
     * hash bands like simhash): [[aHash60]] per payload

@@ -231,7 +231,7 @@ object SearchQueries {
       FROM ltop ORDER BY qid, rank"""))
 
   // -------------------------------------------------- B53q search_facets
-  /** B53q: FACETED result aggregation — the navigation rail beside the
+  /** B53v: FACETED result aggregation — the navigation rail beside the
     * ranked list: per query, the BM25 top-[[Bm25TopK]] candidates
     * rolled up by (lang, source) with a hit count and the facet's best
     * rank (what orders facet values in the UI). Facets are an
@@ -424,7 +424,7 @@ object SearchQueries {
   /** AND-set size for boolean retrieval. */
   private val BoolM = 3
 
-  /** B53n: BOOLEAN retrieval — conjunctive (`AND`) posting-list
+  /** B53u: BOOLEAN retrieval — conjunctive (`AND`) posting-list
     * intersection with a `NOT` screen, the query algebra ranked
     * retrieval sits on (Lucene's BooleanQuery MUST/MUST_NOT): a doc
     * matches iff it contains ALL [[BoolM]] of the query's top-tf·idf
@@ -806,7 +806,7 @@ object SearchQueries {
   /** Suggestions kept per typo. */
   private val SpellTopK = 3
 
-  /** B53m: SPELL CORRECTION via the SymSpell deletion neighborhood —
+  /** B53t: SPELL CORRECTION via the SymSpell deletion neighborhood —
     * the suggester beside [[searchAutocomplete]]: every vocabulary word
     * is indexed under its 1-deletion variants (plus itself); a typo
     * probes the index under ITS 1-deletion variants (plus itself), so
@@ -987,7 +987,7 @@ object SearchQueries {
   private val MmrDepth = 10
   private val MmrK = 5
 
-  /** B53r: MAXIMAL MARGINAL RELEVANCE rerank — the diversified top-k
+  /** B53w: MAXIMAL MARGINAL RELEVANCE rerank — the diversified top-k
     * every retrieval-for-RAG stack runs after similarity ranking
     * (Carbonell & Goldstein '98): greedily pick [[MmrK]] of the cosine
     * top-[[MmrDepth]], each pick maximizing

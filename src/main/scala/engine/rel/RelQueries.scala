@@ -270,7 +270,7 @@ object RelQueries {
     "l_linenumber", "l_quantity", "l_discount", "l_returnflag",
     "l_linestatus", "l_shipdate")
 
-  /** B4d: ANALYZE-style TABLE STATISTICS — the maintenance job behind
+  /** B4g: ANALYZE-style TABLE STATISTICS — the maintenance job behind
     * every cost-based planner and zone-map layout decision: per column,
     * row count, null count, exact NDV, and stringified min/max. One row
     * per profiled column (`stack` unpivot of a single wide aggregate).
@@ -824,7 +824,7 @@ object RelQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ------------------------------------------------- B19d agg_decimal
-  /** B19d: exact DECIMAL money aggregation — the financial-grade sum
+  /** B19e: exact DECIMAL money aggregation — the financial-grade sum
     * path: prices cast to `decimal(18,2)` at the scan and summed as
     * decimals (Spark widens to decimal(28,2), DuckDB to DECIMAL(38,2) —
     * both EXACT integer arithmetic under the hood), so the totals are
