@@ -529,9 +529,15 @@ object SearchQueries {
     (s, d) => {
       val posts = bm25Postings(docs(s, d),
         Some(engine.Core.fpKey("bm25posts", d, "documents")))
-      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // dfs/glob/sqt/top are each referenced by several broadcast
+      // subtrees; persisted so the duplicated subplans don't re-execute
+      // per reference (the searchPrf stage-count lesson — all frames
+      // here are vocabulary- or serving-scale, never corpus-scale)
+      val dfs = engine.ScratchCache.persist(
+        posts.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      val glob = engine.ScratchCache.persist(
+        posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
       val qposts = posts.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("term"), col("tf"))
       val qdf0 = dfs.join(broadcast(qposts.select(col("term")).distinct()),
@@ -539,28 +545,30 @@ object SearchQueries {
       val idf = log(lit(1.0) +
         ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)))
-      val sqt = qposts.join(broadcast(qdf0), "term")
-        .crossJoin(broadcast(glob))
-        .select(col("qid"), col("term"),
-          round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
-        .withColumn("trank", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("ts").desc, col("term"))))
-        .filter(col("trank") <= SnipM)
-        .select(col("qid"), col("term"))
+      val sqt = engine.ScratchCache.persist(
+        qposts.join(broadcast(qdf0), "term")
+          .crossJoin(broadcast(glob))
+          .select(col("qid"), col("term"),
+            round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
+          .withColumn("trank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("ts").desc, col("term"))))
+          .filter(col("trank") <= SnipM)
+          .select(col("qid"), col("term")))
       val sdf = dfs.join(broadcast(sqt.select(col("term")).distinct()),
         "term")
-      val top = bm25Rank(posts, sqt, sdf, glob)
-        .filter(col("rank") <= SnipTop)
-        .select(col("qid"), col("cid"), col("rank"))
-      val mpos = docs(s, d)
+      val top = engine.ScratchCache.persist(
+        bm25Rank(posts, sqt, sdf, glob)
+          .filter(col("rank") <= SnipTop)
+          .select(col("qid"), col("cid"), col("rank")))
+      val mpos = engine.ScratchCache.persist(docs(s, d)
         .join(broadcast(top.select(col("cid").as("doc_id")).distinct()),
           Seq("doc_id"), "leftsemi")
         .select(col("doc_id").as("cid"),
           posexplode(tokens(col("text"))).as(Seq("p", "term")))
         .join(broadcast(top), Seq("cid"))
         .join(broadcast(sqt), Seq("qid", "term"))
-        .select(col("qid"), col("cid"), col("rank"), col("p"))
+        .select(col("qid"), col("cid"), col("rank"), col("p")))
       val hits = mpos.as("a").join(mpos.as("b"),
           col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
             col("b.p") >= col("a.p") && col("b.p") < col("a.p") + SnipW)
@@ -909,17 +917,29 @@ object SearchQueries {
     (s, d) => {
       val posts = bm25Postings(docs(s, d),
         Some(engine.Core.fpKey("bm25posts", d, "documents")))
-      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val glob = posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val fb = bm25TopK(docs(s, d),
-          Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      // dfs/glob/orig are each referenced by BOTH ranking passes (and
+      // the expansion scorer); left lazy, every broadcast subtree
+      // re-executes its whole chain as its own job — the query ran 103
+      // stages / 2275 tasks on a 5k-doc corpus, all scheduling overhead.
+      // Persisting the small shared frames (vocabulary- and query-scale)
+      // collapses the duplicates; lifetime is this query (drained).
+      val dfs = engine.ScratchCache.persist(
+        posts.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      val glob = engine.ScratchCache.persist(
+        posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+      val orig = engine.ScratchCache.persist(
+        posts.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("term")).distinct())
+      // first pass: share posts/dfs/glob with the second pass instead of
+      // re-deriving them through bm25TopK (which recomputes all three)
+      val qdf0 = dfs.join(broadcast(orig.select(col("term")).distinct()),
+        "term")
+      val fb = bm25Rank(posts, orig, qdf0, glob)
         .filter(col("rank") <= PrfFb).select(col("qid"), col("cid"))
-      val orig = posts.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("qid"), col("term")).distinct()
-      val fbTerms = posts.join(broadcast(fb),
-          col("doc_id") === col("cid"))
-        .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("ftf"))
+      val fbTerms = engine.ScratchCache.persist(
+        posts.join(broadcast(fb), col("doc_id") === col("cid"))
+          .groupBy(col("qid"), col("term")).agg(sum(col("tf")).as("ftf")))
       val fdf = dfs.join(broadcast(fbTerms.select(col("term")).distinct()),
         "term")
       val idf = log(lit(1.0) +
@@ -935,7 +955,7 @@ object SearchQueries {
             .orderBy(col("es").desc, col("term"))))
         .filter(col("tr") <= PrfE)
         .select(col("qid"), col("term"))
-      val qexp = orig.unionByName(expansion)
+      val qexp = engine.ScratchCache.persist(orig.unionByName(expansion))
       val qdf = dfs.join(broadcast(qexp.select(col("term")).distinct()),
         "term")
       bm25Rank(posts, qexp, qdf, glob)

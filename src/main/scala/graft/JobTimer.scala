@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run one query and print per-job wall time + stage
+  * counts, to localize where a plan-bound query spends its seconds.
+  *
+  * {{{ sbt "runMain graft.JobTimer /root/testdata/sf0.1 search_prf" }}}
+  */
+object JobTimer {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime())
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val t0 = Option(starts.get(j.jobId)).getOrElse(0L)
+        println(f"JOB ${j.jobId}%3d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+    // warm-up for JIT/codegen parity with Bench
+    try SparkEntry.queries("agg_hash")(spark, args(0)).count()
+    catch { case _: Throwable => }
+    for (n <- args.drop(1)) {
+      stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, args(0)).count()
+      println(f"TOTAL $n: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"($c rows, ${stages.get()} stages, ${tasks.get()} tasks)")
+    }
+    spark.stop()
+  }
+}
