@@ -866,6 +866,77 @@ object RelQueries {
         sum(l_quantity::DECIMAL(18,2))::VARCHAR AS sum_qty
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** Bin count for the equi-width histograms. */
+  private val HistBins = 16
+
+  /** B19f: EQUI-WIDTH HISTOGRAMS — the selectivity-estimation sibling of
+    * [[maintenanceStatsAnalyze]]'s min/max/NDV: per profiled column, 16
+    * equal-width bins over the observed [min, max] with a row count each
+    * (zero bins materialized — a histogram with holes is the signal a
+    * range predicate prunes on). What a cost-based planner consumes for
+    * range-selectivity and what ANALYZE actually persists in every
+    * warehouse; at rest the same shape generalizes the AppendTable
+    * zone-map sidecars from per-segment min/max to per-segment
+    * distribution.
+    *
+    * Two passes, both single-scan: a grouping-free min/max pass (1-row
+    * broadcast), then bin = least(floor((x−min)/w), bins−1) feeding a
+    * map-side partial agg that collapses to ≤ bins groups per column
+    * before the exchange — the shuffle carries bins rows per partition
+    * whatever the table size. The bin spine is generated (zero bins
+    * survive the left join with cnt 0); the max row lands in the last
+    * bin by the `least` clamp, the standard closed-top convention.
+    *
+    * Float discipline: bin arithmetic is raw double add/sub/mul/div and
+    * floor on IDENTICAL inputs in both engines (exact-IEEE
+    * deterministic — the house rule allows it; no ln/pow anywhere).
+    * Bin edges are 4-dp rounded via explicit floor(x·1e4 + 0.5)/1e4 in
+    * BOTH engines, not round(x, 4): the engines' native round()
+    * implementations disagree on tie-adjacent binaries (measured: a
+    * computed edge at sf0.001 rounded …9463 in Spark, …9462 in DuckDB),
+    * while the floor form is the same IEEE op sequence everywhere. */
+  private val aggHistogram = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      def f4(x: Column): Column = floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
+      def hist(c: String): DataFrame = {
+        val mm = li.agg(min(col(c)).cast("double").as("mn"),
+          max(col(c)).cast("double").as("mx"))
+        val w = (col("mx") - col("mn")) / lit(HistBins.toDouble)
+        val binned = li.select(col(c).cast("double").as("x"))
+          .crossJoin(broadcast(mm))
+          .select(least(floor((col("x") - col("mn")) / w),
+            lit(HistBins - 1.0)).cast("int").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        s.range(HistBins).select(col("id").cast("int").as("bin"))
+          .join(binned, Seq("bin"), "left")
+          .crossJoin(broadcast(mm))
+          .select(lit(c).as("col_name"), col("bin"),
+            f4(col("mn") + col("bin") * w).as("lo"),
+            f4(col("mn") + (col("bin") + lit(1)) * w).as("hi"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+      }
+      hist("l_quantity").unionByName(hist("l_extendedprice"))
+        .orderBy("col_name", "bin")
+    },
+    Some {
+      def arm(c: String) = s"""
+        (WITH mm AS (SELECT min($c)::DOUBLE mn, max($c)::DOUBLE mx
+                     FROM lineitem),
+          bc AS (SELECT least(floor(($c::DOUBLE - mn) / ((mx - mn) / 16.0)),
+                   15.0)::INT AS bin, count(*)::BIGINT AS cnt
+                 FROM lineitem CROSS JOIN mm GROUP BY 1),
+          sp AS (SELECT unnest(range(16))::INT AS bin)
+         SELECT '$c' AS col_name, sp.bin,
+           floor((mn + sp.bin * ((mx - mn) / 16.0)) * 1e4 + 0.5) / 1e4 AS lo,
+           floor((mn + (sp.bin + 1) * ((mx - mn) / 16.0)) * 1e4 + 0.5) / 1e4
+             AS hi,
+           coalesce(bc.cnt, 0)::BIGINT AS cnt
+         FROM sp LEFT JOIN bc USING (bin) CROSS JOIN mm)"""
+      arm("l_quantity") + " UNION ALL " + arm("l_extendedprice") +
+        " ORDER BY col_name, bin"
+    })
+
   /** B19c: statistical aggregates — stddev and correlation, bit-exact
     * across engines. The moment sums are computed over INTEGER cents as
     * exact wide integers (Spark decimal(38,0) ≙ DuckDB HUGEINT — plain
@@ -1636,6 +1707,7 @@ object RelQueries {
     "agg_percentile" -> aggPercentile,
     "agg_stats" -> aggStats,
     "agg_decimal" -> aggDecimal,
+    "agg_histogram" -> aggHistogram,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,
