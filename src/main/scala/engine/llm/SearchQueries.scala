@@ -1185,6 +1185,128 @@ object SearchQueries {
         round(rrf, 4) AS score
       FROM fused QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
 
+  // ------------------------------------------------------ B53x rank_eval
+  /** Eval cut-off and the micronat metric constants: per-rank nDCG
+    * discounts round(1e6/log2(rank+1)) and reciprocal ranks
+    * round(1e6/rank) — hard integer literals in BOTH engines (log2 of a
+    * constant never runs at query time; engine libm ulps can't
+    * diverge), and the ideal DCG for a full 5-relevant set is their
+    * prefix sum. */
+  private val EvalK = 5
+  private val EvalDisc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+  private val EvalRecip = Seq(1000000L, 500000L, 333333L, 250000L, 200000L)
+  private val EvalIdcg = EvalDisc.sum // 2948460
+
+  /** B53x: RANKING EVALUATION — the nDCG@5 / MRR / recall@5 quality
+    * table every retrieval stack keeps beside its rankers (trec_eval /
+    * BEIR's reporting), and the lexical/hybrid counterpart of
+    * [[annRecallReport]]'s ANN rungs: the engine measures its OWN
+    * serving quality in-engine. Ground truth is the exact-cosine top-5
+    * per query (the sim_search_topk ranking — semantic relevance as the
+    * gold labels, the standard weak-supervision eval when no human
+    * judgments exist); the evaluated systems are the shipped
+    * [[bm25TopK]] lexical ranker and the [[searchHybridRrf]] fusion,
+    * both cut at rank 5. Per (ranker, query): MRR (reciprocal rank of
+    * the first relevant), binary-gain nDCG@5, recall@5, and the hit
+    * count. The hybrid row dominating the lexical row is the result a
+    * real eval exists to demonstrate — fusing the cosine modality back
+    * in recovers the semantic matches BM25's 30-word-vocabulary tf
+    * signal misses.
+    *
+    * Metric arithmetic rides the integer micronat grid end to end
+    * ([[EvalDisc]]/[[EvalRecip]] lookups summed as longs, the ideal DCG
+    * a constant); only the final three ratios divide and r4. Shape: all
+    * frames past the two ranking chains are ≤ queries × k rows — the
+    * eval is serving-bounded, not corpus-bounded, at any scale. */
+  private val rankEval = Q(
+    (s, d) => {
+      val e = LlmQueries.unitCorpus(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val rel = engine.ScratchCache.persist(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            dot(col("qu"), col("u")).as("cos"))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rr") <= EvalK)
+          .select(col("qid"), col("cid")))
+      val lex = bm25TopK(docs(s, d),
+          Some(engine.Core.fpKey("bm25posts", d, "documents")))
+        .filter(col("rank") <= EvalK)
+        .select(lit("bm25").as("ranker"), col("qid"), col("cid"),
+          col("rank"))
+      val hyb = searchHybridRrf.fn(s, d)
+        .filter(col("rank") <= EvalK)
+        .select(lit("hybrid_rrf").as("ranker"), col("qid"), col("cid"),
+          col("rank"))
+      val disc = array(EvalDisc.map(lit(_)): _*)
+      val rcp = array(EvalRecip.map(lit(_)): _*)
+      lex.unionByName(hyb)
+        .join(broadcast(rel.withColumn("hit", lit(1))),
+          Seq("qid", "cid"), "left")
+        .groupBy(col("ranker"), col("qid"))
+        .agg(
+          sum(coalesce(col("hit"), lit(0))).as("hits"),
+          sum(when(col("hit").isNotNull, element_at(disc, col("rank")))
+            .otherwise(lit(0L))).as("dcgm"),
+          max(when(col("hit").isNotNull, element_at(rcp, col("rank")))
+            .otherwise(lit(0L))).as("mrrm"))
+        .select(col("ranker"), col("qid"),
+          r4(col("mrrm").cast("double") / lit(1e6)).as("mrr"),
+          r4(col("dcgm").cast("double") / lit(EvalIdcg.toDouble))
+            .as("ndcg5"),
+          r4(col("hits").cast("double") / lit(EvalK.toDouble))
+            .as("recall5"),
+          col("hits").cast("long").as("n_hits"))
+        .orderBy("ranker", "qid")
+    },
+    Some(LlmQueries.unitSql + bm25SqlCtes() + s""",
+      veu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      vq AS (SELECT vec_id qid, u qu FROM veu WHERE vec_id < 5),
+      vsc AS (SELECT vq.qid, veu.vec_id cid,
+               list_sum(list_transform(list_zip(vq.qu, veu.u),
+                 p -> p[1] * p[2])) cos
+              FROM vq, veu WHERE veu.vec_id <> vq.qid),
+      vrel AS (SELECT qid, cid FROM (
+               SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, cid) rr FROM vsc) WHERE rr <= $EvalK),
+      vtop AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) vr
+               FROM vsc QUALIFY vr <= $Bm25TopK),
+      vfused AS (SELECT coalesce(l.qid, v.qid) qid,
+                  coalesce(l.cid, v.cid) cid,
+                  coalesce(1.0::DOUBLE / (60 + l.rank), 0.0::DOUBLE) +
+                  coalesce(1.0::DOUBLE / (60 + v.vr), 0.0::DOUBLE) rrf
+                FROM ltop l FULL OUTER JOIN vtop v
+                  ON l.qid = v.qid AND l.cid = v.cid),
+      vrk AS (SELECT 'bm25' ranker, qid, cid, rank FROM ltop
+                WHERE rank <= $EvalK
+              UNION ALL
+              SELECT 'hybrid_rrf' ranker, qid, cid, rank FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf DESC, cid) rank FROM vfused)
+                WHERE rank <= $EvalK),
+      vdt AS (SELECT unnest([1,2,3,4,5]) rank,
+                unnest([${EvalDisc.mkString(",")}]) dm,
+                unnest([${EvalRecip.mkString(",")}]) rm),
+      vj AS (SELECT r.ranker, r.qid, r.rank,
+               CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END hit
+             FROM vrk r LEFT JOIN vrel x
+               ON x.qid = r.qid AND x.cid = r.cid),
+      vm AS (SELECT ranker, qid, sum(hit)::BIGINT hits,
+               sum(CASE WHEN hit = 1 THEN d.dm ELSE 0 END)::BIGINT dcgm,
+               max(CASE WHEN hit = 1 THEN d.rm ELSE 0 END)::BIGINT mrrm
+             FROM vj JOIN vdt d USING (rank) GROUP BY 1, 2)
+      SELECT ranker, qid,
+        round(mrrm::DOUBLE / 1e6, 4) AS mrr,
+        round(dcgm::DOUBLE / $EvalIdcg.0, 4) AS ndcg5,
+        round(hits::DOUBLE / $EvalK.0, 4) AS recall5,
+        hits AS n_hits
+      FROM vm ORDER BY ranker, qid"""))
+
   // -------------------------------------------------- B53d cluster_kmeans
   /** B53d: partitional corpus clustering — assign every embedding to its
     * nearest trained spherical centroid (the memoized 16-cell codebook
@@ -2976,6 +3098,7 @@ object SearchQueries {
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
     "search_hybrid_rrf" -> searchHybridRrf,
+    "rank_eval" -> rankEval,
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
     "ann_recall_report" -> annRecallReport,

@@ -230,7 +230,9 @@ object ScaleProbe {
     "corpus_drift_incremental", "sim_knn_graph_incremental",
     "quality_classifier_eval", "sim_search_filtered",
     "sim_search_ivf_filtered", "search_facets", "search_prf",
-    "multimodal_phash_dedup")
+    "multimodal_phash_dedup",
+    // r15 fourth wave
+    "rank_eval")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -969,6 +969,47 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("rank_eval metrics recompute from the rankers' own outputs") {
+    val rows = SearchQueries.queries("rank_eval").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(rows.size == 10) // 2 rankers x 5 queries
+    // ground truth = exact cosine top-5 (sim_search_topk's own ranking)
+    val rel = engine.llm.LlmQueries.queries("sim_search_topk")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+    val rcp = Seq(1000000L, 500000L, 333333L, 250000L, 200000L)
+    def expect(ranked: Seq[(Long, Long, Int)], ranker: String): Unit =
+      ranked.groupBy(_._1).foreach { case (qid, rs) =>
+        val hits = rs.filter(t => rel((qid, t._2)))
+        val mrr = if (hits.isEmpty) 0.0
+          else hits.map(t => rcp(t._3 - 1)).max / 1e6
+        val dcg = hits.map(t => disc(t._3 - 1)).sum
+        val (gm, gn, gr, gh) = rows((ranker, qid))
+        assert(gh == hits.size, s"$ranker/$qid hits")
+        assert(math.abs(gm - math.rint(mrr * 1e4) / 1e4) < 1e-9,
+          s"$ranker/$qid mrr")
+        assert(math.abs(gn - math.rint(dcg / 2948460.0 * 1e4) / 1e4)
+          < 1.01e-4, s"$ranker/$qid ndcg") // r4 HALF_UP vs rint slack
+        assert(math.abs(gr - hits.size / 5.0) < 1e-9, s"$ranker/$qid rec")
+      }
+    val lex = SearchQueries.queries("search_bm25").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 5).toSeq
+    val hyb = SearchQueries.queries("search_hybrid_rrf").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 5).toSeq
+    expect(lex, "bm25")
+    expect(hyb, "hybrid_rrf")
+    // the point of the table: fusion dominates the lexical ranker here
+    (0L until 5L).foreach { q =>
+      assert(rows(("hybrid_rrf", q))._3 >= rows(("bm25", q))._3,
+        s"hybrid recall >= bm25 at qid $q")
+    }
+  }
+
   test("sim_search_matryoshka reranks into high recall vs exact top-k") {
     val exact = engine.llm.LlmQueries.queries("sim_search_topk")
       .fn(spark, sf).collect()
