@@ -445,8 +445,103 @@ object MultimodalQueries {
       FROM mcand WHERE bit_count(xor(ha, hb)) <= $PhHam
       ORDER BY da, db"""))
 
+  // ------------------------------------------------ B51g multimodal_align
+  /** B51g: CROSS-MODAL ALIGNMENT scoring — the CLIP-score filtering
+    * shape every image-text pretraining pipeline runs (LAION's cosine
+    * gate): each paired (payload, embedding) row gets an alignment
+    * cosine between a payload-derived feature vector (the 16-bin
+    * nibble histogram, computed as PURE column math on the scan — no
+    * typed transform, no shuffle) and the doc's embedding folded
+    * 64 → 16 dims (fixed positional 4-blocks, exact order), plus a
+    * DERANGEMENT CONTROL: the same score against the NEXT doc's
+    * embedding ((id+1) mod N — the standard mismatched-pair baseline an
+    * alignment-filter calibration uses), and the margin. In production
+    * the two feature chains are real encoders and the filter keeps
+    * pairs whose score clears the control distribution; here both
+    * chains are deterministic stand-ins, so the DELIVERABLE is the
+    * shape — per-pair scoring as map-side column math, the 1:1
+    * modality join on the id, the shifted-key control join, one row
+    * per paired doc — while the scores themselves carry the expected
+    * isotropic-regime caveat (random embeddings ⇒ matched ≈ control on
+    * average; the same regime note ann_recall_report documents).
+    *
+    * Float discipline: histogram counts are exact ints; the embedding
+    * fold and every dot/norm is a FIXED-ORDER list fold (aggregate /
+    * zip_with ≙ list_transform / list_zip / list_sum — order never
+    * depends on partitioning); sqrt and the final divisions are
+    * exact-IEEE; r4 only on the reported scores. Scale: feature math
+    * rides the scan, the joins are id-keyed 1:1 equi-joins carrying
+    * 16-double vectors — nothing corpus-scale shuffles but ids and
+    * skinny features. */
+  private val multimodalAlign = Q(
+    (s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        expr("""transform(sequence(0, 15), k ->
+            aggregate(slice(embedding, 4 * k + 1, 4),
+              cast(0.0 as double), (a, x) -> a + cast(x as double)))""")
+          .as("fv"))
+      val n1 = e.agg(count(lit(1)).as("nv"))
+      val m = t(s, d, "documents").select(col("doc_id"),
+          hex(col("text").cast("binary")).as("hx"),
+          length(col("text").cast("binary")).as("nb"))
+        .select(col("doc_id"), expr("""transform(sequence(0, 15), k ->
+            cast(size(filter(
+              transform(sequence(0, nb - 1), i ->
+                cast(conv(substring(hx, 2 * i + 1, 1), 16, 10) as int)),
+              x -> x = k)) as double))""").as("cv"))
+        .crossJoin(broadcast(n1))
+      def cos(a: String, b: String): org.apache.spark.sql.Column =
+        expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+            cast(0.0 as double), (acc, x) -> acc + x)""") /
+          (sqrt(expr(s"""aggregate($a, cast(0.0 as double),
+              (acc, x) -> acc + x * x)""")) *
+           sqrt(expr(s"""aggregate($b, cast(0.0 as double),
+              (acc, x) -> acc + x * x)""")))
+      m.join(e, col("doc_id") === col("vec_id"))
+        .withColumnRenamed("fv", "fm").drop("vec_id")
+        .join(e.withColumnRenamed("fv", "fc"),
+          pmod(col("doc_id") + 1, col("nv")) === col("vec_id"))
+        .select(col("doc_id"),
+          r4(cos("cv", "fm")).as("align_cos"),
+          r4(cos("cv", "fc")).as("ctrl_cos"),
+          r4(cos("cv", "fm") - cos("cv", "fc")).as("margin"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH an AS (SELECT count(*) AS nv FROM embeddings),
+      af AS (SELECT vec_id, list_transform(range(16), k ->
+               list_sum(list_transform(range(4), j ->
+                 embedding[4 * k + j + 1]::DOUBLE))) AS fv
+             FROM embeddings),
+      am AS (SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+             FROM documents),
+      ac AS (SELECT doc_id, list_transform(range(16), k ->
+               len(list_filter(
+                 list_transform(range(nb), i ->
+                   ('0x' || substr(hx, 2 * i + 1, 1))::INT),
+                 x -> x = k))::DOUBLE) AS cv
+             FROM am),
+      aj AS (SELECT c.doc_id, c.cv, fm.fv AS fm, fc.fv AS fc
+             FROM ac c CROSS JOIN an
+             JOIN af fm ON fm.vec_id = c.doc_id
+             JOIN af fc ON fc.vec_id = (c.doc_id + 1) % an.nv),
+      ax AS (SELECT doc_id,
+               list_sum(list_transform(list_zip(cv, fm),
+                 p -> p[1] * p[2])) /
+               (sqrt(list_sum(list_transform(cv, x -> x * x))) *
+                sqrt(list_sum(list_transform(fm, x -> x * x)))) AS a,
+               list_sum(list_transform(list_zip(cv, fc),
+                 p -> p[1] * p[2])) /
+               (sqrt(list_sum(list_transform(cv, x -> x * x))) *
+                sqrt(list_sum(list_transform(fc, x -> x * x)))) AS c
+             FROM aj)
+      SELECT doc_id, round(a, 4) AS align_cos, round(c, 4) AS ctrl_cos,
+        round(a - c, 4) AS margin
+      FROM ax ORDER BY doc_id"""))
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_align" -> multimodalAlign,
     "multimodal_framesample" -> multimodalFramesample,
     "multimodal_resize" -> multimodalResize,
     "multimodal_payload_dedup" -> multimodalPayloadDedup,
