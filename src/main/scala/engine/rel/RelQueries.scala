@@ -670,6 +670,67 @@ object RelQueries {
     * family. One shuffle on the user key, a match-bounded equi-join,
     * no interval predicate anywhere — the shape that survives a 100 TB
     * clickstream where per-user ranges would nest-loop. */
+  /** B17c: COHORT RETENTION — the week-over-week retention matrix every
+    * product-analytics stack computes (Amplitude/Mixpanel's core
+    * table): users cohorted by first-activity week (week = floor(days
+    * since the corpus' first activity date / 7) — data-derived anchor,
+    * no wall-clock), each (cohort, week-offset) cell counting the
+    * cohort members active that week, with the retention ratio against
+    * the cohort's size (its offset-0 count, which is every member by
+    * construction).
+    *
+    * Shape at 100 TB: one shuffle on user_id serves BOTH the per-user
+    * first-week min and the distinct (user, week) activity set (same
+    * key); the cohort join is per-user (broadcast-sized cohort frame
+    * never needed — it rides the same partitioning), and the final agg
+    * is cohorts × offsets rows. All integer arithmetic; the ratio
+    * divides two exact counts → r4.
+    *
+    * Regime note: the driver testdata's activity is DENSE (every user
+    * active from day one), so the matrix collapses to one cohort with
+    * near-total retention — the degenerate-but-correct output the
+    * oracle pins; on a real event log cohorts spread by acquisition
+    * date and the off-diagonal decay is the product signal. */
+  private val retentionCohorts = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("dt"))
+      val mind = ev.agg(min(col("dt")).as("d0"))
+      val wk = ev.crossJoin(broadcast(mind))
+        .select(col("user_id"),
+          floor(datediff(col("dt"), col("d0")) / 7).cast("int").as("w"))
+        .repartition(col("user_id"))
+      val uw = wk.distinct()
+      val coh = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val cells = uw.join(coh, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("w") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val sizes = coh.groupBy(col("cw").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      cells.join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("week_offset").cast("int"),
+          col("active_users"), col("cohort_size"),
+          r4(col("active_users").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH rev AS (SELECT user_id, ts::DATE AS dt FROM events),
+      rmin AS (SELECT min(dt) AS d0 FROM rev),
+      rwk AS (SELECT DISTINCT user_id,
+                (date_diff('day', d0, dt) // 7)::INT AS w
+              FROM rev CROSS JOIN rmin),
+      rcoh AS (SELECT user_id, min(w) AS cw FROM rwk GROUP BY 1),
+      rcell AS (SELECT c.cw AS cohort_week, (u.w - c.cw)::INT AS week_offset,
+                  count(DISTINCT u.user_id)::BIGINT AS active_users
+                FROM rwk u JOIN rcoh c USING (user_id) GROUP BY 1, 2),
+      rsz AS (SELECT cw AS cohort_week, count(*)::BIGINT AS cohort_size
+              FROM rcoh GROUP BY 1)
+      SELECT cohort_week, week_offset, active_users, cohort_size,
+        round(active_users::DOUBLE / cohort_size::DOUBLE, 4) AS retention
+      FROM rcell JOIN rsz USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""))
+
   private val attribution = Q(
     (s, d) => {
       val ev = t(s, d, "events")
@@ -1697,6 +1758,7 @@ object RelQueries {
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
     "attribution" -> attribution,
+    "retention_cohorts" -> retentionCohorts,
     "observe_metrics" -> observeMetrics,
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
