@@ -896,6 +896,99 @@ object RelQueries {
         / 100.0 AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Sketch resolution (64 equal-width bins over the cents range). */
+  private val SketchBins = 64
+
+  /** B19g: QUANTILE SKETCH — histogram-interpolated p50/p90/p99 beside
+    * the exact percentiles and the absolute error: the one-pass
+    * MERGEABLE quantile estimate a 100 TB monitoring pipeline runs
+    * instead of [[aggPercentile]]'s exact form (exact percentiles need
+    * a sort or full multiset; a fixed-bin histogram is a constant-size
+    * state that merges across partitions/segments by vector addition —
+    * the property t-digest/KLL generalize with adaptive bins). The
+    * estimate is the classic within-bin linear interpolation; shipping
+    * the EXACT value and the error beside it makes the sketch's
+    * accuracy a measured, regression-gated number (the
+    * ann_recall_report discipline applied to quantiles).
+    *
+    * Exactness/portability: values ride the integer cents grid; bin
+    * assignment is pure LONG arithmetic ((x−mn)·bins div range — no
+    * float division anywhere near the data); the cumulative walk is a
+    * ≤ bins-row window; interpolation arithmetic and the final
+    * estimates are exact-IEEE doubles from exact longs, 4-dp rounded
+    * via the explicit floor form (the agg_histogram tie lesson). The
+    * only corpus-scale work is two scans (min/max/exact-percentile
+    * pass + binned-count pass), each collapsing map-side. */
+  private val aggQuantileSketch = Q(
+    (s, d) => {
+      import s.implicits._
+      def f4(x: Column): Column = floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val li = t(s, d, "lineitem").select(cents.as("x"))
+      val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"),
+        (percentile(col("x"), lit(0.5)) / 100.0).as("e50"),
+        (percentile(col("x"), lit(0.9)) / 100.0).as("e90"),
+        (percentile(col("x"), lit(0.99)) / 100.0).as("e99"))
+      val binned = li.crossJoin(broadcast(mm))
+        .select(expr(s"CAST(((x - mn) * $SketchBins) DIV (mx - mn + 1)" +
+          " AS INT)").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val cum = binned.withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumb", col("cum") - col("cnt"))
+      val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+      val r = ceil(col("q") * col("n")).cast("long")
+      val width = (col("mx") - col("mn") + 1).cast("double") /
+        lit(SketchBins.toDouble)
+      val est = (col("mn").cast("double") + col("bin") * width +
+        (col("r") - col("cumb")).cast("double") /
+          col("cnt").cast("double") * width) / lit(100.0)
+      val exact = when(col("q") === 0.5, col("e50"))
+        .when(col("q") === 0.9, col("e90")).otherwise(col("e99"))
+      qs.crossJoin(broadcast(mm)).withColumn("r", r)
+        .join(cum, col("cum") >= col("r") && col("cumb") < col("r"))
+        .select(lit("l_extendedprice").as("col_name"), col("q"),
+          f4(est).as("est"), f4(exact).as("exact"),
+          f4(abs(est - exact)).as("abs_err"))
+        .orderBy("q")
+    },
+    Some(s"""WITH qx AS (SELECT CAST(round(l_extendedprice * 100, 0)
+                AS BIGINT) AS x FROM lineitem),
+      qmm AS (SELECT min(x) mn, max(x) mx, count(*) n,
+                quantile_cont(x, 0.5) / 100.0 AS e50,
+                quantile_cont(x, 0.9) / 100.0 AS e90,
+                quantile_cont(x, 0.99) / 100.0 AS e99
+              FROM qx),
+      qb AS (SELECT ((x - mn) * $SketchBins) // (mx - mn + 1) AS bin,
+               count(*)::BIGINT AS cnt
+             FROM qx CROSS JOIN qmm GROUP BY 1),
+      qc AS (SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM qb),
+      qq AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+      qr AS (SELECT q, ceil(q * n)::BIGINT AS r,
+               mn, mx, n, e50, e90, e99 FROM qq CROSS JOIN qmm),
+      qpick AS (SELECT qr.*, qc.bin, qc.cnt, qc.cum,
+                  qc.cum - qc.cnt AS cumb
+                FROM qr JOIN qc ON qc.cum >= qr.r
+                  AND qc.cum - qc.cnt < qr.r)
+      SELECT 'l_extendedprice' AS col_name, q,
+        floor(((mn::DOUBLE + bin * ((mx - mn + 1)::DOUBLE / $SketchBins) +
+          (r - cumb)::DOUBLE / cnt::DOUBLE *
+            ((mx - mn + 1)::DOUBLE / $SketchBins)) / 100.0) * 1e4 + 0.5)
+          / 1e4 AS est,
+        floor((CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90
+          ELSE e99 END) * 1e4 + 0.5) / 1e4 AS exact,
+        floor(abs((mn::DOUBLE + bin * ((mx - mn + 1)::DOUBLE / $SketchBins)
+            + (r - cumb)::DOUBLE / cnt::DOUBLE *
+              ((mx - mn + 1)::DOUBLE / $SketchBins)) / 100.0 -
+          (CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90
+           ELSE e99 END)) * 1e4 + 0.5) / 1e4 AS abs_err
+      FROM qpick ORDER BY q"""))
+
   // ------------------------------------------------- B19d agg_decimal
   /** B19e: exact DECIMAL money aggregation — the financial-grade sum
     * path: prices cast to `decimal(18,2)` at the scan and summed as
@@ -1770,6 +1863,7 @@ object RelQueries {
     "agg_stats" -> aggStats,
     "agg_decimal" -> aggDecimal,
     "agg_histogram" -> aggHistogram,
+    "agg_quantile_sketch" -> aggQuantileSketch,
     "agg_salted_skew" -> aggSaltedSkew,
     "agg_distinct" -> aggDistinct,
     "agg_grouping_sets" -> aggGroupingSets,

@@ -570,8 +570,10 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       }.groupBy(identity).view.mapValues(_.size).toMap
     // CurateQueries' 4th site is tokenize_decode's symbol-vocabulary
     // rank — the same bounded symbol-inventory frame tokenize_bpe_apply
-    // ranks (distinct BPE symbols, a model artifact at any corpus size)
-    assert(sites == Map("CurateQueries.scala" -> 4, "RelQueries.scala" -> 2),
+    // ranks (distinct BPE symbols, a model artifact at any corpus size).
+    // RelQueries' 3rd site is agg_quantile_sketch's cumulative walk over
+    // the <= 64-bin histogram frame — constant-size sketch state.
+    assert(sites == Map("CurateQueries.scala" -> 4, "RelQueries.scala" -> 3),
       s"unpartitioned-window sites drifted: $sites — if the new site's " +
         "window input is NOT a bounded model-artifact frame, partition it; " +
         "if it is, extend this allowlist with the boundedness argument")
