@@ -320,6 +320,100 @@ object FnQueries {
       WHERE epoch_us(c.ts) - epoch_us(p.at) <= $AsofTolUs
       ORDER BY click_id"""))
 
+  /** B16d: NEAREST as-of join — each click matched to its nearest
+    * purchase in TIME, either direction (pandas `merge_asof
+    * (direction='nearest')`): backward answers "state as of t", forward
+    * "next action after t", nearest "the closest observation" — the
+    * sensor-fusion / sparse-telemetry alignment variant. Ties (equal
+    * distance both ways, including the same-instant Δ=0 case) resolve
+    * to the EARLIER purchase, pandas' convention.
+    *
+    * ONE union + TWO window passes over the SAME key partitioning (two
+    * sort orders, one exchange): the backward frame carries the latest
+    * at-or-before purchase id + its own timestamp (purchases sort
+    * before clicks at an equal instant), the forward frame the earliest
+    * at-or-after (purchases after clicks), and the pick compares the
+    * two staleness values in exact integer microseconds. No range
+    * join, no per-row probe — the as-of-family posture; same-(user,
+    * ts) purchases pre-group to the min id so both directions are
+    * total-order deterministic. */
+  private val joinAsofNearest = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("k"), col("ts").as("at"))
+        .agg(min(col("event_id")).as("pid"))
+        .select(col("k"), col("at"), col("pid"),
+          unix_micros(col("at")).as("pts"),
+          lit(null: java.lang.Long).as("click_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("ts").as("at"),
+          lit(null: java.lang.Long).as("pid"),
+          lit(null: java.lang.Long).as("pts"),
+          col("event_id").as("click_id"))
+      val wb = Window.partitionBy(col("k"))
+        .orderBy(col("at"), col("click_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy(col("k"))
+        .orderBy(col("at"), col("click_id").asc_nulls_last)
+        .rowsBetween(0, Window.unboundedFollowing)
+      val bd = unix_micros(col("at")) - col("bts")
+      val fd = col("fts") - unix_micros(col("at"))
+      val pickB = col("fpid").isNull ||
+        (col("bpid").isNotNull && bd <= fd)
+      p.unionByName(c)
+        .withColumn("bpid", last(col("pid"), ignoreNulls = true).over(wb))
+        .withColumn("bts", last(col("pts"), ignoreNulls = true).over(wb))
+        .withColumn("fpid", first(col("pid"), ignoreNulls = true).over(wf))
+        .withColumn("fts", first(col("pts"), ignoreNulls = true).over(wf))
+        .filter(col("click_id").isNotNull &&
+          (col("bpid").isNotNull || col("fpid").isNotNull))
+        .select(col("click_id"), col("k").as("user_id"),
+          when(pickB, col("bpid")).otherwise(col("fpid"))
+            .as("matched_purchase"),
+          when(pickB, lit("b")).otherwise(lit("f")).as("dir"),
+          when(pickB, bd).otherwise(fd).as("delta_us"))
+        .orderBy("click_id")
+    },
+    Some("""WITH np AS (SELECT user_id AS k, ts AS at, min(event_id) pid,
+                epoch_us(ts)::BIGINT pts
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 4),
+      ncl AS (SELECT user_id AS k, ts AS at, event_id cid
+              FROM events WHERE event_type = 'click'),
+      nu AS (SELECT k, at, pid, pts, NULL::BIGINT AS cid FROM np
+             UNION ALL
+             SELECT k, at, NULL::BIGINT, NULL::BIGINT, cid FROM ncl),
+      nw AS (SELECT k, at, cid,
+               last_value(pid IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY at, cid ASC NULLS FIRST
+                  ROWS UNBOUNDED PRECEDING) AS bpid,
+               last_value(pts IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY at, cid ASC NULLS FIRST
+                  ROWS UNBOUNDED PRECEDING) AS bts,
+               first_value(pid IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY at, cid ASC NULLS LAST
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS fpid,
+               first_value(pts IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY at, cid ASC NULLS LAST
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS fts
+             FROM nu),
+      npk AS (SELECT cid, k, at, bpid, fpid,
+                epoch_us(at)::BIGINT - bts AS bd,
+                fts - epoch_us(at)::BIGINT AS fd,
+                (fpid IS NULL OR (bpid IS NOT NULL AND
+                  epoch_us(at)::BIGINT - bts <= fts - epoch_us(at)::BIGINT))
+                  AS pb
+              FROM nw
+              WHERE cid IS NOT NULL
+                AND (bpid IS NOT NULL OR fpid IS NOT NULL))
+      SELECT cid AS click_id, k AS user_id,
+        CASE WHEN pb THEN bpid ELSE fpid END AS matched_purchase,
+        CASE WHEN pb THEN 'b' ELSE 'f' END AS dir,
+        CASE WHEN pb THEN bd ELSE fd END AS delta_us
+      FROM npk ORDER BY click_id"""))
+
   /** B21: approximate distinct (scale mandate — 100 TB cardinalities
     * can't be counted exactly without shuffling every key). Two surfaces:
     *
@@ -372,5 +466,6 @@ object FnQueries {
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_nearest" -> joinAsofNearest,
     "agg_approx_distinct" -> aggApproxDistinct)
 }
