@@ -1185,6 +1185,85 @@ object SearchQueries {
         round(rrf, 4) AS score
       FROM fused QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
 
+  // ---------------------------------------------------- B53y search_bm25f
+  /** Title length (tokens) and field weights for the BM25F split. */
+  private val BmfTitle = 5
+  private val BmfWTitle = 2L
+  private val BmfWBody = 1L
+
+  /** B53y: FIELD-WEIGHTED BM25 (simple BM25F, Robertson & Zaragoza):
+    * documents split into a title field (first [[BmfTitle]] tokens —
+    * synthesized here; real corpora carry real field columns) and a
+    * body, with per-field weights folded BEFORE saturation: weighted
+    * tf = [[BmfWTitle]]·tf_title + [[BmfWBody]]·tf_body, weighted
+    * doc length = Σ_field w_f·|field|, then the ordinary BM25
+    * saturation over the weighted quantities — the one-pass BM25F
+    * every fielded search engine ships (title hits outrank body hits
+    * at equal raw tf because the weighting happens inside the
+    * saturation, NOT as a post-hoc score boost, which over-rewards
+    * long titles).
+    *
+    * Implementation is [[bm25Rank]] VERBATIM on re-based postings
+    * (wtf → tf, wdl → dl, field-blind df): a weighted field model is
+    * a projection change, not a new scorer — the sharing that keeps
+    * the lexical family's score discipline in one place. Weighted tf
+    * and dl are exact integers; everything downstream is the shared
+    * micronat chain. */
+  private val searchBm25f = Q(
+    (s, d) => {
+      val tk = docs(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
+      val posts = tk
+        .select(col("doc_id"), (size(col("w")) + BmfTitle).cast("long")
+            .as("dl"),
+          posexplode(col("w")).as(Seq("p", "term")))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(sum(when(col("p") < BmfTitle, BmfWTitle)
+          .otherwise(BmfWBody)).as("tf"), first(col("dl")).as("dl"))
+      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val glob = tk.agg(count(lit(1)).as("n_docs"),
+        avg((size(col("w")) + BmfTitle).cast("long")).as("avgdl"))
+      val qt = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"))
+      val qdf = dfs.join(broadcast(qt.select(col("term")).distinct()),
+        "term")
+      bm25Rank(posts, qt, qdf, glob)
+        .select(col("qid"), col("cid"), col("rank"),
+          r4(col("ms") / lit(1e6)).as("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ftk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+      fps AS (SELECT doc_id, len(w) + $BmfTitle AS dl, w,
+                unnest(generate_series(1, len(w))) AS p
+              FROM ftk),
+      fpost AS (SELECT doc_id, w[p] AS term,
+                  sum(CASE WHEN p <= $BmfTitle THEN $BmfWTitle
+                    ELSE $BmfWBody END)::BIGINT AS tf,
+                  min(dl)::BIGINT AS dl
+                FROM fps GROUP BY 1, 2),
+      fdfs AS (SELECT term, count(*) AS df FROM fpost GROUP BY 1),
+      fglob AS (SELECT count(*) AS n_docs,
+                  avg(len(w) + $BmfTitle) AS avgdl FROM ftk),
+      fqt AS (SELECT doc_id AS qid, term FROM fpost WHERE doc_id < 5),
+      fsc AS (SELECT q.qid, p.doc_id AS cid,
+               CAST(round(
+                 ln(1.0 + ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                   (f.df::DOUBLE + 0.5)) *
+                 ((p.tf * ($Bm25K1::DOUBLE + 1.0)) /
+                  (p.tf + $Bm25K1::DOUBLE *
+                    (1.0 - $Bm25B::DOUBLE +
+                     $Bm25B::DOUBLE * p.dl / g.avgdl))) * 1e6, 0)
+                 AS BIGINT) m
+              FROM fpost p JOIN fqt q
+                ON p.term = q.term AND p.doc_id <> q.qid
+              JOIN fdfs f ON f.term = p.term
+              CROSS JOIN fglob g),
+      fagg AS (SELECT qid, cid, sum(m) AS ms FROM fsc GROUP BY 1, 2)
+      SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY ms DESC, cid) AS rank,
+        round(ms::DOUBLE / 1e6, 4) AS score
+      FROM fagg QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
+
   // ------------------------------------------------------ B53x rank_eval
   /** Eval cut-off and the micronat metric constants: per-rank nDCG
     * discounts round(1e6/log2(rank+1)) and reciprocal ranks
@@ -3099,6 +3178,7 @@ object SearchQueries {
     "search_bm25" -> searchBm25,
     "search_hybrid_rrf" -> searchHybridRrf,
     "rank_eval" -> rankEval,
+    "search_bm25f" -> searchBm25f,
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
     "ann_recall_report" -> annRecallReport,
