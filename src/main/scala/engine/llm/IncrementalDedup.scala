@@ -834,6 +834,102 @@ object IncrementalDedup {
         4::BIGINT AS seg_before, 1::BIGINT AS seg_after
       FROM documents ORDER BY doc_id"""))
 
+  /** The QUANTILE SKETCH maintained ONLINE — agg_quantile_sketch as a
+    * cross-run fold, PROVING the mergeability claim that op ships on:
+    * the bin grid is a pre-declared calibration artifact (min/max of
+    * the audited table — two scalars, the one driver-side value, the
+    * graph_pagerank node-count discipline; a production monitor
+    * declares its bucket grid in config exactly so ingest never depends
+    * on global state), each ingest batch appends its O(bins) bin-count
+    * DELTAS to an [[engine.stream.AppendTable]] store, and the served
+    * p50/p90/p99 interpolate over the FOLDED counts — identical to the
+    * batch sketch under ANY trigger split because count vectors add
+    * associatively (LlmSpec pins a 3-round split ≡ single ≡ the batch
+    * op's est column). Per-trigger cost is one map-side bin count +
+    * O(bins) append I/O; nothing reads the store during ingest. */
+  private val quantileSketchIncremental = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(s"/tmp/graft_qsketch_store_$san")
+      engine.stream.AppendTable.destroy(store) // fresh replay
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val li0 = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+        cents.as("x"))
+      val mmRow = li0.agg(min(col("x")), max(col("x"))).head()
+      val (mnV, mxV) = (mmRow.getLong(0), mmRow.getLong(1))
+      val bins = 64
+      def scOf(batch: DataFrame): DataFrame = batch
+        .select(expr(s"CAST(((x - ${mnV}L) * $bins) DIV " +
+          s"(${mxV}L - ${mnV}L + 1) AS INT)").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val scSchema = scOf(li0.limit(0)).schema
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+        engine.stream.AppendTable.append(scOf(batch), store, batchId)
+      val mft = s.conf.get("spark.graft.qsIncr.mft", "32").toInt
+      val src = engine.stream.StreamQueries.asFileStream(s, li0,
+        s"qsincr_$san", orderedBy = Some("rid"),
+        maxFilesPerTrigger = Some(mft))
+      val ck = new java.io.File((if (new java.io.File("/dev/shm")
+          .isDirectory) "/dev/shm" else "/tmp") +
+        s"/graft_ckpt_qsincr_${java.util.UUID.randomUUID}")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8") // batch-sized frames
+        src.writeStream.queryName("qs_incr").foreachBatch(mergeBatch)
+          .option("checkpointLocation", ck.getPath)
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+      import s.implicits._
+      def f4(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
+      val folded = engine.stream.AppendTable.read(s, store, scSchema)
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      val n1 = folded.agg(sum(col("cnt")).as("n"))
+      val cum = folded.withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .withColumn("cumb", col("cum") - col("cnt"))
+      val width = lit((mxV - mnV + 1).toDouble / bins)
+      val est = (lit(mnV.toDouble) + col("bin") * width +
+        (col("r") - col("cumb")).cast("double") /
+          col("cnt").cast("double") * width) / lit(100.0)
+      Seq(0.5, 0.9, 0.99).toDF("q")
+        .crossJoin(broadcast(n1))
+        .withColumn("r", ceil(col("q") * col("n")).cast("long"))
+        .join(cum, col("cum") >= col("r") && col("cumb") < col("r"))
+        .select(lit("l_extendedprice").as("col_name"), col("q"),
+          f4(est).as("est"))
+        .orderBy("q")
+    },
+    // whole-table oracle: the batch agg_quantile_sketch chain's est
+    // column verbatim — the fold must reproduce the one-pass sketch
+    Some("""WITH qx AS (SELECT CAST(round(l_extendedprice * 100, 0)
+                AS BIGINT) AS x FROM lineitem),
+      qmm AS (SELECT min(x) mn, max(x) mx, count(*) n FROM qx),
+      qb AS (SELECT ((x - mn) * 64) // (mx - mn + 1) AS bin,
+               count(*)::BIGINT AS cnt
+             FROM qx CROSS JOIN qmm GROUP BY 1),
+      qc AS (SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+             FROM qb),
+      qq AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+      qr AS (SELECT q, ceil(q * n)::BIGINT AS r, mn, mx, n
+             FROM qq CROSS JOIN qmm),
+      qpick AS (SELECT qr.*, qc.bin, qc.cnt, qc.cum,
+                  qc.cum - qc.cnt AS cumb
+                FROM qr JOIN qc ON qc.cum >= qr.r
+                  AND qc.cum - qc.cnt < qr.r)
+      SELECT 'l_extendedprice' AS col_name, q,
+        floor(((mn::DOUBLE + bin * ((mx - mn + 1)::DOUBLE / 64) +
+          (r - cumb)::DOUBLE / cnt::DOUBLE *
+            ((mx - mn + 1)::DOUBLE / 64)) / 100.0) * 1e4 + 0.5)
+          / 1e4 AS est
+      FROM qpick ORDER BY q"""))
+
   val queries: Map[String, Q] = Map(
     "dedup_incremental" -> dedupIncremental,
     "decontaminate_incremental" -> decontaminateIncremental,
@@ -841,5 +937,6 @@ object IncrementalDedup {
     "dedup_exact_incremental" -> dedupExactIncremental,
     "maintenance_store_compact" -> maintenanceStoreCompact,
     "corpus_report_incremental" -> corpusReportIncremental,
-    "corpus_drift_incremental" -> corpusDriftIncremental)
+    "corpus_drift_incremental" -> corpusDriftIncremental,
+    "quantile_sketch_incremental" -> quantileSketchIncremental)
 }

@@ -222,6 +222,28 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(batch.nonEmpty)
   }
 
+  test("quantile_sketch_incremental: any trigger split folds to the " +
+      "batch sketch's estimates") {
+    // bin-count vectors add associatively over a FIXED calibration
+    // grid, so the 3-batch fold, the single-trigger fold, and the batch
+    // agg_quantile_sketch's est column must agree exactly
+    def run(): Seq[Seq[Any]] =
+      engine.llm.IncrementalDedup.queries("quantile_sketch_incremental")
+        .fn(spark, sf).collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.qsIncr.mft", "11") // 3 batches
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.qsIncr.mft")
+    val single = run()
+    val batch = engine.rel.RelQueries.queries("agg_quantile_sketch")
+      .fn(spark, sf).collect()
+      .map(r => Seq(r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    assert(multi == single)
+    assert(single == batch,
+      "incremental fold diverged from agg_quantile_sketch's estimates")
+    assert(batch.nonEmpty)
+  }
+
   test("corpus_drift_incremental: any trigger split folds to the " +
       "one-pass drift report") {
     // term-count deltas are associative, so the 3-batch fold, the
