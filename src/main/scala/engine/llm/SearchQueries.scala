@@ -506,6 +506,45 @@ object SearchQueries {
     * every position, degenerating the window argmax) / snippet window
     * width in tokens / candidate docs per query. */
   private val SnipM = 3
+
+  /** The best-window highlight stage over an arbitrary candidate frame
+    * (qid, cid, rank) with query terms (qid, term) — shared by
+    * search_snippet (BM25 candidates) and pipeline_rag (hybrid
+    * candidates), so retrieval and highlighting can never drift. Both
+    * inputs must already be persisted (they are referenced by several
+    * broadcast subtrees). The optimal window can always start AT a
+    * matched position, so the argmax enumerates matched starts only —
+    * O(matches²) per candidate, never O(doc_len²); everything here is
+    * ≤ queries × candidates × matches rows. */
+  private def snippetStage(s: SparkSession, d: String,
+      top: DataFrame, sqt: DataFrame): DataFrame = {
+    val mpos = engine.ScratchCache.persist(docs(s, d)
+      .join(broadcast(top.select(col("cid").as("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as("cid"),
+        posexplode(tokens(col("text"))).as(Seq("p", "term")))
+      .join(broadcast(top), Seq("cid"))
+      .join(broadcast(sqt), Seq("qid", "term"))
+      .select(col("qid"), col("cid"), col("rank"), col("p")))
+    val hits = mpos.as("a").join(mpos.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
+          col("b.p") >= col("a.p") && col("b.p") < col("a.p") + SnipW)
+      .groupBy(col("a.qid").as("qid"), col("a.cid").as("cid"),
+        col("a.rank").as("rank"), col("a.p").as("p"))
+      .agg(count(lit(1)).as("h"))
+    val best = hits.withColumn("brk", row_number().over(
+        Window.partitionBy(col("qid"), col("cid"))
+          .orderBy(col("h").desc, col("p"))))
+      .filter(col("brk") === 1)
+    best.join(docs(s, d).select(col("doc_id").as("cid"), col("text")),
+        Seq("cid"))
+      .select(col("qid"), col("cid"), col("rank"),
+        col("p").cast("int").as("snip_start"),
+        col("h").cast("long").as("snip_hits"),
+        concat_ws(" ", slice(tokens(col("text")),
+          col("p").cast("int") + lit(1), lit(SnipW))).as("snippet"))
+      .orderBy("qid", "rank")
+  }
   private val SnipW = 10
   private val SnipTop = 3
 
@@ -561,32 +600,7 @@ object SearchQueries {
         bm25Rank(posts, sqt, sdf, glob)
           .filter(col("rank") <= SnipTop)
           .select(col("qid"), col("cid"), col("rank")))
-      val mpos = engine.ScratchCache.persist(docs(s, d)
-        .join(broadcast(top.select(col("cid").as("doc_id")).distinct()),
-          Seq("doc_id"), "leftsemi")
-        .select(col("doc_id").as("cid"),
-          posexplode(tokens(col("text"))).as(Seq("p", "term")))
-        .join(broadcast(top), Seq("cid"))
-        .join(broadcast(sqt), Seq("qid", "term"))
-        .select(col("qid"), col("cid"), col("rank"), col("p")))
-      val hits = mpos.as("a").join(mpos.as("b"),
-          col("a.qid") === col("b.qid") && col("a.cid") === col("b.cid") &&
-            col("b.p") >= col("a.p") && col("b.p") < col("a.p") + SnipW)
-        .groupBy(col("a.qid").as("qid"), col("a.cid").as("cid"),
-          col("a.rank").as("rank"), col("a.p").as("p"))
-        .agg(count(lit(1)).as("h"))
-      val best = hits.withColumn("brk", row_number().over(
-          Window.partitionBy(col("qid"), col("cid"))
-            .orderBy(col("h").desc, col("p"))))
-        .filter(col("brk") === 1)
-      best.join(docs(s, d).select(col("doc_id").as("cid"), col("text")),
-          Seq("cid"))
-        .select(col("qid"), col("cid"), col("rank"),
-          col("p").cast("int").as("snip_start"),
-          col("h").cast("long").as("snip_hits"),
-          concat_ws(" ", slice(tokens(col("text")),
-            col("p").cast("int") + lit(1), lit(SnipW))).as("snippet"))
-        .orderBy("qid", "rank")
+      snippetStage(s, d, top, sqt)
     },
     Some(("WITH " + bm25SqlCtes().trim.stripPrefix(",")) + s""",
       ntok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -1184,6 +1198,117 @@ object SearchQueries {
         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) rank,
         round(rrf, 4) AS score
       FROM fused QUALIFY rank <= $Bm25TopK ORDER BY qid, rank"""))
+
+  // ---------------------------------------------------- B60 pipeline_rag
+  /** Candidates served per query by the RAG pipeline. */
+  private val RagK = 3
+
+  /** B60: RAG SERVING CAPSTONE — the end-to-end retrieve→highlight pass
+    * a retrieval-augmented-generation stack runs per query, composed
+    * ENTIRELY from this engine's own operators (the pipeline_curate
+    * composition argument applied to serving): hybrid lexical+vector
+    * retrieval ([[searchHybridRrf]] — BM25 and brute-cosine fused by
+    * RRF) cut to the top-[[RagK]] candidates, then each candidate
+    * reduced to its best [[SnipW]]-token highlight window over the
+    * query's top-tf·idf terms (the shared [[snippetStage]]) — the
+    * (score, passage) rows a generation loop stuffs into context.
+    *
+    * Shape: both modality chains are the shared corpus-scale rankers
+    * (posting joins + broadcast queries — no corpus text in any
+    * exchange); everything after the fusion is ≤ queries × [[RagK]]
+    * rows. The capstone's value is the composition pin: retrieval,
+    * fusion, term selection, and highlighting all reuse the exact
+    * operators verified individually, so the served context can never
+    * drift from what the per-operator oracles check. */
+  private val pipelineRag = Q(
+    (s, d) => {
+      val posts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      val dfs = engine.ScratchCache.persist(
+        posts.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      val glob = engine.ScratchCache.persist(
+        posts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+      val qposts = posts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+      val qdf0 = dfs.join(broadcast(qposts.select(col("term")).distinct()),
+        "term")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val sqt = engine.ScratchCache.persist(
+        qposts.join(broadcast(qdf0), "term")
+          .crossJoin(broadcast(glob))
+          .select(col("qid"), col("term"),
+            round(col("tf") * idf * lit(1e6), 0).cast("long").as("ts"))
+          .withColumn("trank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("ts").desc, col("term"))))
+          .filter(col("trank") <= SnipM)
+          .select(col("qid"), col("term")))
+      val hyb = engine.ScratchCache.persist(
+        searchHybridRrf.fn(s, d).filter(col("rank") <= RagK))
+      val top = hyb.select(col("qid"), col("cid"), col("rank"))
+      snippetStage(s, d, top, sqt)
+        .join(hyb.select(col("qid"), col("cid"), col("score")),
+          Seq("qid", "cid"))
+        .select(col("qid"), col("rank"), col("cid"), col("score"),
+          col("snip_start"), col("snip_hits"), col("snippet"))
+        .orderBy("qid", "rank")
+    },
+    Some(LlmQueries.unitSql + bm25SqlCtes() + s""",
+      heu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
+      hq AS (SELECT vec_id qid, u qu FROM heu WHERE vec_id < 5),
+      hsc AS (SELECT hq.qid, heu.vec_id cid,
+               list_sum(list_transform(list_zip(hq.qu, heu.u),
+                 p -> p[1] * p[2])) cos
+              FROM hq, heu WHERE heu.vec_id <> hq.qid),
+      vtop AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) vr
+               FROM hsc QUALIFY vr <= $Bm25TopK),
+      fused AS (SELECT coalesce(l.qid, v.qid) qid,
+                  coalesce(l.cid, v.cid) cid,
+                  coalesce(1.0::DOUBLE / (60 + l.rank), 0.0::DOUBLE) +
+                  coalesce(1.0::DOUBLE / (60 + v.vr), 0.0::DOUBLE) rrf
+                FROM ltop l FULL OUTER JOIN vtop v
+                  ON l.qid = v.qid AND l.cid = v.cid),
+      gtop AS (SELECT qid, cid, rank, round(rrf, 4) AS score FROM (
+                 SELECT qid, cid, rrf,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY rrf DESC, cid) rank
+                 FROM fused) WHERE rank <= $RagK),
+      ntok AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      nq0 AS (SELECT doc_id qid, term, tf FROM bpdl WHERE doc_id < 5),
+      nsel AS (SELECT q.qid, q.term,
+                CAST(round(q.tf * ln(1.0 +
+                  ((g.n_docs - f.df)::DOUBLE + 0.5) /
+                  (f.df::DOUBLE + 0.5)) * 1e6, 0) AS BIGINT) ts
+               FROM nq0 q JOIN bdfs f USING (term) CROSS JOIN bglob g),
+      nqt AS (SELECT qid, term,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY ts DESC, term) trank
+              FROM nsel QUALIFY trank <= $SnipM),
+      ntk AS (SELECT doc_id cid,
+                unnest(generate_series(1, len(w))) - 1 AS p,
+                unnest(w) AS term
+              FROM ntok WHERE doc_id IN (SELECT cid FROM gtop)),
+      nmp AS (SELECT r.qid, t.cid, r.rank, r.score, t.p
+              FROM ntk t JOIN gtop r ON r.cid = t.cid
+              JOIN nqt q ON q.qid = r.qid AND q.term = t.term),
+      nh AS (SELECT a.qid, a.cid, a.rank, a.score, a.p, count(*) h
+             FROM nmp a JOIN nmp b ON a.qid = b.qid AND a.cid = b.cid
+               AND b.p >= a.p AND b.p < a.p + $SnipW
+             GROUP BY 1, 2, 3, 4, 5),
+      nb AS (SELECT qid, cid, rank, score, p, h,
+              row_number() OVER (PARTITION BY qid, cid
+                ORDER BY h DESC, p) brk
+             FROM nh QUALIFY brk = 1)
+      SELECT nb.qid, nb.rank, nb.cid, nb.score,
+        CAST(nb.p AS INT) AS snip_start, nb.h::BIGINT AS snip_hits,
+        array_to_string(ntok.w[nb.p + 1 : nb.p + $SnipW], ' ') AS snippet
+      FROM nb JOIN ntok ON ntok.doc_id = nb.cid
+      ORDER BY nb.qid, nb.rank"""))
 
   // ---------------------------------------------------- B53y search_bm25f
   /** Title length (tokens) and field weights for the BM25F split. */
@@ -3179,6 +3304,7 @@ object SearchQueries {
     "search_hybrid_rrf" -> searchHybridRrf,
     "rank_eval" -> rankEval,
     "search_bm25f" -> searchBm25f,
+    "pipeline_rag" -> pipelineRag,
     "cluster_kmeans" -> clusterKmeans,
     "sim_search_matryoshka" -> simSearchMatryoshka,
     "ann_recall_report" -> annRecallReport,

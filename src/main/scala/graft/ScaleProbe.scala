@@ -232,7 +232,7 @@ object ScaleProbe {
     "sim_search_ivf_filtered", "search_facets", "search_prf",
     "multimodal_phash_dedup",
     // r15 fourth wave
-    "rank_eval", "multimodal_align", "search_bm25f")
+    "rank_eval", "multimodal_align", "search_bm25f", "pipeline_rag")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
