@@ -572,8 +572,12 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // rank — the same bounded symbol-inventory frame tokenize_bpe_apply
     // ranks (distinct BPE symbols, a model artifact at any corpus size).
     // RelQueries' 3rd site is agg_quantile_sketch's cumulative walk over
-    // the <= 64-bin histogram frame — constant-size sketch state.
-    assert(sites == Map("CurateQueries.scala" -> 4, "RelQueries.scala" -> 3),
+    // the <= 64-bin histogram frame — constant-size sketch state;
+    // IncrementalDedup's site is the same walk over the FOLDED bin
+    // counts (quantile_sketch_incremental) — the identical <= 64-row
+    // frame after the store fold.
+    assert(sites == Map("CurateQueries.scala" -> 4, "RelQueries.scala" -> 3,
+      "IncrementalDedup.scala" -> 1),
       s"unpartitioned-window sites drifted: $sites — if the new site's " +
         "window input is NOT a bounded model-artifact frame, partition it; " +
         "if it is, extend this allowlist with the boundedness argument")
