@@ -113,6 +113,52 @@ object RelQueries {
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' ORDER BY doc_id"""))
 
+  /** B18c: DYNAMIC PARTITION PRUNING join — the runtime-pruning feature
+    * that makes star-schema joins viable at 100 TB: the fact table is
+    * at rest PARTITIONED on the join key (a once-per-sf published
+    * copy of orders, partitioned by o_orderpriority), and the dimension
+    * side is filtered on an AGGREGATED attribute (the priority class's
+    * min order id, even-parity) that no constraint propagation can
+    * derive from the join column — so no static predicate can reach
+    * the fact scan, and ONLY Catalyst's DPP (reusing the broadcast
+    * join result as a runtime IN-filter in the scan's
+    * PartitionFilters) keeps the fact read from touching every
+    * partition. PlanSpec pins the `dynamicpruning` expression in the
+    * scan AND the absence of any static partition predicate — the
+    * difference between reading a fraction of the table and all of
+    * it, which at 100 TB is the whole game. The oracle replays the
+    * join as a semi-join over the unpartitioned original (identical
+    * semantics, pruning invisible). */
+  private val joinPartitionPruned = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val part = engine.Core.publishOnce(s"/tmp/graft_ppart_v1_$san") {
+        tmp =>
+          t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority"))
+            .write.partitionBy("o_orderpriority").parquet(tmp)
+      }
+      val fact = s.read.parquet(part)
+      val dim = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_orderkey")).as("rep"))
+        .filter(pmod(col("rep"), lit(2)) === 0)
+        .select(col("o_orderpriority"))
+      fact.join(broadcast(dim), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH pdim AS (SELECT o_orderpriority FROM orders
+              GROUP BY 1 HAVING min(o_orderkey) % 2 = 0)
+      SELECT o_orderpriority, count(*)::BIGINT AS n,
+        sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+          AS total_cents
+      FROM orders SEMI JOIN pdim USING (o_orderpriority)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** B4d: small-file COMPACTION — the lakehouse maintenance pass for the
     * streaming-ingest pathology (thousands of tiny files kill scan
     * planning and per-file overhead at 100 TB). A fragmented copy of
@@ -1856,6 +1902,7 @@ object RelQueries {
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
+    "join_partition_pruned" -> joinPartitionPruned,
     "agg_hash" -> aggHash,
     "agg_mode" -> aggMode,
     "agg_filtered" -> aggFiltered,

@@ -25,6 +25,24 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(plan("join_inner_hash").contains("BroadcastHashJoin"))
   }
 
+  test("join_partition_pruned: DPP is the ONLY partition pruning on " +
+      "the fact scan") {
+    val p = plan("join_partition_pruned")
+    // the runtime IN-filter must be present...
+    assert(p.contains("dynamicpruning"),
+      "fact scan lost its dynamic partition pruning expression")
+    // ...and no STATIC predicate beyond isnotnull may have reached the
+    // partition filters (the dim filter is an aggregated attribute no
+    // constraint propagation can derive from the join column — if a
+    // static predicate appears, the op no longer demonstrates DPP)
+    val pf = p.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.nonEmpty, "no PartitionFilters line in the fact scan")
+    val inner = pf.substring(pf.indexOf("PartitionFilters"))
+    assert(!inner.contains("substring") && !inner.contains("<="),
+      s"static partition predicate leaked into the scan: $inner")
+  }
+
   test("join_sortmerge stays sort-merge (no broadcast of a large side)") {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
