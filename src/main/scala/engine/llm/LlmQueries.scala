@@ -1994,6 +1994,81 @@ object LlmQueries {
     * The alternatives match disjoint character classes, so Java-regex
     * (Spark) and RE2 (DuckDB) agree on every match boundary. Pure
     * column math: one codegen'd projection, no shuffle before the sort. */
+  /** Count-Min geometry: d hash rows × w counter buckets. w is
+    * deliberately TINY for the testdata (vocab ≈ 30 over 16 buckets
+    * collides constantly — 11/20 top terms carry a real overestimate
+    * at sf0.01) so the error-accounting column is exercised;
+    * production sizes w ≈ e/ε for a target additive error ε·N. */
+  private val CmsD = 4
+  private val CmsW = 16L
+
+  /** FREQUENCY SKETCH heavy hitters — the Count-Min answer to "what are
+    * the top terms and how wrong is the sketch about them": the
+    * [[CmsD]]×[[CmsW]] counter matrix every streaming frequency monitor
+    * keeps (Cormode & Muthukrishnan '05), built relationally (counter
+    * (i, b) = Σ counts of terms hashing to b under salt i — exact longs,
+    * mergeable across partitions/segments by vector addition, the
+    * agg_quantile_sketch posture for frequencies), probed for the exact
+    * top-20 terms, each reporting exact count, CMS estimate
+    * (min over the d rows), and the overestimate — one-sided by
+    * construction (CMS never undercounts; the probe makes that a
+    * hash-checked property, and the margin a measured number, the
+    * ann_recall_report discipline).
+    *
+    * Shape at 100 TB: the term-count shuffle is the text_token_stats
+    * pass; the counter matrix is ≤ d·w rows built by one map-side-
+    * collapsing agg; the probe joins 20 broadcast terms against it.
+    * Nothing but (term, count) pairs ride any exchange. */
+  private val corpusHeavyHitters = Q(
+    (s, d) => {
+      def posOf(i: Int, term: Column): Column = pmod(
+        conv(substring(md5(concat_ws("|", lit(i.toString), term)), 1, 8),
+          16, 10).cast("long"), lit(CmsW))
+      val tc = engine.ScratchCache.persist(
+        docs(s, d).select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+      val counters = tc.select((1 to CmsD).map(i =>
+          struct(lit(i).as("i"), posOf(i, col("term")).as("b"),
+            col("cnt").as("c")).as(s"s$i")): _*)
+        .select(explode(array((1 to CmsD).map(i => col(s"s$i")): _*))
+          .as("s"))
+        .select(col("s.i").as("i"), col("s.b").as("b"), col("s.c").as("c"))
+        .groupBy(col("i"), col("b")).agg(sum(col("c")).as("cv"))
+      val top = tc.orderBy(col("cnt").desc, col("term")).limit(20)
+      val probes = top.select(col("term"), col("cnt"),
+          explode(array((1 to CmsD).map(i =>
+            struct(lit(i).as("i"), posOf(i, col("term")).as("b"))): _*))
+            .as("p"))
+        .select(col("term"), col("cnt"), col("p.i").as("i"),
+          col("p.b").as("b"))
+      probes.join(broadcast(counters), Seq("i", "b"))
+        .groupBy(col("term"))
+        .agg(first(col("cnt")).as("exact_cnt"), min(col("cv")).as("est_cnt"))
+        .select(col("term"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overest"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+    },
+    Some(s"""WITH htc AS (SELECT term, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents) GROUP BY 1),
+      hrows AS (SELECT unnest(range(1, ${CmsD + 1}))::INT AS i),
+      hctr AS (SELECT i,
+                 ('0x' || substr(md5(i::VARCHAR || '|' || term), 1, 8))
+                   ::BIGINT % $CmsW AS b,
+                 sum(cnt)::BIGINT AS cv
+               FROM htc CROSS JOIN hrows GROUP BY 1, 2),
+      htop AS (SELECT term, cnt FROM htc
+               ORDER BY cnt DESC, term LIMIT 20),
+      hpr AS (SELECT t.term, t.cnt, r.i,
+                ('0x' || substr(md5(r.i::VARCHAR || '|' || t.term), 1, 8))
+                  ::BIGINT % $CmsW AS b
+              FROM htop t CROSS JOIN hrows r)
+      SELECT p.term, min(p.cnt)::BIGINT AS exact_cnt,
+        min(c.cv)::BIGINT AS est_cnt,
+        (min(c.cv) - min(p.cnt))::BIGINT AS overest
+      FROM hpr p JOIN hctr c ON c.i = p.i AND c.b = p.b
+      GROUP BY p.term ORDER BY exact_cnt DESC, term"""))
+
   private val textTokenStats = Q(
     (s, d) => {
       val BpePat = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
@@ -2779,6 +2854,7 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_token_stats" -> textTokenStats,
+    "corpus_heavy_hitters" -> corpusHeavyHitters,
     "text_analysis" -> textAnalysis,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,

@@ -232,7 +232,8 @@ object ScaleProbe {
     "sim_search_ivf_filtered", "search_facets", "search_prf",
     "multimodal_phash_dedup",
     // r15 fourth wave
-    "rank_eval", "multimodal_align", "search_bm25f", "pipeline_rag")
+    "rank_eval", "multimodal_align", "search_bm25f", "pipeline_rag",
+    "corpus_heavy_hitters")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
