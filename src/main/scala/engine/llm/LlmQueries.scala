@@ -560,6 +560,58 @@ object LlmQueries {
       SELECT da, db, round(e, 4) AS est_jaccard FROM est
       WHERE e >= 0.5 ORDER BY da, db"""))
 
+  /** SCREEN EVALUATION — precision/recall of the MinHash LSH screen
+    * against the exact shingle-Jaccard dedup it fronts (the rank_eval /
+    * ann_recall_report / corpus_heavy_hitters discipline applied to the
+    * dedup family: the engine measures its own screen in-engine).
+    * Ground truth = dedup_ngram_jaccard's exact J ≥ 0.8 pairs; the
+    * screen = dedup_minhash's banded est ≥ 0.5 proposals (deliberately
+    * the looser threshold — an LSH pre-filter is tuned recall-first,
+    * and its false positives are exactly the wasted exact-verify work
+    * the precision column prices). One row: pair counts, screen_recall
+    * (true pairs the screen proposed), screen_precision (proposals
+    * that are true pairs).
+    *
+    * Both inputs are the SHIPPED operators' own frames, and the oracle
+    * composes their oracle SQL verbatim as nested subqueries — the eval
+    * can never drift from what the evaluated ops actually compute. All
+    * counts exact; the two ratios are int ratios → r4. Everything here
+    * is pair-table scale (output-bound, like the inputs). */
+  private lazy val dedupEval = Q(
+    (s, d) => {
+      val exact = engine.ScratchCache.persist(
+        dedupNgramJaccard.fn(s, d).select(col("da"), col("db")))
+      val screen = engine.ScratchCache.persist(
+        dedupMinhash.fn(s, d).select(col("da"), col("db")))
+      val hit = exact.join(screen, Seq("da", "db"), "leftsemi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_screen"), col("n_hit"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(r4(col("n_hit").cast("double") /
+              col("n_exact").cast("double"))).as("screen_recall"),
+          when(col("n_screen") === 0, lit(0.0))
+            .otherwise(r4(col("n_hit").cast("double") /
+              col("n_screen").cast("double"))).as("screen_precision"))
+        .orderBy("n_exact")
+    },
+    Some(s"""WITH eex AS (SELECT da, db FROM (
+               ${dedupNgramJaccard.oracle.get})),
+      esc AS (SELECT da, db FROM (${dedupMinhash.oracle.get})),
+      ecnt AS (SELECT (SELECT count(*) FROM eex)::BIGINT n_exact,
+                 (SELECT count(*) FROM esc)::BIGINT n_screen,
+                 (SELECT count(*) FROM eex SEMI JOIN esc
+                    USING (da, db))::BIGINT n_hit)
+      SELECT n_exact, n_screen, n_hit,
+        CASE WHEN n_exact = 0 THEN 0.0::DOUBLE
+          ELSE round(n_hit::DOUBLE / n_exact::DOUBLE, 4) END
+          AS screen_recall,
+        CASE WHEN n_screen = 0 THEN 0.0::DOUBLE
+          ELSE round(n_hit::DOUBLE / n_screen::DOUBLE, 4) END
+          AS screen_precision
+      FROM ecnt ORDER BY n_exact"""))
+
   /** The minhash signature→band→candidate→estimate CTE chain (everything
     * after [[shingleSql]], ending in `est(da, db, e)`) — shared by the
     * dedup_minhash oracle, the pipeline_curate composition oracle, and
@@ -2832,6 +2884,7 @@ object LlmQueries {
     "dedup_bloom_screen" -> dedupBloomScreen,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_eval" -> dedupEval,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "sample_cluster_weighted" -> sampleClusterWeighted,

@@ -233,7 +233,7 @@ object ScaleProbe {
     "multimodal_phash_dedup",
     // r15 fourth wave
     "rank_eval", "multimodal_align", "search_bm25f", "pipeline_rag",
-    "corpus_heavy_hitters")
+    "corpus_heavy_hitters", "dedup_eval")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
