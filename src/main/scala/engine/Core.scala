@@ -114,6 +114,37 @@ object Core {
   /** Round a double column to 4 dp — the t2 hash-determinism discipline. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** A cell-count conf as read at ORACLE-BUILD time: the same session
+    * conf the engine query reads at run time, so an oracle string built
+    * through this can never pin a different k than the plan it replays
+    * (the r14 ADVICE conf/oracle divergence — `spark.graft.knng.k` /
+    * `spark.graft.semdedup.k` vs a hand-inlined `LIMIT 16`). Consumers
+    * must be `def`s so the string is rebuilt after conf changes; with
+    * no session up yet, the engine default (16) applies. */
+  def oracleK(key: String): Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get(key, "16")).getOrElse("16").toInt
+
+  /** The executable driver-collect contract (r15 verdict item 8): every
+    * driver-side `.collect()` in the engine reads a MODEL-SIZED artifact
+    * — centroids ≤ k, one BPE merge per round, perceptron gradient ≤
+    * feature count, probed cells ≤ the isin-pruning practicality bound —
+    * never corpus rows. Routing a collect through this declares that
+    * bound at the call site and ENFORCES it: a frame with more than
+    * `max` rows throws instead of silently starting to scale with the
+    * corpus, and the fetch itself is capped at max+1 rows (the failure
+    * path moves O(max), not O(N)). `limit` composes under an existing
+    * tighter limit and, on an ordered frame, takes the ordered prefix —
+    * semantics of every adopted site are unchanged. */
+  def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T], max: Int,
+      what: String): Seq[T] = {
+    val rows = ds.limit(max + 1).collect().toSeq
+    require(rows.length <= max,
+      s"boundedCollect($what) exceeded its declared bound of $max rows" +
+        " — a driver-side collect is growing with the corpus")
+    rows
+  }
+
   /** Source fingerprint of a parquet table (part names + lengths +
     * mtimes) for driver-side model memo keys: a cache keyed by corpus
     * DIR alone serves a stale model if the corpus is regenerated

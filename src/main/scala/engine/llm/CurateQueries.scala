@@ -497,10 +497,11 @@ object CurateQueries {
     var r = 1; var exhausted = false
     while (r <= rounds && !exhausted) {
       val nx = bpeWithNext(f)
-      val best = nx.filter(col("nxt").isNotNull)
-        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
-        .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
-        .as[(String, String, Long)].collect()
+      val best = engine.Core.boundedCollect(
+        nx.filter(col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
+          .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
+          .as[(String, String, Long)], 1, "bpe best merge pair")
       if (best.isEmpty) exhausted = true
       else {
         val (ml, mr, wt) = best(0)
@@ -573,8 +574,9 @@ object CurateQueries {
       val wf = docs(s, d)
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      bpeTrain(wf, BpeMerges)
-        .as[(Int, String, String, Long)].collect().toSeq
+      engine.Core.boundedCollect(
+        bpeTrain(wf, BpeMerges).as[(Int, String, String, Long)],
+        BpeMerges, "bpe merge table")
     })
 
   private val tokenizeBpe = Q(
@@ -1019,7 +1021,7 @@ object CurateQueries {
     val cdf = cents.toDF("m", "cent_id", "cu")
     val dimSums = (0 until subD).map(i =>
       sum(round(element_at(col("x"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
-    val upd = subs.join(broadcast(cdf), "m")
+    val updDs = subs.join(broadcast(cdf), "m")
       .select(col("vec_id"), col("m"), col("x"), col("cent_id"),
         l2sq(col("x"), col("cu")).as("d"))
       .groupBy(col("vec_id"), col("m"))
@@ -1029,7 +1031,9 @@ object CurateQueries {
       .agg(count(lit(1)).as("n"), dimSums: _*)
       .select(col("m"), col("cent_id"), array((0 until subD).map(i =>
         col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("cu"))
-      .as[(Int, Long, Seq[Double])].collect()
+      .as[(Int, Long, Seq[Double])]
+    val upd = engine.Core.boundedCollect(updDs, cents.size,
+      "pq subspace cell means")
       .map(r => (r._1, r._2) -> r._3).toMap
     cents.map { case (m, id, cu) => (m, id, upd.getOrElse((m, id), cu)) }
   }
@@ -1078,10 +1082,11 @@ object CurateQueries {
     pqSeedCache.computeIfAbsent(
       s"$d#k$pk#${engine.Core.srcFingerprint(d, "embeddings")}", _ => {
       import s.implicits._
-      e.withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy(col("h"), col("vec_id")).limit(pk)
-        .select(col("vec_id").as("cent_id"), col("v"))
-        .as[(Long, Seq[Double])].collect().toSeq
+      engine.Core.boundedCollect(
+        e.withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy(col("h"), col("vec_id")).limit(pk)
+          .select(col("vec_id").as("cent_id"), col("v"))
+          .as[(Long, Seq[Double])], pk, "pq codebook seeds")
     })
 
   private def pqTrainEncode(s: SparkSession, d: String)
@@ -1381,7 +1386,7 @@ object CurateQueries {
     val cdf = cents.toDF("cent_id", "cu")
     val dimSums = (0 until PqM * PqD).map(i =>
       sum(round(element_at(col("v"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
-    val upd = e.crossJoin(broadcast(cdf))
+    val updDs = e.crossJoin(broadcast(cdf))
       .select(col("vec_id"), col("v"), col("cent_id"),
         l2sq(col("v"), col("cu")).as("d"))
       .groupBy(col("vec_id"))
@@ -1391,7 +1396,9 @@ object CurateQueries {
       .agg(count(lit(1)).as("n"), dimSums: _*)
       .select(col("cent_id"), array((0 until PqM * PqD).map(i =>
         col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("cu"))
-      .as[(Long, Seq[Double])].collect().toMap
+      .as[(Long, Seq[Double])]
+    val upd = engine.Core.boundedCollect(updDs, cents.size,
+      "ivfpq coarse cell means").toMap
     cents.map { case (id, cu) => (id, upd.getOrElse(id, cu)) }
   }
 
@@ -1541,8 +1548,10 @@ object CurateQueries {
         .withColumn("rk", row_number().over(wq))
         .filter(col("rk") <= IvfPqNProbe)
         .select(col("qid"), col("cent_id"))
-      val cells = qprobe.select(col("cent_id")).distinct()
-        .as[Long].collect().sorted.toSeq
+      val cells = engine.Core.boundedCollect(
+          qprobe.select(col("cent_id")).distinct().as[Long], 4096,
+          "ivfpq probed cells (isin-pruning practicality bound)")
+        .sorted
       val posts = s.read.schema(postSchema).parquet(postPath)
         .filter(col("cent_id").isin(cells: _*))
       val lut = broadcast(qv.crossJoin(s.read.parquet(pqPath))
@@ -1640,9 +1649,11 @@ object CurateQueries {
           slice(col("r"), m * subD + 1, subD)): _*)).as(Seq("m", "x")))
     val books = pqResModelCache.computeIfAbsent(
       s"$d#m$pm#k$pk#${engine.Core.srcFingerprint(d, "embeddings")}", _ => {
-        val rseeds = res.filter(col("vec_id").isin(seedIds: _*))
-          .select(col("vec_id"), col("r"))
-          .as[(Long, Seq[Double])].collect().toMap
+        val rseeds = engine.Core.boundedCollect(
+          res.filter(col("vec_id").isin(seedIds: _*))
+            .select(col("vec_id"), col("r"))
+            .as[(Long, Seq[Double])], seedIds.size,
+          "pq residual seeds").toMap
         pqRound(subs, for {
           m <- 0 until pm; id <- seedIds
         } yield (m, id, rseeds(id).slice(m * subD, m * subD + subD)), subD)
@@ -2171,12 +2182,14 @@ object CurateQueries {
       val w = qcModelCache.computeIfAbsent(
       s"$d#${engine.Core.srcFingerprint(d, "documents")}", _ =>
         (1 to QcRounds).foldLeft(Map.empty[Long, Long]) { (w0, _) =>
-          val grad = margins(w0)
+          val gradDs = margins(w0)
             .filter((col("y") === 1 && col("mg") <= 0) ||
               (col("y") === -1 && col("mg") > 0))
             .join(feats, "doc_id")
             .groupBy(col("j")).agg(sum(col("y") * col("x")).as("g"))
-            .as[(Long, Long)].collect().toMap
+            .as[(Long, Long)]
+          val grad = engine.Core.boundedCollect(gradDs, QcF,
+            "perceptron gradient buckets").toMap
           (0L until QcF).map(j =>
             j -> (w0.getOrElse(j, 0L) + grad.getOrElse(j, 0L))).toMap
         })

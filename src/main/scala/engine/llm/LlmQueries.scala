@@ -1576,7 +1576,7 @@ object LlmQueries {
     // shape — not a posexplode fan-out with a second exchange
     val dimSums = (0 until 64).map(i =>
       sum(round(element_at(col("u"), i + 1) * 1e9, 0).cast("long")).as(s"s$i"))
-    val upd = e.join(broadcast(cdf))
+    val updDs = e.join(broadcast(cdf))
       .select(col("vec_id"), col("u"), col("cent_id"),
         dot(col("u"), col("cu")).as("cd"))
       .groupBy(col("vec_id"))
@@ -1588,7 +1588,9 @@ object LlmQueries {
         col(s"s$i").cast("double") / 1e9 / col("n")): _*).as("mv"))
       .select(col("cent_id"),
         transform(col("mv"), x => x / norm(col("mv"))).as("cu"))
-      .as[(Long, Seq[Double])].collect().toMap
+      .as[(Long, Seq[Double])]
+    val upd = engine.Core.boundedCollect(updDs, cents.size,
+      "lloyd cell means").toMap
     cents.map { case (id, cu) => (id, upd.getOrElse(id, cu)) }
   }
 
@@ -1618,11 +1620,12 @@ object LlmQueries {
     val fp = engine.Core.srcFingerprint(d, "embeddings")
     sphericalCellCache.computeIfAbsent(s"$d#$nr#$k#$fp", _ => {
       import s.implicits._
-      val seeds = e
+      val seedDs = e
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy(col("h"), col("vec_id")).limit(k)
         .select(col("vec_id").as("cent_id"), col("u").as("cu"))
-        .as[(Long, Seq[Double])].collect().toSeq
+        .as[(Long, Seq[Double])]
+      val seeds = engine.Core.boundedCollect(seedDs, k, "codebook seeds")
       (1 to nr).foldLeft(seeds)((c, _) => lloydRound(e, c))
     })
   }
@@ -1632,11 +1635,19 @@ object LlmQueries {
     * over `eu(vec_id, u)` — the shared prefix of every consumer of the
     * 16-cell spherical codebook ([[simSearchIvf]], its indexed variant,
     * and [[SearchQueries]]' cluster_kmeans). */
-  private[llm] def coarseChainSql: String =
+  private[llm] def coarseChainSql: String = coarseChainSqlK(16)
+
+  /** The coarse chain at an explicit cell count — consumers whose
+    * engine side reads a cell-count conf (`spark.graft.knng.k`,
+    * `spark.graft.semdedup.k`) build their oracle through this with
+    * [[engine.Core.oracleK]] so a non-default conf can never diverge
+    * the oracle from the plan it replays (r14 ADVICE / r15 verdict
+    * item 3); the IVF family stays at the fixed 16-cell codebook. */
+  private[llm] def coarseChainSqlK(k: Int): String =
     unitSql + s""",
       eu AS (SELECT vec_id, u FROM e WHERE u IS NOT NULL),
       c0 AS (SELECT vec_id AS cent_id, u AS cu FROM eu
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)""" +
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""" +
       lloydSqlRound("c0", 1) + lloydSqlRound("c1", 2)
 
   /** The Lloyd round as oracle SQL: CTEs a/asg/s/m/c<k> refining `prev`
@@ -1908,8 +1919,10 @@ object LlmQueries {
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= NProbe)
       .select(col("qid"), col("cent_id"))
-    val cells = qprobe.select(col("cent_id")).distinct()
-      .as[Long].collect().sorted.toSeq
+    val cells = engine.Core.boundedCollect(
+        qprobe.select(col("cent_id")).distinct().as[Long], 4096,
+        "ivf probed cells (isin-pruning practicality bound)")
+      .sorted
     val posts = s.read.schema(postSchema).parquet(postPath)
       .filter(col("cent_id").isin(cells: _*))
     val w = Window.partitionBy(col("qid"))

@@ -1016,8 +1016,13 @@ object SearchQueries {
       FROM ptop ORDER BY qid, rank"""))
 
   // ------------------------------------------- B53r sim_search_rerank_mmr
-  /** MMR parameters: relevance weight λ, candidate depth, picks. */
+  /** MMR parameters: relevance weight λ, diversity weight (1−λ)
+    * spelled as its own literal — `1 - 0.7` in IEEE doubles is
+    * 0.30000000000000004, NOT the 0.3 the DuckDB oracle parses, so
+    * both engines must multiply by the literal 0.3 (the k1/b
+    * discipline from bm25Micronat) — candidate depth, picks. */
   private val MmrLambda = 0.7
+  private val MmrDiv = 0.3
   private val MmrDepth = 10
   private val MmrK = 5
 
@@ -1061,7 +1066,7 @@ object SearchQueries {
         .select(col("a.qid").as("qid"), col("a.cid").as("cid"),
           col("b.cid").as("oid"), dot(col("a.u"), col("b.u")).as("sim")))
       def mmrScore(ms: Column): Column =
-        round((lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * ms)
+        round((lit(MmrLambda) * col("rel") - lit(MmrDiv) * ms)
           * 1e6, 0).cast("long")
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sc").desc, col("cid"))
@@ -1715,7 +1720,7 @@ object SearchQueries {
         col("nbr_id"), col("nu"))
   }
 
-  private val dedupSemantic = Q(
+  private def dedupSemantic = Q(
     (s, d) => {
       val asg = cellAssign(s, d, "spark.graft.semdedup.k")
       val dropped = cellPairs(s, asg)
@@ -1727,7 +1732,8 @@ object SearchQueries {
           col("_dup").isNull.as("kept"))
         .orderBy("vec_id")
     },
-    Some(LlmQueries.coarseChainSql + s""",
+    Some(LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.semdedup.k")) + s""",
       sdx AS (SELECT eu.vec_id, c.cent_id,
                list_sum(list_transform(list_zip(eu.u, c.cu),
                  p -> p[1] * p[2])) AS cd
@@ -1829,12 +1835,13 @@ object SearchQueries {
       .count().toDouble / tot
   }
 
-  private val simKnnGraph = Q(
+  private def simKnnGraph = Q(
     (s, d) => knnGraphFrame(s, d)
       .select(col("vec_id"), col("rank"), col("nbr_id"),
         r4(col("cos")).as("cosine"))
       .orderBy("vec_id", "rank"),
-    Some(LlmQueries.coarseChainSql + knnSqlCtes + s"""
+    Some(LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s"""
       SELECT vec_id,
         row_number() OVER (PARTITION BY vec_id
           ORDER BY cos DESC, nbr_id) AS rank,
@@ -1894,7 +1901,7 @@ object SearchQueries {
     * SearchSpec pins a 3-round split. Per-trigger cost is
     * O(batch × cellmates) pair dots + O(keys) state rewrite; nothing
     * scales with total history except the pruned member read. */
-  private val simKnnGraphIncremental = Q(
+  private def simKnnGraphIncremental = Q(
     (s, d) => {
       import s.implicits._
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1983,7 +1990,8 @@ object SearchQueries {
         .orderBy("vec_id", "rank")
     },
     // whole-corpus oracle: the batch sim_knn_graph chain verbatim
-    Some(LlmQueries.coarseChainSql + knnSqlCtes + s"""
+    Some(LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s"""
       SELECT vec_id,
         row_number() OVER (PARTITION BY vec_id
           ORDER BY cos DESC, nbr_id) AS rank,
@@ -2008,7 +2016,7 @@ object SearchQueries {
     * more equi-join against the edge table, and every frame is (long,
     * long) pairs — O(N·k²) total with no corpus payload anywhere. All
     * integer counts; the only double is the final coefficient ratio. */
-  private val graphTriangleCount = Q(
+  private def graphTriangleCount = Q(
     (s, d) => {
       val und = engine.ScratchCache.persist(
         knnGraphFrame(s, d)
@@ -2037,7 +2045,8 @@ object SearchQueries {
             .otherwise(lit(0.0))).as("clustering"))
         .orderBy("vec_id")
     },
-    Some(LlmQueries.coarseChainSql + knnSqlCtes + s""",
+    Some(LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s""",
       ted AS (SELECT vec_id, nbr_id FROM (
                SELECT vec_id, nbr_id,
                  row_number() OVER (PARTITION BY vec_id
@@ -2088,7 +2097,7 @@ object SearchQueries {
     * [[engine.Core.checkpointFresh]] truncating lineage per round (the
     * tokenize_bpe_apply discipline). Rounds are a fixed constant; no
     * driver-side data movement beyond the 1-scalar node count. */
-  private val graphPagerank = Q(
+  private def graphPagerank = Q(
     (s, d) => {
       val edges = engine.ScratchCache.persist(knnGraphFrame(s, d)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
@@ -2131,7 +2140,8 @@ object SearchQueries {
                  (coalesce(c.im, 0)::DOUBLE / 1e9) AS pr
               FROM nodes nd CROSS JOIN nn
               LEFT JOIN pk$k c ON c.dst = nd.vec_id)"""
-      LlmQueries.coarseChainSql + knnSqlCtes + s""",
+      LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s""",
       ked AS (SELECT vec_id src, nbr_id dst FROM (
                SELECT vec_id, nbr_id,
                  row_number() OVER (PARTITION BY vec_id
@@ -2165,7 +2175,7 @@ object SearchQueries {
     * (id, label) count shuffle = O(E) = O(N·k), lineage truncated per
     * round ([[engine.Core.checkpointFresh]]); rounds are a fixed
     * constant; no driver-side data. */
-  private val graphLabelProp = Q(
+  private def graphLabelProp = Q(
     (s, d) => {
       val edges = engine.ScratchCache.persist(knnGraphFrame(s, d)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
@@ -2203,7 +2213,8 @@ object SearchQueries {
       lp$r AS (SELECT vec_id, label FROM lps$r
               QUALIFY row_number() OVER (PARTITION BY vec_id
                 ORDER BY c DESC, label) = 1)"""
-      LlmQueries.coarseChainSql + knnSqlCtes + s""",
+      LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s""",
       lped AS (SELECT vec_id src, nbr_id dst FROM (
                SELECT vec_id, nbr_id,
                  row_number() OVER (PARTITION BY vec_id
@@ -3298,7 +3309,11 @@ object SearchQueries {
       SELECT * FROM g5 UNION ALL SELECT * FROM g6 UNION ALL
       SELECT * FROM g7 UNION ALL SELECT * FROM g8 ORDER BY stage"""))
 
-  val queries: Map[String, Q] = Map(
+  /** A `def`, not a `val`: the knng/semdedup family's oracle SQL
+    * interpolates the session cell-count conf at BUILD time
+    * ([[engine.Core.oracleK]]), so the map must be rebuilt per access
+    * for a conf set mid-session to reach the oracle string. */
+  def queries: Map[String, Q] = Map(
     "text_chunk" -> textChunk,
     "search_bm25" -> searchBm25,
     "search_hybrid_rrf" -> searchHybridRrf,

@@ -213,7 +213,10 @@ object AppendTable {
                 }
               }
               hits.zipWithIndex.collect { case (true, i) => i }.iterator
-            }.distinct().collect()
+            }.distinct().collect() // ≤ |segments| ints by construction
+                                       // (values index bfs) — the one
+                                       // non-Dataset collect, outside
+                                       // Core.boundedCollect's reach
           idx.map(withB).toSet
         } finally bc.destroy()
       }

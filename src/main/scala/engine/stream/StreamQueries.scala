@@ -47,8 +47,13 @@ object StreamQueries {
         // in order. (A bare orderBy is AQE-coalesced to ~4 files — fewer
         // than maxFilesPerTrigger, which silently un-bounds the trigger;
         // an explicit repartition count is exempt from AQE coalescing.)
-        case Some(c) => df.repartitionByRange(32, col(c))
-          .sortWithinPartitions(col(c))
+        // comma-separated names form a composite admission key (e.g.
+        // "tu,event_id" — ts-major with a unique tiebreak), so batch
+        // boundaries can never interleave an earlier-ts row into a
+        // later trigger when ts is not monotone in the surrogate id
+        case Some(c) =>
+          val ks = c.split(",").map(n => col(n.trim)).toSeq
+          df.repartitionByRange(32, ks: _*).sortWithinPartitions(ks: _*)
         case None => if (singleFile) df.coalesce(1) else df
       }
       out.write.mode("overwrite").parquet(tmp)
@@ -768,8 +773,13 @@ object StreamQueries {
           batchId)
       }
       val mft = s.conf.get("spark.graft.scd2.mft", "32").toInt
-      val src = asFileStream(s, src0, s"scd2_$san",
-        orderedBy = Some("event_id"), maxFilesPerTrigger = Some(mft))
+      // admission ordered by event time (event_id only tiebreaks equal
+      // tu) — the run-length fold and the whole-log oracle both order
+      // by (ts, event_id), so the trigger partition must too; ordering
+      // by event_id alone would rest on the testdata's undocumented
+      // ts-monotone-in-event_id invariant
+      val src = asFileStream(s, src0, s"scd2v2_$san",
+        orderedBy = Some("tu,event_id"), maxFilesPerTrigger = Some(mft))
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_scd2_${java.util.UUID.randomUUID}")
@@ -838,8 +848,13 @@ object StreamQueries {
   private def asofFold(key: Long, rows: Iterator[AsofRow],
       state: org.apache.spark.sql.streaming.GroupState[Long])
       : Iterator[AsofOut] = {
+    // full microsecond instant, not getTime's milliseconds — a
+    // dimension version landing in the same millisecond as (but after)
+    // an event must still sort after it; today's dimension rows are
+    // date-aligned (micros = 0) but intraday sources are not
     val sorted = rows.toSeq.sortBy(r =>
-      (r.at.getTime, r.event_id.isDefined, r.event_id.getOrElse(0L)))
+      (r.at.getTime * 1000 + r.at.getNanos / 1000 % 1000,
+        r.event_id.isDefined, r.event_id.getOrElse(0L)))
     var last: Option[Long] = state.getOption
     val out = Seq.newBuilder[AsofOut]
     sorted.foreach { r =>

@@ -97,4 +97,16 @@ class CoreSpec extends AnyFunSuite {
       assert(new java.io.File(dir, "_SUCCESS").exists())
     } finally cleanup(dir)
   }
+
+  test("boundedCollect returns within-bound rows and throws past the " +
+      "declared bound (r15 verdict item 8)") {
+    val spark = gps.TestSpark.spark
+    import spark.implicits._
+    val ds = spark.range(10).as[Long]
+    assert(Core.boundedCollect(ds, 10, "ok").sorted == (0L until 10))
+    val ex = intercept[IllegalArgumentException] {
+      Core.boundedCollect(ds, 9, "overflow-probe")
+    }
+    assert(ex.getMessage.contains("overflow-probe"))
+  }
 }

