@@ -1243,6 +1243,104 @@ object RelQueries {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** B10c: batch MERGE INTO — the lakehouse upsert (matched → update,
+    * not-matched → insert, tombstone → delete), the batch twin of
+    * stream_cdc_apply's changelog fold and the reference's implicit
+    * last-writer-wins fix merge (class.nmea.parser.php:173-327)
+    * expressed as the nightly backfill-into-keyed-table write (r15
+    * verdict item 2). The changelog derives from `events` exactly as
+    * stream_cdc_apply does (op = D/I/U by event_id mod 10); the target
+    * is the served view as of the 60% sequence cut, the source is the
+    * later rows folded to one latest action per key. The merge itself
+    * is ONE full-outer equi-join on the key — each side shuffles once
+    * on user_id, no cartesian (PlanSpec pins both) — with the three
+    * MERGE arms as projections over the join: source absent → keep,
+    * target absent and op ≠ D → insert, both present and op ≠ D →
+    * update, source op = D → row leaves the table (a not-matched
+    * delete is the standard no-op). The result swaps in atomically via
+    * [[engine.stream.VersionedTable]] (pointer flip, readers never see
+    * a half-written table) and the query serves the POST-SWAP read.
+    *
+    * Shape at 100 TB: both fold aggregations and the merge join hash
+    * on the same key — at cluster scale the target table is bucketed
+    * by key and the join co-locates with zero target shuffle; the cut
+    * scalar is the pinned-calibration discipline (one 1-row
+    * boundedCollect, like graph_pagerank's node count). */
+  /** The three-arm merge frame (pre-commit) — split out so PlanSpec can
+    * pin its physical shape: one full-outer equi-join on the key, each
+    * side shuffled once on user_id, no cartesian. */
+  private[engine] def mergeFrame(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val log = t(s, d, "events").select(
+        col("event_id").as("seq"), col("user_id"),
+        when(col("event_id") % 10 === 0, lit("D"))
+          .when(col("event_id") % 10 < 4, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("event_type"), col("value"))
+      val cut = engine.Core.boundedCollect(
+        log.agg(expr("max(seq) * 6 div 10").as("cut")).as[Long], 1,
+        "merge_into sequence cut").head
+      def fold(part: DataFrame): DataFrame = part
+        .groupBy(col("user_id"))
+        .agg(max(col("seq")).as("seq"), expr("max_by(op, seq)").as("op"),
+          expr("max_by(event_type, seq)").as("event_type"),
+          expr("max_by(value, seq)").as("value"))
+      val target = fold(log.filter(col("seq") <= cut))
+        .filter(col("op") =!= "D") // the served view as-of the cut
+        .select(col("user_id"), col("seq").as("t_seq"),
+          col("event_type").as("t_type"), col("value").as("t_value"))
+      val source = fold(log.filter(col("seq") > cut))
+        .select(col("user_id"), col("seq").as("s_seq"), col("op"),
+          col("event_type").as("s_type"), col("value").as("s_value"))
+      val merged = target.join(source, Seq("user_id"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("user_id"),
+          when(col("s_seq").isNull, lit("keep"))
+            .when(col("t_seq").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("s_seq"), col("t_seq")).as("last_seq"),
+          coalesce(col("s_type"), col("t_type")).as("last_type"),
+          coalesce(col("s_value"), col("t_value")).as("last_value"))
+      merged
+  }
+
+  private val mergeInto = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val state = new java.io.File(s"/tmp/graft_merge_state_$san")
+      engine.stream.VersionedTable.destroy(state) // the run IS the replay
+      engine.stream.VersionedTable.commit(mergeFrame(s, d), state, 0L)
+      engine.stream.VersionedTable.read(s, state)
+        .getOrElse(sys.error(s"merge result missing at $state"))
+        .select(col("user_id"), col("action"), col("last_seq"),
+          col("last_type"), r4(col("last_value")).as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH cdc AS (SELECT event_id AS seq, user_id,
+          CASE WHEN event_id % 10 = 0 THEN 'D'
+               WHEN event_id % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+          event_type, value FROM events),
+        cut AS (SELECT max(seq) * 6 // 10 AS c FROM cdc),
+        tgt AS (SELECT user_id, max(seq) AS t_seq,
+            arg_max(event_type, seq) AS t_type,
+            arg_max(value, seq) AS t_value
+          FROM cdc WHERE seq <= (SELECT c FROM cut)
+          GROUP BY user_id HAVING arg_max(op, seq) <> 'D'),
+        src AS (SELECT user_id, max(seq) AS s_seq,
+            arg_max(op, seq) AS op, arg_max(event_type, seq) AS s_type,
+            arg_max(value, seq) AS s_value
+          FROM cdc WHERE seq > (SELECT c FROM cut) GROUP BY user_id)
+      SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        CASE WHEN s.user_id IS NULL THEN 'keep'
+             WHEN t.user_id IS NULL THEN 'insert'
+             ELSE 'update' END AS action,
+        coalesce(s.s_seq, t.t_seq) AS last_seq,
+        coalesce(s.s_type, t.t_type) AS last_type,
+        round(coalesce(s.s_value, t.t_value), 4) AS last_value
+      FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+      WHERE s.op IS NULL OR s.op <> 'D'
+      ORDER BY user_id"""))
+
   /** B20: COUNT(DISTINCT) — distinct UTC fix keys (:172). */
   private val aggDistinct = Q(
     (s, d) => t(s, d, "orders")
@@ -1902,6 +2000,7 @@ object RelQueries {
     "join_cross" -> joinCross,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
+    "merge_into" -> mergeInto,
     "join_partition_pruned" -> joinPartitionPruned,
     "agg_hash" -> aggHash,
     "agg_mode" -> aggMode,

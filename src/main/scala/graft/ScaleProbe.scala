@@ -57,6 +57,33 @@ object ScaleProbe {
       emb.withColumn("vec_id", col("vec_id") + lit(k * n)))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // r16 (r15 verdict item 4): the relational/stream wave reads the
+    // TPC-H-ish tables — replicate them too, id-offset per replica so
+    // keys stay unique and cross-table joins stay consistent:
+    // events.user_id and orders.o_custkey share the +k·1e6 offset
+    // (stream_asof_enrich joins them), o_orderkey/l_orderkey share
+    // +k·1e7, and event_id's +k·1e6 offset preserves event_id % 10
+    // (the cdc/merge op derivation). ts/date columns are NOT offset —
+    // replicas model more users over the same activity window, so
+    // per-user spines (ts_gapfill) and cohort windows keep their
+    // density while the key space scales.
+    val ev = engine.Core.t(spark, base, "events")
+    (0 until scale).map(k => ev
+        .withColumn("event_id", col("event_id") + lit(k * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until scale).map(k => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until scale).map(k => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     println(s"SCALE wrote ${scale}x corpus: " +
       spark.read.parquet(s"$out/documents.parquet").count() + " docs")
     // GC barrier between the corpus-build job and the timed loop: the
@@ -77,7 +104,13 @@ object ScaleProbe {
     spark.conf.set("spark.graft.knng.k", knnK.toString)
     spark.conf.set("spark.graft.semdedup.k", knnK.toString)
     val tenProbe = readPrev(artifactPath(10))
-    val ops = (if (scale == 10) fullOps
+    // explicit op names after the scale arg override the roster — the
+    // debug path for smoking a new op at an arbitrary scale without a
+    // full probe run; the artifact write is SKIPPED in override mode so
+    // a partial run can never clobber a committed roster artifact
+    val opsOverride = args.drop(1).toSeq
+    val ops = (if (opsOverride.nonEmpty) opsOverride
+      else if (scale == 10) fullOps
       // scale=100: ONLY the output-bound pair emitters (r12 verdict
       // item 8) — their 30×/10× ratios exceed linear but so do their
       // outputs under corpus replication; the 100× run measures
@@ -121,6 +154,25 @@ object ScaleProbe {
       }
     if (knngRecall.nonEmpty)
       spark.conf.set("spark.graft.knng.k", knnK.toString)
+    // r16 (r15 verdict item 7): screen/ranking quality as probe fields —
+    // dedup_eval's MinHash precision/recall and rank_eval's hybrid
+    // nDCG@5 ride the 10× artifact the way knng_recall does, so screen
+    // quality is trend-gated against corpus growth, not point-measured
+    // at sf0.01
+    val qualityFields = if (scale != 10) "" else {
+      val de = SparkEntry.queries("dedup_eval")(spark, out)
+        .select(col("screen_recall"), col("screen_precision"))
+        .collect().head
+      val nd = SparkEntry.queries("rank_eval")(spark, out)
+        .filter(col("ranker") === "hybrid_rrf")
+        .agg(avg(col("ndcg5"))).collect().head.getDouble(0)
+      engine.ScratchCache.drain(); System.gc()
+      println(f"SCALE dedup_recall=${de.getDouble(0)}%.4f " +
+        f"dedup_precision=${de.getDouble(1)}%.4f rank_ndcg5=$nd%.4f")
+      f""" "dedup_recall": ${de.getDouble(0)}%.4f,""" +
+        f""" "dedup_precision": ${de.getDouble(1)}%.4f,""" +
+        f""" "rank_ndcg5": $nd%.4f,"""
+    }
     val tenRows = readPrevRows(artifactPath(10))
     val flagged = if (scale == 10) Nil
       else results.flatMap { case (q, sec, c) =>
@@ -158,11 +210,16 @@ object ScaleProbe {
         (if (knngRecall.isEmpty) ""
          else knngRecall.map { case (k, r) => f""""k$k": $r%.3f""" }
            .mkString(" \"knng_recall\": {", ", ", "},")) +
+        qualityFields +
         "\n  \"ops\": {\n",
       ",\n", "\n  }\n}\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(artifactPath(scale)), json)
-    println(s"SCALE wrote ${artifactPath(scale)}")
+    if (opsOverride.nonEmpty)
+      println("SCALE override mode: artifact NOT written")
+    else {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(artifactPath(scale)), json)
+      println(s"SCALE wrote ${artifactPath(scale)}")
+    }
     flagged.foreach { case (q, r) =>
       println(f"SCALE FRONTIER FLAG $q: ${r}%.1fx its 10x time (linear = ${scale / 10.0}%.1f)")
     }
@@ -233,7 +290,17 @@ object ScaleProbe {
     "multimodal_phash_dedup",
     // r15 fourth wave
     "rank_eval", "multimodal_align", "search_bm25f", "pipeline_rag",
-    "corpus_heavy_hitters", "dedup_eval")
+    "corpus_heavy_hitters", "dedup_eval",
+    // r16 additions (r15 verdict item 4): the relational/stream wave
+    // over the now-replicated events/orders/lineitem tables — sketch
+    // aggs, the asof family, the CDC/SCD2 streaming folds, DPP, the
+    // dynamic-overwrite sink, and the batch MERGE twin
+    "agg_decimal", "agg_histogram", "agg_quantile_sketch",
+    "quantile_sketch_incremental", "attribution", "retention_cohorts",
+    "ts_gapfill", "join_asof_tolerance", "join_asof_nearest",
+    "join_partition_pruned", "sink_dynamic_overwrite", "observe_metrics",
+    "maintenance_stats_analyze", "stream_cdc_apply", "stream_scd2_apply",
+    "stream_asof_enrich", "merge_into")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -43,6 +43,27 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"static partition predicate leaked into the scan: $inner")
   }
 
+  test("merge_into: one full-outer key join, each side shuffled once on " +
+      "the key, no cartesian (r15 verdict item 2)") {
+    val p = engine.rel.RelQueries.mergeFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in the merge")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BNLJ in the merge")
+    // the merge arms ride ONE join (full-outer on user_id) — SMJ or
+    // shuffled-hash, never replanned into per-arm joins
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).toSeq
+    assert(joins.size == 1, s"expected exactly one join, got $joins")
+    assert(p.contains("FullOuter"), "merge join is not full-outer")
+    // each side shuffles on the key alone: every exchange hashes
+    // user_id, and there are exactly the two pre-agg exchanges
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(_.contains("user_id")),
+      s"non-key exchange in the merge:\n${exchanges.mkString("\n")}")
+  }
+
   test("join_sortmerge stays sort-merge (no broadcast of a large side)") {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
