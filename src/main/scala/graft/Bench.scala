@@ -99,7 +99,7 @@ object Bench {
         val t0 = System.nanoTime()
         // a crash records -1, never a flatteringly-fast time-to-failure
         val dt =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try { Eval.rows(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0

@@ -35,7 +35,7 @@ object JobTimer {
     for (n <- args.drop(1)) {
       stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, args(0)).count()
+      val c = Eval.rows(SparkEntry.queries(n)(spark, args(0)))
       println(f"TOTAL $n: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         f"($c rows, ${stages.get()} stages, ${tasks.get()} tasks)")
     }

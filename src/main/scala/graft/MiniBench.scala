@@ -27,7 +27,7 @@ object MiniBench {
     catch { case _: Throwable => }
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      val c = Eval.rows(SparkEntry.queries(n)(spark, sfDir))
       val dt = (System.nanoTime() - t0) / 1e9
       engine.ScratchCache.drain()
       System.gc()

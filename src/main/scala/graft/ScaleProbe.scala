@@ -131,7 +131,7 @@ object ScaleProbe {
     val prev = if (scale == 10) readPrev(artifactPath(10)) else Map.empty[String, Double]
     val results = ops.map { q =>
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(q)(spark, out).count()
+      val c = Eval.rows(SparkEntry.queries(q)(spark, out))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"SCALE $q: $sec%.2f s ($c rows)")
       engine.ScratchCache.drain(); System.gc()
