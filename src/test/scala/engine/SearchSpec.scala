@@ -382,6 +382,45 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(multi.nonEmpty)
   }
 
+  test("compaction MID-INGEST: 2 commits -> compact -> replay + 2 more " +
+      "commits; manifest lists every segment and the served view equals " +
+      "the single-shot index (r15 verdict item 5)") {
+    val idxRoot = new java.io.File("/tmp/graft_midcompact_spec")
+    engine.stream.VersionedTable.destroy(idxRoot)
+    val docs = Core.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def part(i: Int) = docs.filter(pmod(col("doc_id"), lit(4)) === i)
+    // trigger 0, 1 → compact → trigger 2 (plus its crash-replay) → 3:
+    // the r14 advisor's version-collision scenario run END-TO-END — the
+    // compaction advances the manifest version counter mid-ingest, and
+    // the resumed ingest must still list every later batch's segment
+    SearchQueries.commitIndexSegment(spark, idxRoot, 0L, part(0))
+    SearchQueries.commitIndexSegment(spark, idxRoot, 1L, part(1))
+    SearchQueries.compactIndexSegments(spark, idxRoot)
+    assert(SearchQueries.idxSegments(idxRoot) == Seq("seg-c0"))
+    SearchQueries.commitIndexSegment(spark, idxRoot, 2L, part(2))
+    // replayed batch id (post-compaction vid == 2 as well — exactly the
+    // collision the monotonic counter exists for) must be a real no-op
+    SearchQueries.commitIndexSegment(spark, idxRoot, 2L, part(2))
+    SearchQueries.commitIndexSegment(spark, idxRoot, 3L, part(3))
+    val segs = SearchQueries.idxSegments(idxRoot)
+    assert(segs == Seq("seg-c0", "seg-2", "seg-3"),
+      s"a segment went unlisted: $segs")
+    // served view ≡ the single-shot index over the identical corpus
+    val batchRoot = new java.io.File("/tmp/graft_midcompact_batch")
+    engine.stream.VersionedTable.destroy(batchRoot)
+    SearchQueries.commitIndexSegment(spark, batchRoot, 0L, docs)
+    val (p1, d1, g1) = SearchQueries.readSegIndex(spark, idxRoot)
+    val (p2, d2, g2) = SearchQueries.readSegIndex(spark, batchRoot)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(p1) == rows(p2), "postings diverged")
+    assert(rows(d1) == rows(d2), "merged dfs diverged")
+    assert(rows(g1) == rows(g2), "global stats diverged")
+    engine.stream.VersionedTable.destroy(idxRoot)
+    engine.stream.VersionedTable.destroy(batchRoot)
+  }
+
   test("maintenance_index_compact: the folded index serves the batch " +
       "ranking, one segment survives, and a re-fold is a no-op") {
     val rows = SearchQueries.queries("maintenance_index_compact")
