@@ -2061,14 +2061,19 @@ object CurateQueries {
     * speed with zero exchanges, the cheapest possible corpus pass. */
   private val qualityClassifier = Q(
     (s, d) => {
-      val tok = tokens(col("text"))
+      // The bigram lambda references the MATERIALIZED token column (an
+      // attribute, O(1) per element_at) — an inline tokens(text) would
+      // re-run split per element (O(tokens²)/doc): per-element lambda
+      // evaluation re-executes embedded subtrees on the Project path too,
+      // not just under GenerateExec (the r13 lesson, generalized in r17).
       // n>=2 guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0],
       // so a one-token doc must short-circuit to no features
-      val bigrams = when(size(tok) >= 2,
-        transform(sequence(lit(1), size(tok) - 1), i =>
-          concat_ws("_", element_at(tok, i), element_at(tok, i + 1))))
+      val bigrams = when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws("_", element_at(col("w"), i), element_at(col("w"), i + 1))))
         .otherwise(array().cast("array<string>"))
       docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
         .select(col("doc_id"), bigrams.as("bg"))
         .select(col("doc_id"), size(col("bg")).as("n_feats"),
           aggregate(col("bg"), lit(0L),

@@ -43,9 +43,16 @@ object LlmQueries {
     * per-row work downstream (k md5 min-hashes per shingle) is orders of
     * magnitude heavier than the one-column shuffle that spreads it. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(col("doc_id")).select(
-      col("doc_id"),
-      shingles3(tokens(col("text"))).as("s"))
+    // tokens materialized in their own Project BEFORE shingles3's lambda
+    // references them: per-element lambda evaluation re-executes any
+    // expression tree embedded in the body (CSE skips lambda-containing
+    // trees — the Project path pays this too, not just GenerateExec), so
+    // an inline split costs O(tokens²)/doc. CollapseProject keeps the two
+    // Projects apart because `w` is consumed more than once and split is
+    // non-cheap.
+    docs(s, d).repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles3(col("w")).as("s"))
 
   /** Explode a COMPUTED array without Catalyst's inferred `size(arr) > 0`
     * pushdown filter re-inlining the array-building expression tree
@@ -2172,18 +2179,20 @@ object LlmQueries {
     * lesson). All ratios floor-grid rounded (.00005-boundary rule). */
   private val textRepetition = Q(
     (s, d) => {
-      val w = tokens(col("text"))
-      val grams2 = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      // grams2 references the MATERIALIZED token column `w` (attribute,
+      // O(1) per element_at) — never the inline split, whose subtree
+      // would re-evaluate per lambda element (O(tokens²)/doc).
+      val grams2 = when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
         .otherwise(array().cast("array<string>"))
-      val base = docs(s, d).select(col("doc_id"), w.as("w"))
+      val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
       val s1 = explodeNonNull(base, col("w"), "t", col("doc_id"))
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("m1"), sum(col("c")).as("t1"))
       val s2 = explodeNonNull(
-          docs(s, d).select(col("doc_id"), grams2.as("g2")),
+          base.select(col("doc_id"), grams2.as("g2")),
           col("g2"), "g", col("doc_id"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -2255,10 +2264,13 @@ object LlmQueries {
     * sets without pairwise comparison. */
   private val textFingerprint = Q(
     (s, d) => shingled(s, d).select(
-      col("doc_id"),
-      size(col("s")).as("n_shingles"),
-      fingerprint(col("s")).as("fp"),
-      substring(fingerprint(col("s")), 1, 8).as("fp8"))
+        col("doc_id"),
+        size(col("s")).as("n_shingles"),
+        // fingerprint folded ONCE; fp8 substrings the materialized column
+        // instead of re-running the md5-min fold a second time
+        fingerprint(col("s")).as("fp"))
+      .select(col("doc_id"), col("n_shingles"), col("fp"),
+        substring(col("fp"), 1, 8).as("fp8"))
       .orderBy("doc_id"),
     Some(shingleSql + """
       SELECT doc_id, len(s) AS n_shingles,

@@ -481,14 +481,28 @@ object MultimodalQueries {
               cast(0.0 as double), (a, x) -> a + cast(x as double)))""")
           .as("fv"))
       val n1 = e.agg(count(lit(1)).as("nv"))
+      // The 16-bin high-nibble histogram with ZERO higher-order
+      // functions. The r16 shape (nibble array rebuilt inside the
+      // per-bin lambda) cost O(16·nb²) interpreted char scans per doc —
+      // 156.5 s = 34% of the whole bench — and materializing the array
+      // in its own Project does NOT fix it: CollapseProject re-inlines
+      // any non-cheap expression consumed exactly once, and a column
+      // referenced only inside a lambda body counts as consumed once,
+      // so the split lands back in the lambda and re-evaluates per
+      // element. Instead: one regexp keeps the odd-position hex chars
+      // (byte i's high nibble is hex char 2i+1), then each bin count is
+      // the codegen'd length-difference after `translate`-deleting that
+      // digit — O(16·nb) whole-stage-codegen string ops, no lambda, no
+      // CodegenFallback. `hi` is referenced 32× below, which also keeps
+      // its Project from collapsing into the counts.
+      val hexDigits = "0123456789ABCDEF"
       val m = t(s, d, "documents").select(col("doc_id"),
-          hex(col("text").cast("binary")).as("hx"),
-          length(col("text").cast("binary")).as("nb"))
-        .select(col("doc_id"), expr("""transform(sequence(0, 15), k ->
-            cast(size(filter(
-              transform(sequence(0, nb - 1), i ->
-                cast(conv(substring(hx, 2 * i + 1, 1), 16, 10) as int)),
-              x -> x = k)) as double))""").as("cv"))
+          regexp_replace(hex(col("text").cast("binary")), "(.).", "$1")
+            .as("hi"))
+        .select(col("doc_id"), array((0 until 16).map(k =>
+            (length(col("hi")) - length(translate(col("hi"),
+              hexDigits.substring(k, k + 1), ""))).cast("double")): _*)
+          .as("cv"))
         .crossJoin(broadcast(n1))
       def cos(a: String, b: String): org.apache.spark.sql.Column =
         expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
@@ -501,10 +515,14 @@ object MultimodalQueries {
         .withColumnRenamed("fv", "fm").drop("vec_id")
         .join(e.withColumnRenamed("fv", "fc"),
           pmod(col("doc_id") + 1, col("nv")) === col("vec_id"))
+        // Cosines materialized as columns so margin subtracts two
+        // already-computed scalars instead of re-running four folds.
+        .select(col("doc_id"), cos("cv", "fm").as("a"),
+          cos("cv", "fc").as("c"))
         .select(col("doc_id"),
-          r4(cos("cv", "fm")).as("align_cos"),
-          r4(cos("cv", "fc")).as("ctrl_cos"),
-          r4(cos("cv", "fm") - cos("cv", "fc")).as("margin"))
+          r4(col("a")).as("align_cos"),
+          r4(col("c")).as("ctrl_cos"),
+          r4(col("a") - col("c")).as("margin"))
         .orderBy("doc_id")
     },
     Some("""WITH an AS (SELECT count(*) AS nv FROM embeddings),
