@@ -120,9 +120,21 @@ object Core {
     * (the r14 ADVICE conf/oracle divergence — `spark.graft.knng.k` /
     * `spark.graft.semdedup.k` vs a hand-inlined `LIMIT 16`). Consumers
     * must be `def`s so the string is rebuilt after conf changes; with
-    * no session up yet, the engine default (16) applies. */
+    * no session up yet, the engine default (16) applies.
+    *
+    * Harnesses PIN their session via [[pinOracleSession]] right after
+    * building it: the engine side (cellAssign) reads the conf from the
+    * SparkSession explicitly passed to the query fn, so resolving the
+    * oracle's k through a thread-local lookup could interpolate a
+    * DIFFERENT session's k in a multi-session or multi-threaded driver
+    * (r16 ADVICE). The active/default-session lookup remains only as
+    * the no-pin fallback. */
+  @volatile private var oracleSession: Option[SparkSession] = None
+  def pinOracleSession(s: SparkSession): Unit = oracleSession = Some(s)
   def oracleK(key: String): Int =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    oracleSession
+      .orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
       .map(_.conf.get(key, "16")).getOrElse("16").toInt
 
   /** The executable driver-collect contract (r15 verdict item 8): every

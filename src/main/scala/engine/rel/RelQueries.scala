@@ -609,15 +609,22 @@ object RelQueries {
         WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
       ORDER BY c_custkey"""))
 
-  /** B14: left anti join — unknown-sentence drop (:112) as non-existence. */
+  /** B14: left anti join — unknown-sentence drop (:112) as non-existence.
+    * Customers with no FINISHED ('F'-status) order: every customer has
+    * SOME order in this testdata, so the unfiltered anti-join returned 0
+    * rows and its oracle green was "both engines found nothing" — a
+    * predicate-inverted bug would have passed too (r16 verdict item 7).
+    * The status filter makes the result non-empty (71 rows at sf0.01),
+    * so the hash pins actual anti-join semantics. */
   private val joinAnti = Q(
     (s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey"),
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
   /** B15: theta/range join — the DOP quality-band classification (:44-50)
@@ -642,25 +649,34 @@ object RelQueries {
         ON l_quantity >= lo AND l_quantity < hi
       GROUP BY band ORDER BY band"""))
 
-  /** B17: interval/overlap join — event ts within a per-customer order
-    * "validity window" [o_orderdate, o_orderdate + 7 days). Equi-key on the
-    * customer plus range predicate keeps it a hash join, not a cross join. */
+  /** B17: interval/overlap join — purchases inside a click's 30-minute
+    * attribution window, equi-keyed on the user so the range predicate
+    * rides a hash join (never a cross join). Self-join on events, NOT
+    * orders×events: the testdata date ranges are disjoint (orders
+    * 1995-2001, events 2024), so the r16 cross-table window join
+    * returned 0 rows and its green was "both engines found nothing"
+    * (r16 verdict item 7). This window yields 23 attributed clicks at
+    * sf0.01 — the hash pins real interval-containment semantics. */
   private val joinInterval = Q(
     (s, d) => {
-      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
-      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate"))
-      ev.join(o, col("user_id") === col("o_custkey") &&
-          col("ts") >= col("o_orderdate") &&
-          col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_events"))
-        .orderBy("o_orderkey")
+      val ev = t(s, d, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      c.join(p, col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("click_id")
     },
-    Some("""SELECT o_orderkey, count(*) AS n_events
-      FROM events JOIN orders ON user_id = o_custkey
-        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
-      GROUP BY o_orderkey ORDER BY o_orderkey"""))
+    Some("""SELECT c.event_id AS click_id, count(*) AS n_purchases
+      FROM events c JOIN events p ON p.user_id = c.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      GROUP BY c.event_id ORDER BY click_id"""))
 
   // ---------------------------------------------- B4f observe_metrics
   /** B4f: PIPELINE OBSERVABILITY via `Dataset.observe` — the

@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     // The only unpartitioned windows in the engine run over bounded
     // model-artifact frames — enumerated and enforced by PlanSpec's
     // allowlist test — so WindowExec's per-plan "No Partition Defined"
@@ -165,6 +166,23 @@ object Bench {
     val failedIds = results.collect { case (k, v, _, _, _, _) if v < 0 => k }
     val failedList = failedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // per-query band vs the PREVIOUS round's committed bench_out.json,
+    // read before this run overwrites it (r16 verdict item 4: corpus-
+    // growth ratios can't see per-row constant blowups; the bench band
+    // can — see DriftCheck). Report-only; rides the artifact.
+    val drift = {
+      val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out)
+      val flags =
+        try DriftCheck.check(DriftCheck.readQueries(prevPath),
+          results.map { case (k, v, _, _, _, _) => k -> v }.toMap)
+        catch { case _: Throwable => Nil }
+      flags.foreach { case (q, p, c, r) =>
+        System.err.println(f"[bench] DRIFT $q: $p%.2f -> $c%.2f s ($r%.1fx)")
+      }
+      flags.map { case (q, p, c, r) =>
+        f""""$q":{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.1f}"""
+      }.mkString("{", ",", "}")
+    }
     // the FULL record (with the per-query map) goes to the file; stdout
     // gets a SHORT line (< 1 KB at any query count). The driver's stdout
     // capture truncated the r10/r11 tails mid-JSON because the per-query
@@ -172,7 +190,7 @@ object Bench {
     // exists ONLY on stdout must fit the window, so the map lives in
     // bench_out.json (committed per round) and stdout just points there.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"attribution":$attribution,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries":$qs,"drift":$drift,"attribution":$attribution,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","ran":${results.size - failedIds.size},"failed":${failedIds.size},"failed_ids":$failedList,"queries_in":"$out","sf":"$sfDir"}"""
     println(line)

@@ -13,6 +13,7 @@ object JobTimer {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
+    engine.Core.pinOracleSession(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)

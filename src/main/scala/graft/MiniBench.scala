@@ -16,6 +16,7 @@ object MiniBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     // builder-iteration conf injection: SPARK_GRAFT_CONF="k=v;k2=v2"
     // applies runtime confs before the timed loop (e.g. the semdedup.k
     // or *.mft knobs) — the full Bench never reads this

@@ -8,6 +8,7 @@ object PlanDump {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
+    engine.Core.pinOracleSession(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(1))(spark, args(0))
     df.explain("formatted")

@@ -17,6 +17,7 @@ object QuickVerify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     // oracle comparisons run at the pinned 16-cell operating points —
     // never inherit ScaleProbe's √N confs (the Verify discipline)
     Seq("spark.graft.knng.k", "spark.graft.semdedup.k")

@@ -41,6 +41,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale$scale"
     // scaled documents: replicas get distinct ids and a salt token so
@@ -159,20 +160,29 @@ object ScaleProbe {
     // nDCG@5 ride the 10× artifact the way knng_recall does, so screen
     // quality is trend-gated against corpus growth, not point-measured
     // at sf0.01
-    val qualityFields = if (scale != 10) "" else {
-      val de = SparkEntry.queries("dedup_eval")(spark, out)
-        .select(col("screen_recall"), col("screen_precision"))
-        .collect().head
-      val nd = SparkEntry.queries("rank_eval")(spark, out)
-        .filter(col("ranker") === "hybrid_rrf")
-        .agg(avg(col("ndcg5"))).collect().head.getDouble(0)
-      engine.ScratchCache.drain(); System.gc()
-      println(f"SCALE dedup_recall=${de.getDouble(0)}%.4f " +
-        f"dedup_precision=${de.getDouble(1)}%.4f rank_ndcg5=$nd%.4f")
-      f""" "dedup_recall": ${de.getDouble(0)}%.4f,""" +
-        f""" "dedup_precision": ${de.getDouble(1)}%.4f,""" +
-        f""" "rank_ndcg5": $nd%.4f,"""
-    }
+    // opsOverride gate (r16 ADVICE): debug/override runs skip the
+    // artifact write, so paying two pair-table queries for discarded
+    // output is pure waste — only the full 10× artifact run measures.
+    val qualityFields =
+      if (scale != 10 || opsOverride.nonEmpty) "" else {
+        val de = SparkEntry.queries("dedup_eval")(spark, out)
+          .select(col("screen_recall"), col("screen_precision"))
+          .collect().head
+        val ndRow = SparkEntry.queries("rank_eval")(spark, out)
+          .filter(col("ranker") === "hybrid_rrf")
+          .agg(avg(col("ndcg5"))).collect().head
+        // avg over an empty/NULL slice is NULL — emit no fields rather
+        // than throw mid-probe (r16 ADVICE)
+        if (ndRow.isNullAt(0)) "" else {
+          val nd = ndRow.getDouble(0)
+          engine.ScratchCache.drain(); System.gc()
+          println(f"SCALE dedup_recall=${de.getDouble(0)}%.4f " +
+            f"dedup_precision=${de.getDouble(1)}%.4f rank_ndcg5=$nd%.4f")
+          f""" "dedup_recall": ${de.getDouble(0)}%.4f,""" +
+            f""" "dedup_precision": ${de.getDouble(1)}%.4f,""" +
+            f""" "rank_ndcg5": $nd%.4f,"""
+        }
+      }
     val tenRows = readPrevRows(artifactPath(10))
     val flagged = if (scale == 10) Nil
       else results.flatMap { case (q, sec, c) =>
@@ -189,10 +199,14 @@ object ScaleProbe {
       val ratio = if (scale == 10) ""
         else tenProbe.get(q).map(t10 =>
           f""", "vs10x": ${sec / t10}%.2f""").getOrElse("")
-      // time-per-output-row (µs), and its ratio vs the committed 30×
-      // artifact: ≤ ~1 = the time tracks the result set (output-bound,
-      // the defensible trend); >> 1 = a superlinear term beyond output
-      val perRow = if (scale != 100 || c == 0) ""
+      // time-per-output-row (µs) for EVERY op (r16 verdict item 4: a
+      // per-row constant blowup — quadratic in doc LENGTH, not corpus
+      // size — is invisible to every corpus-growth ratio on replicated
+      // same-length docs; the absolute per-row cost is the number that
+      // moves). The vs-ratios against the committed 10×/30× artifacts
+      // still ride only the 100× output-bound run, where they are the
+      // defensible trend claim.
+      val perRow = if (c == 0) ""
         else {
           val us = sec * 1e6 / c
           def vs(tag: String, prev: Map[String, Double],
@@ -200,8 +214,9 @@ object ScaleProbe {
             (for { tp <- prev.get(q); rp <- prevRows.get(q) if rp > 0 }
               yield us / (tp * 1e6 / rp))
               .map(v => f""", "us_per_row_vs$tag": $v%.2f""").getOrElse("")
-          f""", "us_per_row": $us%.2f${vs("10x", tenProbe, tenRows)}${
-            vs("30x", thirty, thirtyRows)}"""
+          f""", "us_per_row": $us%.2f""" +
+            (if (scale != 100) "" else s"${vs("10x", tenProbe, tenRows)}${
+              vs("30x", thirty, thirtyRows)}")
         }
       f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio$perRow}"""
     }.mkString(

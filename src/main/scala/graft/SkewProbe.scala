@@ -66,6 +66,7 @@ object SkewProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     val base = "/root/testdata/sf0.1"
     val uni = "/tmp/graft_skew_uni"
     val hot = "/tmp/graft_skew_hot"
@@ -133,6 +134,10 @@ object SkewProbe {
     }
     def measure(q: String, dir: String,
         confs: Map[String, String] = Map.empty): Res = {
+      // restore PRIOR values on exit, don't blanket-unset: a
+      // pre-existing session-level setting of an overridden key must
+      // survive the measured run (r16 ADVICE)
+      val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         // UNMEASURED warm pass first: codebook/model builds are per-dir
@@ -163,7 +168,10 @@ object SkewProbe {
           f"balance ${r.balance}%.2f ($c rows)")
         engine.ScratchCache.drain(); System.gc()
         r
-      } finally confs.keys.foreach(spark.conf.unset)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
     // √N cell recipe at 10× (the ScaleProbe discipline); cap at 256 so

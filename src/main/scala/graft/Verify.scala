@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    engine.Core.pinOracleSession(spark)
     // Oracle runs happen at the PINNED operating points: the scale knobs
     // ScaleProbe sets (√N cell counts) parameterize the ENGINE, but the
     // DuckDB oracles hard-pin the 16-cell replay — a conf inherited from
