@@ -579,6 +579,29 @@ object CurateQueries {
         BpeMerges, "bpe merge table")
     })
 
+  /** The corpus word-frequency table and the trained merges APPLIED to
+    * the vocabulary — the two frames every encode-side consumer
+    * (tokenize_bpe_apply / tokenize_decode / tokenize_report) starts
+    * from. Cached ACROSS queries keyed by the corpus fingerprint, like
+    * [[trainedMerges]]: the applied-symbol table is part of the
+    * tokenizer model artifact (word-type scale, one row per (word,
+    * symbol)), and rebuilding it per query replayed the 16
+    * checkpointed merge rounds three times per bench sweep — pure
+    * orchestration overhead at model scale (the r16 drift watch's
+    * tokenize_bpe_apply/decode seconds were ~all this). */
+  private[engine] def bpeEncTables(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val wf = engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey("bpewf", d, "documents"))(docs(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val fin = engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey("bpefin", d, "documents"))(
+      bpeApply(wf.select(col("word")),
+        trainedMerges(s, d).map(m => (m._2, m._3))))
+    (wf, fin)
+  }
+
   private val tokenizeBpe = Q(
     (s, d) => {
       import s.implicits._
@@ -688,12 +711,7 @@ object CurateQueries {
     */
   private val tokenizeBpeApply = Q(
     (s, d) => {
-      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
-      val wf = engine.ScratchCache.persist(docs(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
-      val fin = engine.ScratchCache.persist(
-        bpeApply(wf.select(col("word")), merges))
+      val (wf, fin) = bpeEncTables(s, d)
       val vocab = fin.join(wf, "word")
         .groupBy(col("sym")).agg(sum(col("freq")).as("cf"))
         // unpartitioned window over the SYMBOL inventory — bounded
@@ -750,12 +768,7 @@ object CurateQueries {
     * the same per-doc sorted collect. */
   private val tokenizeDecode = Q(
     (s, d) => {
-      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
-      val wf = engine.ScratchCache.persist(docs(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
-      val fin = engine.ScratchCache.persist(
-        bpeApply(wf.select(col("word")), merges))
+      val (wf, fin) = bpeEncTables(s, d)
       val vocab = fin.join(wf, "word")
         .groupBy(col("sym")).agg(sum(col("freq")).as("cf"))
         .select(col("sym"), row_number().over(
@@ -822,12 +835,7 @@ object CurateQueries {
     * corpus-scale data. */
   private val tokenizeReport = Q(
     (s, d) => {
-      val merges = trainedMerges(s, d).map(m => (m._2, m._3))
-      val wf = engine.ScratchCache.persist(docs(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
-      val fin = engine.ScratchCache.persist(
-        bpeApply(wf.select(col("word")), merges))
+      val (wf, fin) = bpeEncTables(s, d)
       // symbols per word TYPE — the encoding-cost table, broadcastable
       // by construction (one row per vocabulary word)
       val perWord = fin.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
@@ -1980,21 +1988,29 @@ object CurateQueries {
     * component operators themselves. */
   private val pipelinePretrain = Q(
     (s, d) => {
-      val urlKept = urlVerdicts(s, d).filter(col("kept"))
-        .select(col("doc_id"))
+      // Every funnel level below feeds TWO consumers (its per-lang stage
+      // count and the next level), and Spark does not dedupe common
+      // subplans across join branches — unpersisted, the 6-branch report
+      // re-executed the url-verdict and decontaminate chains per branch
+      // (91 stages / 1641 tasks for a 5-row report, 10.3 s at sf0.1).
+      // Persisting each shared level computes each chain exactly once;
+      // the cached frames are id(+lang) lists, not corpus text.
+      val urlKept = engine.ScratchCache.persist(
+        urlVerdicts(s, d).filter(col("kept")).select(col("doc_id")))
       val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
-      val train = base
+      val train = engine.ScratchCache.persist(base
         .join(urlKept, Seq("doc_id"), "leftsemi")
-        .filter(!LlmQueries.evalBucket(col("doc_id")))
+        .filter(!LlmQueries.evalBucket(col("doc_id"))))
       val wDg = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-      val surv = train
+      val surv = engine.ScratchCache.persist(train
         .withColumn("dg", md5(lower(trim(col("text")))))
         .withColumn("rn", row_number().over(wDg))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang")))
       val contam = LlmQueries.queries("decontaminate").fn(s, d)
         .select(col("doc_id")).distinct()
-      val clean = surv.join(contam, Seq("doc_id"), "left_anti")
+      val clean = engine.ScratchCache.persist(
+        surv.join(contam, Seq("doc_id"), "left_anti"))
       val emitted = LlmQueries.temperatureEmit(clean)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_emitted"))
       val stage = (df: DataFrame, nm: String) =>

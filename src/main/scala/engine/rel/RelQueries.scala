@@ -940,13 +940,22 @@ object RelQueries {
   private val aggPercentile = Q(
     (s, d) => {
       val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      // ONE percentile(col, array(...)) call, not three scalar calls:
+      // each exact-percentile aggregate carries the full per-group
+      // value-count map as its buffer and sorts it at evaluation, so
+      // three scalar calls tripled both the state and the sort (r16
+      // drift watch: 4.7 s at sf0.1; one array-probability buffer does
+      // the identical math once)
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          (percentile(cents, lit(0.25)) / 100.0).as("p25"),
-          (percentile(cents, lit(0.5)) / 100.0).as("p50"),
-          (percentile(cents, lit(0.75)) / 100.0).as("p75"))
+          percentile(cents, array(lit(0.25), lit(0.5), lit(0.75)))
+            .as("ps"))
+        .select(col("l_returnflag"), col("n"),
+          (col("ps").getItem(0) / 100.0).as("p25"),
+          (col("ps").getItem(1) / 100.0).as("p50"),
+          (col("ps").getItem(2) / 100.0).as("p75"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n,
@@ -987,11 +996,16 @@ object RelQueries {
       def f4(x: Column): Column = floor(x * lit(1e4) + lit(0.5)) / lit(1e4)
       val cents = round(col("l_extendedprice") * 100, 0).cast("long")
       val li = t(s, d, "lineitem").select(cents.as("x"))
+      // one array-probability percentile buffer, not three (the
+      // agg_percentile buffer/sort lesson)
       val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
-        count(lit(1)).as("n"),
-        (percentile(col("x"), lit(0.5)) / 100.0).as("e50"),
-        (percentile(col("x"), lit(0.9)) / 100.0).as("e90"),
-        (percentile(col("x"), lit(0.99)) / 100.0).as("e99"))
+          count(lit(1)).as("n"),
+          percentile(col("x"), array(lit(0.5), lit(0.9), lit(0.99)))
+            .as("es"))
+        .select(col("mn"), col("mx"), col("n"),
+          (col("es").getItem(0) / 100.0).as("e50"),
+          (col("es").getItem(1) / 100.0).as("e90"),
+          (col("es").getItem(2) / 100.0).as("e99"))
       val binned = li.crossJoin(broadcast(mm))
         .select(expr(s"CAST(((x - mn) * $SketchBins) DIV (mx - mn + 1)" +
           " AS INT)").as("bin"))
