@@ -632,4 +632,43 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .agg(org.apache.spark.sql.functions.countDistinct("s")).head.getLong(0)
     assert(shards <= 4096, s"shard-offset frame is corpus-scale: $shards")
   }
+
+  test("no tokenizing split is re-inlined into a lambda body " +
+      "(CollapseProject regression, r17)") {
+    // Per-element lambda evaluation re-executes any expression subtree
+    // embedded in the lambda BODY (O(tokens²)/doc for an inline split),
+    // and CollapseProject re-inlines a non-cheap expression consumed
+    // exactly once — so the materializing Project only survives while
+    // the consumer references the token column more than once. If a
+    // refactor drops to one reference, the split lands back inside the
+    // lambdafunction and this pin fires before the bench does.
+    for (q <- Seq("quality_classifier", "text_repetition",
+        "text_fingerprint", "dedup_ngram_jaccard")) {
+      val bad = plan(q).linesIterator.filter(l =>
+        l.contains("lambdafunction") && l.contains("split(text"))
+      assert(bad.isEmpty,
+        s"$q: split(text) re-inlined into a lambda body:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
+  test("multimodal_align's histogram is the zero-HOF translate form") {
+    // The 16-bin nibble histogram must stay 16 codegen'd
+    // length(translate(...)) diffs over the regexp'd nibble string —
+    // the HOF form (nibble array rebuilt per bin inside a lambda) cost
+    // O(16·nb²) interpreted char scans per doc (156.5 s at sf0.1, r16).
+    val p = plan("multimodal_align")
+    assert(p.contains("translate("),
+      "histogram lost its translate() form — if a lambda-based " +
+        "histogram returned, re-read SURVEY §4.2 lesson 10")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("lambdafunction") && l.contains("hex(")),
+      "hex() re-inlined into a lambda body")
+  }
+
+  test("join_anti and join_interval pin non-empty results (r16 " +
+      "verdict item 7: a 0-row green is 'both engines found nothing')") {
+    assert(graft.SparkEntry.queries("join_anti")(spark, sf).count() > 0)
+    assert(graft.SparkEntry.queries("join_interval")(spark, sf).count() > 0)
+  }
 }
