@@ -678,6 +678,48 @@ object RelQueries {
         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
       GROUP BY c.event_id ORDER BY click_id"""))
 
+  /** B17d: RANGE-BUCKETED overlap join — the interval join with NO equi
+    * key, the shape that breaks naive planners at 100 TB: every purchase
+    * (any user) inside any click's 30-minute window. Without an equi
+    * key, Catalyst's only native plan is BroadcastNestedLoopJoin —
+    * O(|C|·|P|) comparisons and a broadcast of a corpus-scale side. The
+    * scale-safe plan is RANGE BUCKETING (the lakehouse range-join
+    * optimization): time is gridded at the window width, each interval
+    * expands to the ≤ 2 buckets it covers (end-exclusive arithmetic — a
+    * window starting on a grid line covers exactly 1), each point maps
+    * to exactly ONE bucket, and the join becomes bucket-equi + exact
+    * residual range filter. Candidate pairs are bounded by per-bucket
+    * time-locality (intervals covering the bucket × points inside it),
+    * never |C|·|P|; both sides shuffle once on the bucket key; a point's
+    * single bucket means NO post-join dedup. PlanSpec pins the absence
+    * of any nested-loop/cartesian operator. All comparisons ride exact
+    * integer microseconds (unix_micros ≙ epoch_us — the join_asof
+    * tolerance discipline). */
+  private val joinRangeBucketed = Q(
+    (s, d) => {
+      val W = 1800L * 1000000L // 30-minute window = bucket width, µs
+      val ev = t(s, d, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cus"))
+        .select(col("click_id"), col("cus"),
+          explode(sequence(expr(s"cus div ${W}L"),
+            expr(s"(cus + ${W - 1}L) div ${W}L"))).as("bk"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("pus"))
+        .select(col("pus"), expr(s"pus div ${W}L").as("bk"))
+      c.join(p, Seq("bk"))
+        .filter(col("pus") >= col("cus") && col("pus") < col("cus") + W)
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, count(*) AS n_purchases
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+      GROUP BY 1 ORDER BY click_id"""))
+
   // ---------------------------------------------- B4f observe_metrics
   /** B4f: PIPELINE OBSERVABILITY via `Dataset.observe` — the
     * accumulator-backed metrics surface a production job attaches to
@@ -2024,6 +2066,7 @@ object RelQueries {
     "join_anti" -> joinAnti,
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
+    "join_range_bucketed" -> joinRangeBucketed,
     "attribution" -> attribution,
     "retention_cohorts" -> retentionCohorts,
     "observe_metrics" -> observeMetrics,

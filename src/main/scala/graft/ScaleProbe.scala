@@ -315,7 +315,10 @@ object ScaleProbe {
     "ts_gapfill", "join_asof_tolerance", "join_asof_nearest",
     "join_partition_pruned", "sink_dynamic_overwrite", "observe_metrics",
     "maintenance_stats_analyze", "stream_cdc_apply", "stream_scd2_apply",
-    "stream_asof_enrich", "merge_into")
+    "stream_asof_enrich", "merge_into",
+    // r17: the no-equi-key range join — THE shape whose candidate count
+    // must be probed at scale (bucket-locality bound, never |C|·|P|)
+    "join_range_bucketed")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

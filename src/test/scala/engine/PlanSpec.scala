@@ -671,4 +671,18 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(graft.SparkEntry.queries("join_anti")(spark, sf).count() > 0)
     assert(graft.SparkEntry.queries("join_interval")(spark, sf).count() > 0)
   }
+
+  test("join_range_bucketed: no nested-loop/cartesian operator, and " +
+      "non-empty") {
+    // the whole point of the bucket grid: an equi-join carries the
+    // no-equi-key range predicate — a BroadcastNestedLoopJoin here means
+    // the bucket key fell out of the join condition
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "range-bucketed join degenerated to a nested loop:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(graft.SparkEntry.queries("join_range_bucketed")(spark, sf)
+      .count() > 0)
+  }
 }
