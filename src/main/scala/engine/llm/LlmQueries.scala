@@ -2325,6 +2325,55 @@ object LlmQueries {
     * the per-doc sum: double sums are order-dependent in the last ulp
     * under parallel aggregation, integer sums are not (the agg_stats
     * discipline applied to logs). */
+  /** B47k: CHARACTER-ENTROPY quality signal — the information-theoretic
+    * gate the Gopher/CCNet heuristic family runs beside repetition and
+    * stopword ratios: Shannon entropy of the per-document character
+    * distribution. Encoding junk and single-char floods score LOW
+    * (degenerate distribution), natural text sits in a mid band, random
+    * bytes score HIGH — the cheap complement to the statistical-LM
+    * surprisal scores ([[textUnigramLogprob]]) that needs no corpus
+    * model at all (pure per-document math, embarrassingly parallel at
+    * any scale).
+    *
+    * Shape: one char explode → per-(doc, char) counts → per-doc fold —
+    * two partial-agg shuffles keyed by doc_id, no corpus-wide state.
+    * Float discipline: H = Σ (c/n)·(−ln(c/n)) accumulates as exact
+    * integer products of counts × micronat-grid surprisals (the
+    * text_unigram_logprob quantization), divided once at the end; r4 on
+    * the reported nats. */
+  private val textEntropy = Q(
+    (s, d) => {
+      val ch = explodeNonNull(
+        docs(s, d).select(col("doc_id"), split(col("text"), "").as("cs")),
+        col("cs"), "ch", col("doc_id"))
+      val cc = ch.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val n = sum(col("c")).cast("double")
+      val micronats = round(-log(col("c").cast("double") /
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))).cast("double"))
+        * 1e6, 0).cast("long")
+      cc.select(col("doc_id"), col("c"), (col("c") * micronats).as("cm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_uniq_chars"),
+          sum(col("c")).as("n_chars"),
+          r4(sum(col("cm")) / n / lit(1e6)).as("entropy_nats"))
+        .select(col("doc_id"), col("n_chars"), col("n_uniq_chars"),
+          col("entropy_nats"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ech AS (SELECT doc_id, unnest(string_split(text, '')) ch
+               FROM documents),
+      ecc AS (SELECT doc_id, ch, count(*) AS c FROM ech GROUP BY 1, 2),
+      ecm AS (SELECT doc_id, c,
+                c * round(-ln(c::DOUBLE /
+                  sum(c) OVER (PARTITION BY doc_id)::DOUBLE) * 1e6, 0)
+                  ::BIGINT AS cm
+              FROM ecc)
+      SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        count(*) AS n_uniq_chars,
+        round(sum(cm)::DOUBLE / sum(c)::DOUBLE / 1e6, 4) AS entropy_nats
+      FROM ecm GROUP BY doc_id ORDER BY doc_id"""))
+
   private val textUnigramLogprob = Q(
     (s, d) => {
       val th = engine.ScratchCache.persist(explodeNonNull(
@@ -2940,6 +2989,7 @@ object LlmQueries {
     "sample_anneal" -> sampleAnneal,
     "sample_temperature" -> sampleTemperature,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_entropy" -> textEntropy,
     "text_bigram_logprob" -> textBigramLogprob,
     "multimodal_cols" -> multimodalCols,
     "pipeline_curate" -> pipelineCurate) ++

@@ -317,8 +317,10 @@ object ScaleProbe {
     "maintenance_stats_analyze", "stream_cdc_apply", "stream_scd2_apply",
     "stream_asof_enrich", "merge_into",
     // r17: the no-equi-key range join — THE shape whose candidate count
-    // must be probed at scale (bucket-locality bound, never |C|·|P|)
-    "join_range_bucketed")
+    // must be probed at scale (bucket-locality bound, never |C|·|P|) —
+    // and the char-entropy quality signal (a full char explode is the
+    // widest fan-out in the text family: ~300× row expansion)
+    "join_range_bucketed", "text_entropy")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
