@@ -694,7 +694,20 @@ object RelQueries {
     * single bucket means NO post-join dedup. PlanSpec pins the absence
     * of any nested-loop/cartesian operator. All comparisons ride exact
     * integer microseconds (unix_micros ≙ epoch_us — the join_asof
-    * tolerance discipline). */
+    * tolerance discipline).
+    *
+    * Skew regime: per-bucket candidate count is intervals-covering ×
+    * points-inside — with window = bucket width that is within ~2× of
+    * the true match count, so the work is OUTPUT-BOUND (the 10× probe
+    * measures ~5 µs/output-row). A pathologically hot time bucket (a
+    * flash-sale burst) concentrates one reducer exactly like a hot join
+    * key; the mitigation is the join_skew_salted recipe applied inside
+    * the bucket — sub-salt the point side and replicate the covering
+    * intervals across salts — which composes here because the residual
+    * filter is salt-invariant. Not wired by default: salting doubles
+    * the shuffle volume for a regime the events table doesn't exhibit;
+    * at a real deployment the AQE skew-join split handles moderate
+    * cases for free. */
   private val joinRangeBucketed = Q(
     (s, d) => {
       val W = 1800L * 1000000L // 30-minute window = bucket width, µs
