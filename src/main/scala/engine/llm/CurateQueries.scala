@@ -2400,6 +2400,91 @@ object CurateQueries {
     * duplicates, then one hash aggregate to the ~|sources × langs| report
     * frame. Integer sums throughout (exact under parallel aggregation);
     * the only doubles are final divisions of exact integers. */
+  /** B50w: deterministic TRAIN/VAL/TEST split — the 90/5/5 hash
+    * partition every pretraining corpus materializes before anything
+    * trains: membership is f(doc_id) alone (salted-md5 bucket, the
+    * evalBucket discipline with its own salt), so any stage — tonight's
+    * run or next year's — re-derives the same split with no stored
+    * assignment table and no leakage risk from a re-shuffle. The report
+    * is the split data card: per-split doc/token counts and exact-count
+    * shares. Pure per-row projection + a 3-group aggregate; nothing
+    * corpus-scale shuffles but the 3-key partial agg. */
+  private val sampleSplit = Q(
+    (s, d) => {
+      val b = pmod(conv(substring(md5(concat_ws("|", lit("spl"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(100))
+      val split = when(b < 90, "train").when(b < 95, "val")
+        .otherwise("test")
+      val base = docs(s, d).select(split.as("split"),
+        size(tokens(col("text"))).as("n_toks"))
+      val tot = base.agg(count(lit(1)).cast("double").as("n_all"))
+      base.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("n_docs"), col("n_tokens"),
+          Core.r4(col("n_docs") / col("n_all")).as("share"))
+        .orderBy("split")
+    },
+    Some("""WITH sb AS (SELECT
+                CASE WHEN ('0x' || substr(md5('spl|' || doc_id), 1, 8))
+                       ::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substr(md5('spl|' || doc_id), 1, 8))
+                       ::BIGINT % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                len(string_split(text, ' ')) AS n_toks
+              FROM documents),
+      st AS (SELECT count(*)::DOUBLE AS n_all FROM sb)
+      SELECT split, count(*) AS n_docs,
+        sum(n_toks)::BIGINT AS n_tokens,
+        round(count(*) / n_all, 4) AS share
+      FROM sb CROSS JOIN st GROUP BY split, n_all ORDER BY split"""))
+
+  /** B50x: DOC-LENGTH HISTOGRAM — the log2-bucketed token-length
+    * distribution on every corpus data card (and the input to
+    * pack_sequences capacity planning: which buckets blow the context
+    * window, what share packs densely). Bucket = floor(log2(n_toks))
+    * computed EXACTLY as `length(bin(x)) - 1` — pure integer/string
+    * ops, immune to the log2(2^k) = (k − ε) float trap that would put
+    * boundary docs in the wrong bucket on one engine. The cumulative
+    * share rides a window over the ≤ 64-row bucket inventory (a
+    * bounded model-artifact frame, the PlanSpec allowlist argument). */
+  private val corpusLengthHistogram = Q(
+    (s, d) => {
+      val base = docs(s, d)
+        .select(size(tokens(col("text"))).as("n_toks"))
+        .select(col("n_toks"),
+          (length(bin(col("n_toks"))) - 1).as("bucket"))
+      val tot = base.agg(count(lit(1)).cast("double").as("n_all"))
+      base.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min(col("n_toks")).as("min_toks"), max(col("n_toks")).as("max_toks"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr("shiftleft(1L, cast(bucket as int))").as("bucket_lo"),
+          col("n_docs"), col("n_tokens"), col("min_toks"), col("max_toks"),
+          Core.r4(col("n_docs") / col("n_all")).as("share"),
+          Core.r4(sum(col("n_docs")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, 0))
+            / col("n_all")).as("cum_share"))
+        .orderBy("bucket")
+    },
+    Some("""WITH hb AS (SELECT len(string_split(text, ' ')) AS n_toks
+              FROM documents),
+      hx AS (SELECT n_toks, length(bin(n_toks)) - 1 AS bucket FROM hb),
+      ht AS (SELECT count(*)::DOUBLE AS n_all FROM hx),
+      hg AS (SELECT bucket, count(*) AS n_docs,
+               sum(n_toks)::BIGINT AS n_tokens,
+               min(n_toks) AS min_toks, max(n_toks) AS max_toks
+             FROM hx GROUP BY bucket)
+      SELECT bucket, (1::BIGINT << bucket) AS bucket_lo, n_docs,
+        n_tokens, min_toks, max_toks,
+        round(n_docs / n_all, 4) AS share,
+        round(sum(n_docs) OVER (ORDER BY bucket
+          ROWS UNBOUNDED PRECEDING) / n_all, 4) AS cum_share
+      FROM hg CROSS JOIN ht ORDER BY bucket"""))
+
   private val corpusReport = Q(
     (s, d) => {
       val base = docs(s, d).select(
@@ -2492,6 +2577,8 @@ object CurateQueries {
     "quality_classifier_train" -> qualityClassifierTrain,
     "quality_classifier_eval" -> qualityClassifierEval,
     "corpus_report" -> corpusReport,
+    "sample_split" -> sampleSplit,
+    "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_drift" -> corpusDrift,
     "dedup_lines" -> dedupLines,
     "dedup_url" -> dedupUrl,

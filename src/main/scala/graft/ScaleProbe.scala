@@ -320,7 +320,8 @@ object ScaleProbe {
     // must be probed at scale (bucket-locality bound, never |C|·|P|) —
     // and the char-entropy quality signal (a full char explode is the
     // widest fan-out in the text family: ~300× row expansion)
-    "join_range_bucketed", "text_entropy")
+    "join_range_bucketed", "text_entropy", "sample_split",
+    "corpus_length_histogram")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -582,10 +582,10 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   test("unpartitioned-window allowlist: every Window.orderBy site runs " +
       "over a bounded model-artifact frame") {
-    // WindowExec's "No Partition Defined" warning is benign at all FIVE
+    // WindowExec's "No Partition Defined" warning is benign at all NINE
     // current sites (per-shard offset tables <= 256 rows, vocab/symbol
-    // ranks) — but only because each input frame is model-artifact
-    // scale. This pin enumerates the allowed sites by source scan so a
+    // ranks, <= 64-row sketch/bucket walks) — but only because each
+    // input frame is model-artifact scale. This pin enumerates the allowed sites by source scan so a
     // NEW unpartitioned window over a corpus-scale input fails the
     // build instead of hiding in the warning noise (r12 verdict item 7).
     import scala.jdk.CollectionConverters._
@@ -615,7 +615,10 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // IncrementalDedup's site is the same walk over the FOLDED bin
     // counts (quantile_sketch_incremental) — the identical <= 64-row
     // frame after the store fold.
-    assert(sites == Map("CurateQueries.scala" -> 4, "RelQueries.scala" -> 3,
+    // CurateQueries' 5th site (r17) is corpus_length_histogram's
+    // cumulative-share walk over the log2-bucket inventory — ≤ 64 rows
+    // by construction (bucket = bit length of the token count).
+    assert(sites == Map("CurateQueries.scala" -> 5, "RelQueries.scala" -> 3,
       "IncrementalDedup.scala" -> 1),
       s"unpartitioned-window sites drifted: $sites — if the new site's " +
         "window input is NOT a bounded model-artifact frame, partition it; " +
