@@ -265,7 +265,7 @@ object Core {
 /** Registry for intra-query persisted frames. A query builder can mark a
   * frame that several downstream joins share (`ScratchCache.persist`);
   * the harness (Verify/Bench) drains the registry after materializing
-  * each query so cached partitions never accumulate across a 60-query
+  * each query so cached partitions never accumulate across a 200+-query
   * session — persist lifetime is one query, not one SparkSession. */
 object ScratchCache {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

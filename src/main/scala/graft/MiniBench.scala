@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev harness: time individual queries by name (2 runs each, drained
   * and GC'd in between, after an agg_hash warm-up) without paying for
-  * the full 60-query [[Bench]] sweep.
+  * the full 200+-query [[Bench]] sweep.
   *
   * {{{ sbt "runMain graft.MiniBench /root/testdata/sf0.1 dedup_minhash" }}}
   */
