@@ -1994,16 +1994,21 @@ object CurateQueries {
       // re-executed the url-verdict and decontaminate chains per branch
       // (91 stages / 1641 tasks for a 5-row report, 10.3 s at sf0.1).
       // Persisting each shared level computes each chain exactly once;
-      // the cached frames are id(+lang) lists, not corpus text.
+      // the cached frames are id(+lang[+digest]) lists, not corpus
+      // text — the exact-dedup digest is computed BEFORE the persist so
+      // `train` never holds the text column in the block manager
+      // (r17 ADVICE: the old shape cached full text for the query's
+      // lifetime while the comment claimed otherwise).
       val urlKept = engine.ScratchCache.persist(
         urlVerdicts(s, d).filter(col("kept")).select(col("doc_id")))
       val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
       val train = engine.ScratchCache.persist(base
         .join(urlKept, Seq("doc_id"), "leftsemi")
-        .filter(!LlmQueries.evalBucket(col("doc_id"))))
+        .filter(!LlmQueries.evalBucket(col("doc_id")))
+        .select(col("doc_id"), col("lang"),
+          md5(lower(trim(col("text")))).as("dg")))
       val wDg = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
       val surv = engine.ScratchCache.persist(train
-        .withColumn("dg", md5(lower(trim(col("text")))))
         .withColumn("rn", row_number().over(wDg))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang")))

@@ -2096,7 +2096,19 @@ object SearchQueries {
     * (id, long) rows) + one in-sum shuffle on dst, O(E) per round with
     * [[engine.Core.checkpointFresh]] truncating lineage per round (the
     * tokenize_bpe_apply discipline). Rounds are a fixed constant; no
-    * driver-side data movement beyond the 1-scalar node count. */
+    * driver-side data movement beyond the 1-scalar node count.
+    *
+    * Early-exit on convergence: CONSIDERED AND REJECTED (r17 verdict
+    * item 8). A hash-preserving exit needs an EXACT fixed point — only
+    * then are the skipped rounds no-ops — and on the nano grid that
+    * never happens inside 10 rounds: per-round deltas shrink by the
+    * damping factor (0.85×) from an initial ~1/N ≈ 5e-5, so crossing
+    * the 5e-10 rounding threshold takes ~ln(1e5)/ln(1/0.85) ≈ 60
+    * rounds. A TOLERANCE exit (the L∞ < 1e-6 variant) fires around
+    * round 5 but changes pr_nano in the ~1e3 low bits — and the static
+    * CTE-unroll oracle cannot mirror a data-dependent round count, so
+    * the hash contract breaks. Fixed 10 rounds stays: cost is linear
+    * in E and the constant is the contract both engines execute. */
   private def graphPagerank = Q(
     (s, d) => {
       val rawEdges = knnGraphFrame(s, d)
@@ -2332,8 +2344,13 @@ object SearchQueries {
   private val annRecallReport = Q(
     (s, d) => {
       import s.implicits._
-      val brute = LlmQueries.queries("sim_search_topk").fn(s, d)
-        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      // the exact ground truth is consumed TWICE (the hit join and the
+      // completeness grid) and Spark does not dedupe common subplans
+      // across join branches (r13 lesson) — unpersisted, the brute-force
+      // corpus scan ran once per consumer (r17 verdict item 6)
+      val brute = engine.ScratchCache.persist(
+        LlmQueries.queries("sim_search_topk").fn(s, d)
+          .select(col("qid"), col("cid"), lit(1L).as("hit")))
       // Two operating points per approximate rung (r12 verdict item 4):
       // the serving default, and a wider/finer point — SRP rebanded 8×2
       // (2-bit buckets collide far more often than 4-bit: more

@@ -1392,7 +1392,12 @@ object RelQueries {
   private val mergeInto = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val state = new java.io.File(s"/tmp/graft_merge_state_$san")
+      // run-UUID suffix (r17 verdict item 7): a fixed path is a
+      // destroy/commit/read race under concurrent harnesses — same
+      // discipline as the scd2 checkpoint dir. The dir is tiny (one
+      // 5-row version) and /tmp-cleaned with the box.
+      val state = new java.io.File(
+        s"/tmp/graft_merge_state_${san}_${java.util.UUID.randomUUID}")
       engine.stream.VersionedTable.destroy(state) // the run IS the replay
       engine.stream.VersionedTable.commit(mergeFrame(s, d), state, 0L)
       engine.stream.VersionedTable.read(s, state)

@@ -111,8 +111,12 @@ object TriggerProbe {
         else if (body.nonEmpty) (body.head.toDouble, body.last.toDouble)
         else (0.0, 0.0)
       val ratio = if (fq > 0) lq / fq else 0.0
+      // flag only when the quartile means are REAL quartile means
+      // (r17 ADVICE: gating on raw ms.length let a short post-filter
+      // body degrade to a single-trigger last/first comparison that
+      // could flag on jitter)
       val r = Row(q, tag, ms, fq, lq, ratio,
-        ms.length >= 8 && ratio > FlagRatio)
+        body.length >= 8 && ratio > FlagRatio)
       println(f"TRIG $q @$tag: ${ms.length} triggers, " +
         f"firstQ ${fq}%.0f ms, lastQ ${lq}%.0f ms, ratio $ratio%.2f" +
         (if (r.flag) " FLAG" else ""))
