@@ -147,14 +147,13 @@ object IncrementalDedup {
       // 32 — the per-JOB sizing a deployment sets to its batch volume
       // (4-way measured no better: the merge is stage-count-bound, not
       // task-count-bound, at this sf)
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8")
-        src.writeStream.queryName("incr_minhash").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("incr_minhash").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       val kept = engine.stream.AppendTable.read(s, store, storeSchema)
         .filter(col("kept"))
         .select(col("doc_id"))
@@ -259,16 +258,15 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_decon_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       val screenBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames (the merge sizing)
-        src.writeStream.queryName("incr_decon").foreachBatch(screenBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("incr_decon").foreachBatch(screenBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       engine.stream.AppendTable.read(s, resRoot, resSchema)
         .orderBy("doc_id", "eval_id")
     },
@@ -426,14 +424,13 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_incrvec_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8")
-        src.writeStream.queryName("incr_srp").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("incr_srp").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       engine.stream.AppendTable.read(s, store, storeSchema)
         .filter(col("kept"))
         .select(col("vec_id"))
@@ -527,14 +524,13 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_incrdg_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8")
-        src.writeStream.queryName("incr_exact").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("incr_exact").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       val kept = engine.stream.AppendTable.read(s, store, storeSchema)
         .filter(col("kept"))
         .select(col("doc_id"))
@@ -594,14 +590,13 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_driftincr_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("drift_incr").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("drift_incr").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       val refC = engine.stream.AppendTable.read(s, refStore, tcSchema)
         .groupBy(col("term")).agg(sum(col("cnt")).as("n_ref"))
       val newC = engine.stream.AppendTable.read(s, newStore, tcSchema)
@@ -706,14 +701,13 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
         "/dev/shm" else "/tmp") +
         s"/graft_ckpt_cardincr_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("card_incr").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("card_incr").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       // serve = fold the delta archives
       val card = engine.stream.AppendTable.read(s, cardStore, cardSchema)
         .groupBy(col("source"), col("lang"))
@@ -873,14 +867,13 @@ object IncrementalDedup {
       val ck = new java.io.File((if (new java.io.File("/dev/shm")
           .isDirectory) "/dev/shm" else "/tmp") +
         s"/graft_ckpt_qsincr_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("qs_incr").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rm(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("qs_incr").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
+      } finally rm(ck)
       import s.implicits._
       def f4(x: org.apache.spark.sql.Column) =
         floor(x * lit(1e4) + lit(0.5)) / lit(1e4)

@@ -2835,16 +2835,14 @@ object LlmQueries {
         s"/graft_ckpt_annprobe_${java.util.UUID.randomUUID}")
       val serveBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("ann_probe").foreachBatch(serveBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("ann_probe").foreachBatch(serveBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
       } finally {
-        s.conf.set(shufKey, shufPrev)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }

@@ -1971,15 +1971,14 @@ object SearchQueries {
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
       }
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("knng_incr").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
-      } finally { s.conf.set(shufKey, shufPrev); rmCk(ck) }
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("knng_incr").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+      } finally rmCk(ck)
       engine.stream.VersionedTable.read(s, graphState)
         .getOrElse(sys.error(s"knn graph state missing at $graphState"))
         .withColumn("rank", row_number().over(
@@ -2517,16 +2516,14 @@ object SearchQueries {
         s"/graft_ckpt_bm25probe_${java.util.UUID.randomUUID}")
       val serveBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("bm25_probe").foreachBatch(serveBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("bm25_probe").foreachBatch(serveBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
       } finally {
-        s.conf.set(shufKey, shufPrev)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
@@ -2851,7 +2848,15 @@ object SearchQueries {
       .select(col("doc_id"), col("dg"), col("kept"))
     engine.stream.AppendTable.append(v1, dgStore, batchId,
       Some(engine.stream.BloomSpec.column("dg")))
-    b.join(v1.filter(col("kept")).select(col("doc_id")),
+    // survivors via the JUST-WRITTEN segment, not v1's lineage: v1
+    // embeds the window + store-probe anti-join chain, and returning it
+    // unmaterialized made every downstream consumer (the minhash
+    // signature build, the index commit) re-execute that whole chain —
+    // the segment parquet is the same verdict set already materialized,
+    // an O(batch) read (the minhashScreenBatch caller-read discipline)
+    b.join(engine.stream.AppendTable
+        .readSegment(b.sparkSession, dgStore, dgSchema, batchId)
+        .filter(col("kept")).select(col("doc_id")),
       Seq("doc_id"), "leftsemi")
   }
 
@@ -2865,6 +2870,10 @@ object SearchQueries {
       sigSchema: org.apache.spark.sql.types.StructType)
       (exactKept: DataFrame, batchId: Long): Unit = {
     val sp = exactKept.sparkSession
+    def sub[T](tag: String)(body: => T): T = {
+      sp.sparkContext.setJobDescription(s"mh:$tag#$batchId")
+      try body finally sp.sparkContext.setJobDescription(null)
+    }
     val sig = LlmQueries.minhashSignatures(exactKept, spread = false)
       .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
     try {
@@ -2875,8 +2884,9 @@ object SearchQueries {
       // this batch can contribute no candidate pair — skip its I/O
       // (pruning on bk alone is conservative: the join still requires
       // the band index j to match)
-      val prevSig = engine.stream.AppendTable.readPruned(sp, sigStore,
-        sigSchema, "bk", bands.select(col("bk"))).df
+      val prevSig = sub("probe")(
+        engine.stream.AppendTable.readPruned(sp, sigStore,
+          sigSchema, "bk", bands.select(col("bk")))).df
       val candStore = bands.as("n").join(bandsOf(prevSig).as("o"),
           col("n.j") === col("o.j") && col("n.bk") === col("o.bk") &&
             col("o.doc_id") < col("n.doc_id"))
@@ -2892,10 +2902,10 @@ object SearchQueries {
         .join(sigOnly(sig).toDF("db", "gb"), "db")
         .filter(LlmQueries.estJaccard(col("ga"), col("gb")) >= 0.5)
         .select(col("db").as("doc_id")).distinct()
-      engine.stream.AppendTable.append(
+      sub("append")(engine.stream.AppendTable.append(
         sig.join(dropped.withColumn("_d", lit(1)), Seq("doc_id"), "left")
           .withColumn("kept", col("_d").isNull).drop("_d"),
-        sigStore, batchId, Some(LlmQueries.bandKeyBloom))
+        sigStore, batchId, Some(LlmQueries.bandKeyBloom)))
     } finally { sig.unpersist(); () }
   }
 
@@ -2957,11 +2967,19 @@ object SearchQueries {
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         val b = batch.persist()
+        // per-stage job descriptions: free at run time, and they let a
+        // JobTimer autopsy split a trigger's cost by stage instead of
+        // attributing everything to writeStream.start
+        def stage[T](tag: String)(body: => T): T = {
+          sp.sparkContext.setJobDescription(s"online:$tag#$batchId")
+          try body finally sp.sparkContext.setJobDescription(null)
+        }
         try {
           // 1-2. exact + minhash screens (the shared stage helpers)
-          val exactKept =
-            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
-          minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId)
+          val exactKept = stage("exact")(
+            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId))
+          stage("minhash")(
+            minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId))
           // 3. SEGMENTED index maintenance ([[commitIndexSegment]]):
           // this batch's survivors become ONE immutable segment
           // (postings + df delta + stats counters) and the new version
@@ -2974,8 +2992,8 @@ object SearchQueries {
           val keptBatch = engine.stream.AppendTable.readSegment(sp,
               sigStore, sigSchema, batchId)
             .filter(col("kept")).select(col("doc_id"))
-          commitIndexSegment(sp, idxRoot, batchId,
-            b.join(keptBatch, Seq("doc_id"), "leftsemi"))
+          stage("index")(commitIndexSegment(sp, idxRoot, batchId,
+            b.join(keptBatch, Seq("doc_id"), "leftsemi")))
         } finally { b.unpersist(); () }
       }
       // the trigger-sequenced ingest: 2 "nightly batches" by default —
@@ -2991,15 +3009,13 @@ object SearchQueries {
       val ck = new java.io.File((if (new java.io.File("/dev/shm")
         .isDirectory) "/dev/shm" else "/tmp") +
         s"/graft_ckpt_online_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("online_ingest").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("online_ingest").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
       } finally {
-        s.conf.set(shufKey, shufPrev)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
@@ -3178,15 +3194,13 @@ object SearchQueries {
       val ck = new java.io.File((if (new java.io.File("/dev/shm")
         .isDirectory) "/dev/shm" else "/tmp") +
         s"/graft_ckpt_onlineh_${java.util.UUID.randomUUID}")
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
       try {
-        s.conf.set(shufKey, "8") // batch-sized frames
-        src.writeStream.queryName("onlineh_ingest").foreachBatch(mergeBatch)
-          .option("checkpointLocation", ck.getPath)
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        engine.stream.StreamQueries.withMicroBatchConfs(s) {
+          src.writeStream.queryName("onlineh_ingest").foreachBatch(mergeBatch)
+            .option("checkpointLocation", ck.getPath)
+            .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        }
       } finally {
-        s.conf.set(shufKey, shufPrev)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }

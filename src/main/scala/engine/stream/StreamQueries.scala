@@ -76,6 +76,40 @@ object StreamQueries {
     }
   }
 
+  /** Run `body` (a foreachBatch stream-to-completion and its store
+    * reads) under micro-batch planning confs, restoring both after:
+    *
+    *  - `spark.sql.shuffle.partitions` = `n` (default 8): trigger
+    *    frames are batch-sized; 32-way exchanges pay 4× the
+    *    task-scheduling overhead of the data's actual width;
+    *  - constraint propagation OFF: it re-derives the constraint set
+    *    per Project/Filter/Join node per ACTION per TRIGGER, and on the
+    *    wide signature plans (32 minhash slots + 8 band keys per row)
+    *    that driver CPU dominates small-batch planning — measured −14%
+    *    on pipeline_online at sf0.1 with byte-identical results.
+    *    Disabling it can only drop INFERRED predicates (IsNotNull,
+    *    transitive join filters) — an optimization, never semantics;
+    *    every consumer of these runs stays oracle-gated.
+    *
+    * On a real cluster both are per-job deployment confs; scoping them
+    * to the trigger loop is the local analogue. */
+  private[engine] def withMicroBatchConfs[T](s: SparkSession, n: Int = 8)
+      (body: => T): T = {
+    val shufKey = "spark.sql.shuffle.partitions"
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val shufPrev = s.conf.get(shufKey)
+    val cpPrev = s.conf.getOption(cpKey)
+    s.conf.set(shufKey, n.toString)
+    s.conf.set(cpKey, "false")
+    try body finally {
+      s.conf.set(shufKey, shufPrev)
+      cpPrev match {
+        case Some(v) => s.conf.set(cpKey, v)
+        case None => s.conf.unset(cpKey)
+      }
+    }
+  }
+
   /** Run a streaming df to completion into a memory sink; return result.
     * The checkpoint (WAL + state stores) is transient by design here —
     * one-shot AvailableNow run, memory sink — so it goes to tmpfs when

@@ -18,12 +18,22 @@ object JobTimer {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
     val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         starts.put(j.jobId, System.nanoTime())
+        // the final stage's name is the action's callsite — the cheapest
+        // per-job "who asked for this" label for job-count autopsies
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        sites.put(j.jobId, desc.getOrElse(
+          j.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+            .getOrElse("?"))): Unit
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val t0 = Option(starts.get(j.jobId)).getOrElse(0L)
-        println(f"JOB ${j.jobId}%3d  ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        println(f"JOB ${j.jobId}%3d  ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          f"  ${Option(sites.get(j.jobId)).getOrElse("?")}")
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -34,11 +44,19 @@ object JobTimer {
     try SparkEntry.queries("agg_hash")(spark, args(0)).count()
     catch { case _: Throwable => }
     for (n <- args.drop(1)) {
+      // "conf:key=value" args set session conf between timed ops — the
+      // knob sweep harness (e.g. trigger counts via the .mft confs)
+      if (n.startsWith("conf:")) {
+        val Array(k, v) = n.stripPrefix("conf:").split("=", 2)
+        spark.conf.set(k, v)
+        println(s"CONF $k=$v")
+      } else {
       stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val c = Eval.rows(SparkEntry.queries(n)(spark, args(0)))
       println(f"TOTAL $n: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         f"($c rows, ${stages.get()} stages, ${tasks.get()} tasks)")
+      }
     }
     spark.stop()
   }
