@@ -18,6 +18,32 @@ final case class Q(
     doc: String = "")
 
 object Core {
+  /** Local scratch root for engine state stores, serving indexes, sink
+    * outputs, and source caches — tmpfs (/dev/shm) when present, else
+    * /tmp; override with SPARK_GRAFT_SCRATCH.
+    *
+    * Why tmpfs: these paths are the LOCAL-SCRATCH tier of the engine
+    * (a deployment maps them to node-local SSD / memory, the same tier
+    * Spark puts shuffle files and RocksDB state on — the checkpoint
+    * dirs here already preferred /dev/shm). This box's disk is SHARED
+    * with noisy neighbors: measured 22 MB/s sequential write under
+    * neighbor load vs GB/s quiet — a 1.5× uniform inflation of every
+    * store-heavy bench number, and the exact mechanism behind r17's
+    * false drift flags (the two flagged ops read a persisted IVF index
+    * from /tmp). State I/O must not ride a contended medium the engine
+    * doesn't control; data corpora (testdata, the probes' scaled
+    * replicas) stay on disk — they are the workload, not the engine.
+    * Capacity: every store here is MBs at bench SFs and destroyed or
+    * UUID-scoped per run; /dev/shm is 126 GiB on this box. */
+  lazy val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft")
+      d.mkdirs()
+      d.getPath
+    } else "/tmp"
+  })
+
   /** Load one driver testdata table from the given scale-factor dir.
     *
     * `events.ts` has changed physical type across testdata generations —
@@ -69,7 +95,7 @@ object Core {
               .map("%02x".format(_)).mkString
             val pathH = md5hex(s"$dir/$name").take(16)
             val metaH = md5hex(srcMeta).take(16)
-            val scratch = s"/tmp/graft_nanos_norm_${pathH}_$metaH"
+            val scratch = s"$scratchRoot/graft_nanos_norm_${pathH}_$metaH"
             publishOnce(scratch) { tmp =>
               val prev = spark.conf.getOption(key)
               spark.conf.set(key, "true")
@@ -90,7 +116,7 @@ object Core {
             val cur = s"graft_nanos_norm_${pathH}_$metaH"
             val gen = s"graft_nanos_norm_${pathH}_[0-9a-f]{16}".r
             val cutoff = System.currentTimeMillis - 10 * 60 * 1000L
-            Option(new java.io.File("/tmp").listFiles()).foreach(
+            Option(new java.io.File(scratchRoot).listFiles()).foreach(
               _.filter(f => gen.pattern.matcher(f.getName).matches() &&
                   f.getName != cur && f.lastModified < cutoff)
                 .foreach { stale =>

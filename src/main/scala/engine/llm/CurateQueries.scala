@@ -1318,7 +1318,7 @@ object CurateQueries {
     val codes = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = new java.io.File(s"/tmp/graft_pq_index_$san")
+    val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_pq_index_$san")
     val id = engine.stream.VersionedTable.currentDir(root)
       .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
     engine.stream.VersionedTable.commitDir(root, id) { dir =>
@@ -1470,7 +1470,7 @@ object CurateQueries {
       .join(asg, "vec_id")
     val postSchema = posts.schema
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = new java.io.File(s"/tmp/graft_ivfpq_index_$san")
+    val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_ivfpq_index_$san")
     val id = engine.stream.VersionedTable.currentDir(root)
       .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
     engine.stream.VersionedTable.commitDir(root, id) { dir =>

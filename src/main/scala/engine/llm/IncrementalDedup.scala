@@ -61,7 +61,7 @@ object IncrementalDedup {
   private val dedupIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_sig_store_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_sig_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay — this run
       // IS the full history
       // Trigger sizing: each trigger pays several fixed-overhead stages
@@ -199,8 +199,8 @@ object IncrementalDedup {
     (s, d) => {
       val thr = 0.8
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val idxRoot = new java.io.File(s"/tmp/graft_eval_idx_$san")
-      val resRoot = new java.io.File(s"/tmp/graft_decon_res_$san")
+      val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_eval_idx_$san")
+      val resRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_decon_res_$san")
       engine.stream.VersionedTable.destroy(idxRoot)
       engine.stream.AppendTable.destroy(resRoot) // fresh replay
       // ---- index build (once, offline): one row per eval doc with its
@@ -409,7 +409,7 @@ object IncrementalDedup {
   private val dedupEmbeddingIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_vec_store_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_vec_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
       val src0 = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val storeSchema = srpStoreSchema(src0.limit(0))
@@ -480,7 +480,7 @@ object IncrementalDedup {
   private val dedupExactIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_dg_store_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_dg_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
       // NULL text folds to a sentinel digest (never an md5 output — md5
       // is 32 hex chars): a NULL dg would group fine INSIDE a batch (the
@@ -566,8 +566,8 @@ object IncrementalDedup {
   private val corpusDriftIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val refStore = new java.io.File(s"/tmp/graft_driftref_store_$san")
-      val newStore = new java.io.File(s"/tmp/graft_driftnew_store_$san")
+      val refStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_driftref_store_$san")
+      val newStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_driftnew_store_$san")
       engine.stream.AppendTable.destroy(refStore) // fresh replay
       engine.stream.AppendTable.destroy(newStore)
       def tcOf(batch: DataFrame): DataFrame = batch
@@ -665,8 +665,8 @@ object IncrementalDedup {
   private val corpusReportIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val cardStore = new java.io.File(s"/tmp/graft_card_store_$san")
-      val dgStore = new java.io.File(s"/tmp/graft_carddg_store_$san")
+      val cardStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_card_store_$san")
+      val dgStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_carddg_store_$san")
       engine.stream.AppendTable.destroy(cardStore) // fresh replay
       engine.stream.AppendTable.destroy(dgStore)
       val src0 = t(s, d, "documents").select(col("doc_id"), col("text"),
@@ -773,7 +773,7 @@ object IncrementalDedup {
   private val maintenanceStoreCompact = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_cmp_store_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_cmp_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
       def sigOf(batch: DataFrame): DataFrame = batch
         .select(col("doc_id"),
@@ -844,7 +844,7 @@ object IncrementalDedup {
   private val quantileSketchIncremental = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_qsketch_store_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_qsketch_store_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
       val cents = round(col("l_extendedprice") * 100, 0).cast("long")
       val li0 = t(s, d, "lineitem").select(

@@ -1881,7 +1881,7 @@ object LlmQueries {
     val e = unitCorpus(s, d)
     val cents = trainedSphericalCells(s, d, e).toDF("cent_id", "cu")
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = new java.io.File(s"/tmp/graft_ivf_index_$san")
+    val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_ivf_index_$san")
     // hash-agg argmax (the lloydRound shape) — no window sort over
     // the corpus; u rides the group so postings are self-contained
     val asg = e.join(broadcast(cents))
@@ -2400,6 +2400,77 @@ object LlmQueries {
       FROM th JOIN cnts USING (term) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** B47l: CCNet-style PERPLEXITY BUCKETING — the canonical LM-filter
+    * deployment shape (Wenzek et al., CCNet): score every document
+    * under the statistical LM, then split EACH LANGUAGE into
+    * head/middle/tail TERCILES of the score distribution — downstream
+    * pipelines keep head+middle and drop (or down-sample) the tail.
+    * Absolute-threshold gates break the moment the corpus mix shifts;
+    * the per-lang relative cut is the production form.
+    *
+    * Score = per-doc avg unigram surprisal on the integer micronat
+    * grid ([[textUnigramLogprob]]'s model), rounded to ONE integer
+    * micronat-per-token value — so ranking ties are exact and
+    * engine-independent. Bucket boundaries avoid float thresholds
+    * entirely: with r = rank−1 and m = lang_docs−1, head is
+    * 3·r < m, middle is 3·r < 2·m — pure integer comparisons, the
+    * percent_rank terciles with zero interpolation ambiguity (ties
+    * share a rank(), so equal scores always land in one bucket).
+    *
+    * Shape at 100 TB: the score table is ONE narrow row per doc; the
+    * tercile window is a per-lang distributed sort of doc-count rows
+    * (the sample_quality_topk class), never corpus text; the unigram
+    * model attaches by broadcast-able equi-join exactly as in the
+    * parent op. */
+  private val qualityPerplexity = Q(
+    (s, d) => {
+      val th = explodeNonNull(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          tokens(col("text")).as("w")),
+        col("w"), "term", col("doc_id"), col("lang"))
+      val cnts = th.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val micronats = round(-log(col("cnt").cast("double") / col("n_total"))
+        * 1e6, 0).cast("long")
+      val scored = th.join(broadcast(cnts), "term")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(micronats).as("sm"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("sm").cast("double") / col("n_tokens"), 0)
+            .cast("long").as("score_micro"))
+      val wl = Window.partitionBy(col("lang"))
+      val r = rank().over(wl.orderBy(col("score_micro"))) - lit(1)
+      val m = count(lit(1)).over(wl) - lit(1)
+      scored
+        .withColumn("bucket",
+          when(lit(3) * r < m, lit("head"))
+            .when(lit(3) * r < lit(2) * m, lit("middle"))
+            .otherwise(lit("tail")))
+        .withColumn("kept", col("bucket") =!= lit("tail"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH qth AS (SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) term FROM documents),
+      qcnts AS (SELECT term, count(*) AS cnt FROM qth GROUP BY term),
+      qtot AS (SELECT sum(cnt)::DOUBLE AS n_total FROM qcnts),
+      qsc AS (SELECT doc_id, lang, count(*) AS n_tokens,
+               CAST(round(sum(round(-ln(cnt::DOUBLE / n_total) * 1e6, 0)
+                 ::BIGINT)::DOUBLE / count(*), 0) AS BIGINT) AS score_micro
+              FROM qth JOIN qcnts USING (term) CROSS JOIN qtot
+              GROUP BY doc_id, lang),
+      qrk AS (SELECT *,
+               rank() OVER (PARTITION BY lang ORDER BY score_micro) - 1
+                 AS r,
+               count(*) OVER (PARTITION BY lang) - 1 AS m
+              FROM qsc)
+      SELECT doc_id, lang, n_tokens, score_micro,
+        CASE WHEN 3 * r < m THEN 'head'
+             WHEN 3 * r < 2 * m THEN 'middle'
+             ELSE 'tail' END AS bucket,
+        (3 * r < 2 * m) AS kept
+      FROM qrk ORDER BY doc_id"""))
+
   /** INTERPOLATED BIGRAM LM surprisal — the CCNet-style statistical-LM
     * quality filter one model order up from [[textUnigramLogprob]]: each
     * token after the first is scored under
@@ -2808,7 +2879,7 @@ object LlmQueries {
       val QMax = 40
       val (cbPath, postPath, postSchema) = ivfBuildIndex(s, d)
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val resRoot = new java.io.File(s"/tmp/graft_annprobe_res_$san")
+      val resRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_annprobe_res_$san")
       engine.stream.AppendTable.destroy(resRoot) // fresh replay
       def unitQ(batch: DataFrame): DataFrame = batch
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -2987,6 +3058,7 @@ object LlmQueries {
     "sample_anneal" -> sampleAnneal,
     "sample_temperature" -> sampleTemperature,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "quality_perplexity" -> qualityPerplexity,
     "text_entropy" -> textEntropy,
     "text_bigram_logprob" -> textBigramLogprob,
     "multimodal_cols" -> multimodalCols,

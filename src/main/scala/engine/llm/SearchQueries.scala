@@ -1905,8 +1905,8 @@ object SearchQueries {
     (s, d) => {
       import s.implicits._
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val memberStore = new java.io.File(s"/tmp/graft_knngm_store_$san")
-      val graphState = new java.io.File(s"/tmp/graft_knng_state_$san")
+      val memberStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_knngm_store_$san")
+      val graphState = new java.io.File(s"${engine.Core.scratchRoot}/graft_knng_state_$san")
       engine.stream.AppendTable.destroy(memberStore) // fresh replay
       engine.stream.VersionedTable.destroy(graphState)
       val k = s.conf.get("spark.graft.knng.k", "16").toInt
@@ -2471,7 +2471,7 @@ object SearchQueries {
       val QMax = 40
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
       // ---- offline index build (once; replace-on-rebuild state)
-      val idxRoot = new java.io.File(s"/tmp/graft_bm25_index_$san")
+      val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_bm25_index_$san")
       val posts = bm25Postings(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
       val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val glob = posts.groupBy(col("doc_id"))
@@ -2485,7 +2485,7 @@ object SearchQueries {
         glob.write.parquet(new java.io.File(dir, "stats").getPath)
       }
       // ---- probe: pure function of (query batch, static index)
-      val resRoot = new java.io.File(s"/tmp/graft_bm25probe_res_$san")
+      val resRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_bm25probe_res_$san")
       engine.stream.AppendTable.destroy(resRoot) // fresh replay
       def probe(batch: DataFrame): DataFrame = {
         val sp = batch.sparkSession
@@ -2703,7 +2703,7 @@ object SearchQueries {
   private val maintenanceIndexCompact = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val idxRoot = new java.io.File(s"/tmp/graft_idxcmp_$san")
+      val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_idxcmp_$san")
       engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
       val corpus = docs(s, d).select(col("doc_id"), col("text"))
       val maxId = corpus.agg(max(col("doc_id"))).head.getLong(0)
@@ -2755,7 +2755,7 @@ object SearchQueries {
     (s, d) => {
       import s.implicits._
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val store = new java.io.File(s"/tmp/graft_ivfcmp_$san")
+      val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_ivfcmp_$san")
       engine.stream.AppendTable.destroy(store) // fresh replay
       val e = LlmQueries.unitCorpus(s, d)
       val cents = LlmQueries.trainedSphericalCells(s, d, e)
@@ -2949,9 +2949,9 @@ object SearchQueries {
     (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val dgStore = new java.io.File(s"/tmp/graft_online_dg_$san")
-      val sigStore = new java.io.File(s"/tmp/graft_online_sig_$san")
-      val idxRoot = new java.io.File(s"/tmp/graft_online_idx_$san")
+      val dgStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_online_dg_$san")
+      val sigStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_online_sig_$san")
+      val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_online_idx_$san")
       engine.stream.AppendTable.destroy(dgStore)
       engine.stream.AppendTable.destroy(sigStore)
       engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
@@ -3110,11 +3110,11 @@ object SearchQueries {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val dgStore = new java.io.File(s"/tmp/graft_onlineh_dg_$san")
-      val sigStore = new java.io.File(s"/tmp/graft_onlineh_sig_$san")
-      val vecStore = new java.io.File(s"/tmp/graft_onlineh_vec_$san")
-      val vpostStore = new java.io.File(s"/tmp/graft_onlineh_vpost_$san")
-      val idxRoot = new java.io.File(s"/tmp/graft_onlineh_idx_$san")
+      val dgStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_dg_$san")
+      val sigStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_sig_$san")
+      val vecStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_vec_$san")
+      val vpostStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_vpost_$san")
+      val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_idx_$san")
       Seq(dgStore, sigStore, vecStore, vpostStore)
         .foreach(engine.stream.AppendTable.destroy)
       engine.stream.VersionedTable.destroy(idxRoot) // fresh replay

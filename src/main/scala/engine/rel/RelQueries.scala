@@ -28,7 +28,7 @@ object RelQueries {
     * Writes a filtered projection to a scratch dir, reads it back. */
   private val sinkParquet = Q(
     (s, d) => {
-      val out = s"/tmp/graft_sink_parquet_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"${engine.Core.scratchRoot}/graft_sink_parquet_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       t(s, d, "nation").write.mode("overwrite").parquet(out)
       s.read.parquet(out).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy("n_nationkey")
@@ -42,7 +42,7 @@ object RelQueries {
     * preserved, strings/keys intact). */
   private val sourceOrc = Q(
     (s, d) => {
-      val out = s"/tmp/graft_sink_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"${engine.Core.scratchRoot}/graft_sink_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       t(s, d, "supplier").write.mode("overwrite").orc(out)
       s.read.orc(out)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
@@ -68,7 +68,7 @@ object RelQueries {
   private val sinkDynamicOverwrite = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val out = s"/tmp/graft_sink_dynpart_$san"
+      val out = s"${engine.Core.scratchRoot}/graft_sink_dynpart_$san"
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
       }
@@ -102,7 +102,7 @@ object RelQueries {
     * on write-out (partition cols move last) — re-selected explicitly. */
   private val sourcePartitioned = Q(
     (s, d) => {
-      val out = s"/tmp/graft_part_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"${engine.Core.scratchRoot}/graft_part_docs_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       t(s, d, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(out)
       s.read.parquet(out)
@@ -132,7 +132,7 @@ object RelQueries {
   private val joinPartitionPruned = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val part = engine.Core.publishOnce(s"/tmp/graft_ppart_v1_$san") {
+      val part = engine.Core.publishOnce(s"${engine.Core.scratchRoot}/graft_ppart_v1_$san") {
         tmp =>
           t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
               col("o_totalprice"), col("o_orderpriority"))
@@ -172,12 +172,12 @@ object RelQueries {
   private val maintenanceCompact = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val frag = engine.Core.publishOnce(s"/tmp/graft_frag_v1_$san") { tmp =>
+      val frag = engine.Core.publishOnce(s"${engine.Core.scratchRoot}/graft_frag_v1_$san") { tmp =>
         t(s, d, "events").select(col("event_id"), col("user_id"),
             col("event_type"), col("value"))
           .repartition(64).write.parquet(tmp)
       }
-      val compact = s"/tmp/graft_compacted_$san"
+      val compact = s"${engine.Core.scratchRoot}/graft_compacted_$san"
       s.read.parquet(frag)
         .repartitionByRange(4, col("user_id"), col("event_id"))
         .sortWithinPartitions(col("user_id"), col("event_id"))
@@ -253,7 +253,7 @@ object RelQueries {
         .sortWithinPartitions(col("z"), col("l_orderkey"),
           col("l_linenumber"))
         .write.mode("overwrite")
-        .parquet(s"/tmp/graft_zorder_$san")
+        .parquet(s"${engine.Core.scratchRoot}/graft_zorder_$san")
       // two-level global rank: per-shard ranks in parallel + broadcast
       // shard offsets. shard is a z prefix, so inter-shard order is the
       // z order and intra-shard ties stay within one shard.
@@ -923,7 +923,7 @@ object RelQueries {
   private val joinBucketed = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val p = s"/tmp/graft_bucketed_$san"
+      val p = s"${engine.Core.scratchRoot}/graft_bucketed_$san"
       t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite").format("parquet").bucketBy(8, "o_custkey")
         .option("path", s"$p/orders").saveAsTable(s"graft_bk_orders_$san")
@@ -1397,7 +1397,7 @@ object RelQueries {
       // discipline as the scd2 checkpoint dir. The dir is tiny (one
       // 5-row version) and /tmp-cleaned with the box.
       val state = new java.io.File(
-        s"/tmp/graft_merge_state_${san}_${java.util.UUID.randomUUID}")
+        s"${engine.Core.scratchRoot}/graft_merge_state_${san}_${java.util.UUID.randomUUID}")
       engine.stream.VersionedTable.destroy(state) // the run IS the replay
       engine.stream.VersionedTable.commit(mergeFrame(s, d), state, 0L)
       engine.stream.VersionedTable.read(s, state)

@@ -93,7 +93,7 @@ object UdafQueries {
     * round-trip lossless. */
   private val sourceCsvJson = Q(
     (s, d) => {
-      val out = s"/tmp/graft_source_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val out = s"${engine.Core.scratchRoot}/graft_source_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       t(s, d, "events")
         .select(col("event_id"), col("event_type"), col("props"))
         .write.mode("overwrite").option("header", "true").csv(out)

@@ -40,7 +40,7 @@ object StreamQueries {
     // tag MUST be sf-qualified by the caller — the cache is per content;
     // v-suffix = source format version (bump on content change).
     // publishOnce = temp dir + atomic rename (no cross-process races).
-    engine.Core.publishOnce(s"/tmp/graft_stream_src_v1_$tag") { tmp =>
+    engine.Core.publishOnce(s"${engine.Core.scratchRoot}/graft_stream_src_v1_$tag") { tmp =>
       val out = orderedBy match {
         // EXPLICIT 32-way range partitioning ⇒ 32 part files where file
         // k's key range precedes file k+1's, modeling a log that arrives
@@ -495,7 +495,7 @@ object StreamQueries {
   private val streamUpsertSink = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val state = new java.io.File(s"/tmp/graft_upsert_state_$san")
+      val state = new java.io.File(s"${engine.Core.scratchRoot}/graft_upsert_state_$san")
       VersionedTable.destroy(state) // fresh fold — the run IS the replay
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id"), col("user_id"),
@@ -573,7 +573,7 @@ object StreamQueries {
   private val streamTopk = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val state = new java.io.File(s"/tmp/graft_topk_state_$san")
+      val state = new java.io.File(s"${engine.Core.scratchRoot}/graft_topk_state_$san")
       VersionedTable.destroy(state) // fresh fold — the run IS the replay
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id"), col("event_type"),
@@ -649,7 +649,7 @@ object StreamQueries {
   private val streamCdcApply = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val state = new java.io.File(s"/tmp/graft_cdc_state_$san")
+      val state = new java.io.File(s"${engine.Core.scratchRoot}/graft_cdc_state_$san")
       VersionedTable.destroy(state) // fresh fold — the run IS the replay
       val src = asFileStream(s,
         t(s, d, "events").select(col("event_id").as("seq"), col("user_id"),
@@ -733,8 +733,8 @@ object StreamQueries {
   private val streamScd2Apply = Q(
     (s, d) => {
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val closedStore = new java.io.File(s"/tmp/graft_scd2_closed_$san")
-      val openState = new java.io.File(s"/tmp/graft_scd2_open_$san")
+      val closedStore = new java.io.File(s"${engine.Core.scratchRoot}/graft_scd2_closed_$san")
+      val openState = new java.io.File(s"${engine.Core.scratchRoot}/graft_scd2_open_$san")
       AppendTable.destroy(closedStore) // fresh fold — the run IS the replay
       VersionedTable.destroy(openState)
       val src0 = t(s, d, "events").select(col("event_id"), col("user_id"),

@@ -31,7 +31,8 @@ object NmeaSynth {
     // encoding changes, or stale caches would feed the correctness gate.
     // publishOnce = temp dir + atomic rename, so concurrent JVMs can't
     // race a half-written cache into the correctness gate.
-    val out = s"/tmp/graft_nmea_log_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val out = s"${engine.Core.scratchRoot}/graft_nmea_log_v1_${
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
     engine.Core.publishOnce(out) { tmp =>
       fromEvents(engine.Core.t(spark, sfDir, "events"))
         .select(concat_ws("|",

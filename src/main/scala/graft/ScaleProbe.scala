@@ -354,7 +354,10 @@ object ScaleProbe {
     // and the char-entropy quality signal (a full char explode is the
     // widest fan-out in the text family: ~300× row expansion)
     "join_range_bucketed", "text_entropy", "sample_split",
-    "corpus_length_histogram")
+    "corpus_length_histogram",
+    // r18: the CCNet perplexity-tercile gate — its tercile window is a
+    // per-lang sort of ONE narrow row per doc, the shape to probe
+    "quality_perplexity")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

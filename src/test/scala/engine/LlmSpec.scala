@@ -785,4 +785,47 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         assert(m < tau, s"pruned cell ($qid,$cid) holds a match: max cos $m")
     }
   }
+
+  test("quality_perplexity: per-lang terciles are balanced, score agrees " +
+      "with text_unigram_logprob, tail = highest-perplexity (lowest " +
+      "surprisal rank is head)") {
+    val out = LlmQueries.queries("quality_perplexity").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // 1. score_micro is the unigram op's avg_surprisal on the micronat
+    // grid (same model, same quantization; rounding to int micronats)
+    val uni = LlmQueries.queries("text_unigram_logprob").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val want = math.round(uni(r.getLong(0)) * 1e6).toDouble
+      val got = r.getLong(3).toDouble
+      // r4 on avg_surprisal loses sub-1e-4-nat detail; allow that slack
+      assert(math.abs(got - want) <= 120,
+        s"doc ${r.getLong(0)}: score_micro $got vs unigram $want")
+    }
+    // 2. per-lang buckets are terciles: each bucket holds between
+    // floor(n/3)-ties and ceil(n/3)+ties docs; with distinct scores the
+    // split is exact, with ties a whole tie-group lands in one bucket
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      val counts = rows.groupBy(_.getString(4)).view.mapValues(_.length)
+      Seq("head", "middle", "tail").foreach { b =>
+        val c = counts.getOrElse(b, 0)
+        assert(c > 0 && c <= 2 * n / 3 + 1,
+          s"$lang bucket $b count $c of $n not tercile-shaped")
+      }
+      // 3. ordering: every head score <= every middle score <= tail
+      def maxOf(b: String) = rows.filter(_.getString(4) == b)
+        .map(_.getLong(3)).maxOption.getOrElse(Long.MinValue)
+      def minOf(b: String) = rows.filter(_.getString(4) == b)
+        .map(_.getLong(3)).minOption.getOrElse(Long.MaxValue)
+      assert(maxOf("head") <= minOf("middle") &&
+        maxOf("middle") <= minOf("tail"),
+        s"$lang bucket score ranges overlap beyond ties")
+      // 4. kept = not tail
+      rows.foreach(r =>
+        assert(r.getBoolean(5) == (r.getString(4) != "tail")))
+    }
+  }
 }

@@ -227,7 +227,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val dgSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("dg", StringType), StructField("kept", BooleanType)))
     val exactKept = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_online_dg_$san"), dgSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_online_dg_$san"), dgSchema)
       .filter(col("kept")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     val batchExact = llm.LlmQueries.queries("dedup_exact").fn(spark, sf)
@@ -239,7 +239,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       StructField("bks", ArrayType(StringType)),
       StructField("kept", BooleanType)))
     val nearKept = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_online_sig_$san"), sigSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_online_sig_$san"), sigSchema)
       .filter(col("kept")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     // batch replay of stage 2: minhash est>=0.5 pairs among exact
@@ -255,7 +255,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // exactly 3 immutable segments — the O(batch)-per-commit layout —
     // and the MERGED per-segment df deltas equal a df recompute over
     // the unioned postings (the exactness claim of the delta merge)
-    val idxRoot = new java.io.File(s"/tmp/graft_online_idx_$san")
+    val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_online_idx_$san")
     val segsDir = new java.io.File(idxRoot, "segments")
     assert(Option(segsDir.listFiles()).toSeq.flatten
       .count(_.isDirectory) == 3,
@@ -305,7 +305,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val dgSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("dg", StringType), StructField("kept", BooleanType)))
     val exactKept = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_onlineh_dg_$san"), dgSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_dg_$san"), dgSchema)
       .filter(col("kept")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     val batchExact = llm.LlmQueries.queries("dedup_exact").fn(spark, sf)
@@ -316,7 +316,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       StructField("bks", ArrayType(StringType)),
       StructField("kept", BooleanType)))
     val nearKept = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_onlineh_sig_$san"), sigSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_sig_$san"), sigSchema)
       .filter(col("kept")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     val mhPairs = llm.LlmQueries.queries("dedup_minhash").fn(spark, sf)
@@ -345,7 +345,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .map(_.getLong(0)).toSet
     val vecSchema = llm.IncrementalDedup.srpStoreSchema(emb.limit(0))
     val vecRows = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_onlineh_vec_$san"), vecSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_vec_$san"), vecSchema)
       .select("vec_id", "kept").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val participants = emb.select("vec_id").collect()
@@ -358,7 +358,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // both serving indexes cover exactly the final survivors: the BM25
     // segment union's doc set, and the vector posting store's vec set
     // (survivors that have an embedding)
-    val idxRoot = new java.io.File(s"/tmp/graft_onlineh_idx_$san")
+    val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_idx_$san")
     assert(Option(new java.io.File(idxRoot, "segments").listFiles())
       .toSeq.flatten.count(_.isDirectory) == 3,
       "3-trigger ingest must commit exactly 3 BM25 segments")
@@ -370,7 +370,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       StructField("cent_id", LongType),
       StructField("u", ArrayType(DoubleType))))
     val vposts = engine.stream.AppendTable.read(spark,
-        new java.io.File(s"/tmp/graft_onlineh_vpost_$san"), vpostSchema)
+        new java.io.File(s"${engine.Core.scratchRoot}/graft_onlineh_vpost_$san"), vpostSchema)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(vposts == participants -- expDropped,
       "vector index does not cover exactly the surviving vectors")
@@ -434,7 +434,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .collect().map(_.toSeq).toSeq
     assert(rows == batch, "folded-index serving diverged from batch BM25")
     val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = new java.io.File(s"/tmp/graft_idxcmp_$san")
+    val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_idxcmp_$san")
     val segs = Option(new java.io.File(root, "segments").listFiles())
       .toSeq.flatten.filter(_.isDirectory).map(_.getName)
     assert(segs == Seq("seg-c0"),
@@ -460,7 +460,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(full.map(_.drop(4)).distinct == Seq(Seq(4L, 1L)),
       s"segment counts drifted: ${full.map(_.drop(4)).distinct}")
     val san = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val store = new java.io.File(s"/tmp/graft_ivfcmp_$san")
+    val store = new java.io.File(s"${engine.Core.scratchRoot}/graft_ivfcmp_$san")
     assert(engine.stream.AppendTable.segmentCount(store) == 1,
       "fold left more than one segment")
   }
@@ -474,7 +474,7 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // silently dropping the batch's documents from the served index.
     // Version ids are now a monotonic counter for ingest AND compaction.
     val root = new java.io.File(
-      s"/tmp/graft_idxcollide_${java.util.UUID.randomUUID}")
+      s"${engine.Core.scratchRoot}/graft_idxcollide_${java.util.UUID.randomUUID}")
     try {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
         .select(col("doc_id"), col("text"))

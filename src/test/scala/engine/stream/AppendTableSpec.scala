@@ -14,7 +14,7 @@ class AppendTableSpec extends AnyFunSuite {
 
   test("compact folds segments losslessly and is idempotent") {
     val root = new java.io.File(
-      s"/tmp/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+      s"${engine.Core.scratchRoot}/graft_appendtable_spec_${java.util.UUID.randomUUID}")
     try {
       // 5 per-trigger appends, several files each (repartition(3)) —
       // the small-file accumulation a long-running ingest produces
@@ -56,7 +56,7 @@ class AppendTableSpec extends AnyFunSuite {
   test("a post-compaction replay of a folded batch id is a no-op " +
       "(folded high-water mark)") {
     val root = new java.io.File(
-      s"/tmp/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+      s"${engine.Core.scratchRoot}/graft_appendtable_spec_${java.util.UUID.randomUUID}")
     try {
       val schema = Seq((0L, "x")).toDF("id", "k").schema
       val b0 = Seq((0L, "a"), (1L, "b")).toDF("id", "k")
@@ -89,7 +89,7 @@ class AppendTableSpec extends AnyFunSuite {
   test("readPruned skips segments whose Bloom sidecar excludes every " +
       "probe key, never drops matching rows") {
     val root = new java.io.File(
-      s"/tmp/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+      s"${engine.Core.scratchRoot}/graft_appendtable_spec_${java.util.UUID.randomUUID}")
     try {
       val schema = Seq((0L, "x")).toDF("id", "dg").schema
       val bl = Some(BloomSpec.column("dg"))
