@@ -64,8 +64,12 @@ object Bench {
       while (x != null) { b += x; x = triggerLog.poll() }
       b.result()
     }
-    // warm-up: touch the scan path, shuffle machinery, and codegen cache
-    for (w <- Seq("scan_parquet", "agg_hash"))
+    // warm-up: touch the scan path, shuffle machinery, codegen cache,
+    // AND the streaming stack (MicroBatchExecution, file source, memory
+    // sink) — the run order puts stateful streams FIRST on the fresh
+    // heap, so without a streaming warm-up the first stream op absorbs
+    // all of that machinery's JIT inside its timed window
+    for (w <- Seq("scan_parquet", "agg_hash", "stream_join_static"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // Best-of-2 per query, with a BLOCKING cache drain and a full GC
