@@ -2663,7 +2663,13 @@ object SearchQueries {
     val (posts, _, _) = readSegIndex(s, idxRoot)
     val segDir = new java.io.File(idxRoot, s"segments/$folded")
     val pDir = new java.io.File(segDir, "postings")
-    posts.repartitionByRange(1, col("term"), col("doc_id"))
+    // data-sized range partitioning (no explicit count — AQE coalesces
+    // small folds to ~1 file): a pinned 1 was a single-threaded sort of
+    // the ENTIRE index, measured 12.9× past linear at the 100× probe
+    // (r18) — the fold is the op that must scale with the store. The
+    // ranges stay global across files, so term-range zone-map pruning
+    // is unchanged.
+    posts.repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(pDir.getPath)
     val segPosts = s.read.parquet(pDir.getPath)
@@ -2774,7 +2780,7 @@ object SearchQueries {
         val hi = (maxId + 1) * (i + 1) / 4
         engine.stream.AppendTable.append(
           assignCells(e.filter(col("vec_id") >= lo && col("vec_id") < hi))
-            .repartitionByRange(1, col("cent_id"))
+            .repartitionByRange(col("cent_id"))
             .sortWithinPartitions(col("cent_id")),
           store, i.toLong)
       }
@@ -3179,7 +3185,7 @@ object SearchQueries {
             .filter(col("kept") && col("u").isNotNull)
           engine.stream.AppendTable.append(
             assignCells(vk)
-              .repartitionByRange(1, col("cent_id"))
+              .repartitionByRange(col("cent_id"))
               .sortWithinPartitions(col("cent_id")),
             vpostStore, batchId)
         } finally { b.unpersist(); () }

@@ -249,9 +249,20 @@ object AppendTable {
     * MUST NOT run concurrently with a writer (single-writer contract);
     * SEQUENTIAL replays of folded batch ids are safe — the manifest's
     * `#folded:` high-water mark makes [[append]] no-op for them, so a
-    * post-compaction restart can never double-append a folded batch. */
+    * post-compaction restart can never double-append a folded batch.
+    *
+    * `nFiles` ≤ 0 (default) sizes the range partitions to the DATA
+    * (repartitionByRange without an explicit count — AQE coalesces
+    * adjacent small ranges, so a small store still folds to ~1 file
+    * while a large one fans out). A pinned count remains available for
+    * layout tests, but a fixed 1 is a SINGLE-THREADED sort of the whole
+    * store — the O(store · log store)/1-core fold the 100× probe
+    * flagged at 12.9× on the index twin (r18): exactly the bottleneck
+    * class a fold must not have, since the store is the thing that
+    * grows. Range clustering (and so zone-map pruning) holds at any
+    * file count — the ranges are global across the fold's files. */
   def compact(spark: SparkSession, root: java.io.File, schema: StructType,
-      clusterKeys: Seq[String], nFiles: Int = 1,
+      clusterKeys: Seq[String], nFiles: Int = 0,
       bloom: Option[BloomSpec] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val segs = segments(root)
@@ -259,8 +270,11 @@ object AppendTable {
     val gen = segs.filter(_.startsWith("seg-c"))
       .map(_.stripPrefix("seg-c").toLong).maxOption.getOrElse(-1L) + 1
     val folded = s"seg-c$gen"
-    read(spark, root, schema)
-      .repartitionByRange(nFiles, clusterKeys.map(col): _*)
+    val all = read(spark, root, schema)
+    val clustered =
+      if (nFiles > 0) all.repartitionByRange(nFiles, clusterKeys.map(col): _*)
+      else all.repartitionByRange(clusterKeys.map(col): _*)
+    clustered
       .sortWithinPartitions(clusterKeys.map(col): _*)
       .write.mode("overwrite")
       .parquet(new java.io.File(root, folded).getPath)

@@ -121,13 +121,13 @@ object ScaleProbe {
       // us_per_row_vs10x/vs30x fields keep "output-bound" a measured
       // claim rather than a label
       else if (scale == 100)
-        (tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1) ++
+        withProxies(tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1) ++
           Seq("decontaminate_incremental", "dedup_edit_distance",
-            "dedup_ngram_jaccard")).distinct
+            "dedup_ngram_jaccard"))
       // frontier probe: the top-8 ops by committed 10× probe time —
       // the worst absolute trends are exactly where a super-linear
       // term shows first
-      else tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1))
+      else withProxies(tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1)))
       // BENCH-IDENTICAL run order via the SHARED key (see
       // SparkEntry.benchOrderKey): unordered, dedup_simhash paid the
       // pair-table build in the probe but read dedup_clusters' cache in
@@ -212,10 +212,25 @@ object ScaleProbe {
     // FrontierFactor encodes at 30× (1.1 × 3.0 = 3.3); at 100× linear
     // is 10.0, so the 30× constant would flag every perfectly-linear op
     val flagFactor = 1.1 * scale / 10.0
+    val rowsNow = results.map { case (q, _, c) => q -> c }.toMap
     val flagged = if (scale == 10) Nil
       else results.flatMap { case (q, sec, c) =>
-        val outGrowth = tenRows.get(q).filter(_ > 0)
-          .map(r10 => c.toDouble / r10).getOrElse(1.0)
+        // eval ops emit a 1-row metrics frame, so their own output
+        // can't express their workload: dedup_eval's cost IS the two
+        // pair tables it evaluates, which grow quadratically in replica
+        // multiplicity under this corpus's replication scheme (cliques
+        // of `scale` replicas → pairs ∝ scale², measured: ngram rows
+        // ×58 at 100×). workGrowthProxy points such an op at the pair
+        // emitter whose MEASURED output growth in the SAME run is its
+        // workload; the proxy op is forced into the run set below, and
+        // the proxied rows ride the artifact, so the allowance is a
+        // same-run measurement, never a hand-waved constant.
+        val growthOf = (op: String, rows: Long) =>
+          tenRows.get(op).filter(_ > 0)
+            .map(r10 => rows.toDouble / r10).getOrElse(1.0)
+        val outGrowth = workGrowthProxy.get(q)
+          .flatMap(p => rowsNow.get(p).map(r => growthOf(p, r)))
+          .getOrElse(growthOf(q, c))
         tenProbe.get(q)
           .filter(t10 => t10 > 0 && sec / t10 > flagFactor &&
             sec / t10 > 1.1 * outGrowth)
@@ -253,6 +268,14 @@ object ScaleProbe {
     }.mkString(
       s"""{\n  "sf_base": "sf0.1", "scale": $scale,""" +
         s""" "flagged": [${flagged.map("\"" + _._1 + "\"").mkString(", ")}],""" +
+        (if (flagged.isEmpty || flagged.forall(f => !flagNotes.contains(f._1))) ""
+         else "\n  \"flag_notes\": {" + flagged.flatMap { case (q, _) =>
+           flagNotes.get(q).map(n => s""""$q": "$n"""") }
+           .mkString(", ") + "},") +
+        (if (scale == 10) "" else workGrowthProxy.collect {
+          case (q, p) if results.exists(_._1 == q) =>
+            s""""$q": "$p"""" }.mkString(" \"growth_proxy\": {", ", ", "},")
+          match { case " \"growth_proxy\": {}," => ""; case s0 => s0 }) +
         s""" "us_per_row_flagged": [${
           usFlags.map("\"" + _._1 + "\"").mkString(", ")}],""" +
         (if (knngRecall.isEmpty) ""
@@ -282,6 +305,30 @@ object ScaleProbe {
       sys.exit(1)
     }
   }
+
+  /** Eval ops whose 1-row metrics output cannot express their workload
+    * → the pair emitter whose output growth IS that workload (see the
+    * flag computation). The proxy is forced into every frontier/100×
+    * run set so its growth is measured in the same run. */
+  private val workGrowthProxy = Map("dedup_eval" -> "dedup_ngram_jaccard")
+
+  private def withProxies(ops0: Seq[String]): Seq[String] =
+    (ops0 ++ ops0.flatMap(workGrowthProxy.get)).distinct
+
+  /** Mechanism notes for flags the probe can still raise on ops whose
+    * cost model carries a LEGITIMATE super-linear term under the
+    * replica-built corpus — emitted into the artifact beside the flag
+    * so a reader sees the adjudication where the number is, and a flag
+    * without a note stays a loud unexplained regression. */
+  private val flagNotes = Map(
+    "pipeline_online" -> ("replica-clique pair physics: within-batch " +
+      "minhash candidates grow ~(scale/10)^2 per clique under corpus " +
+      "replication (real corpora do not grow clique size with corpus " +
+      "size); linear stages dominate — check the 30x->100x trend is " +
+      "sublinear before suspecting a plan change"),
+    "pipeline_online_hybrid" -> ("same replica-clique pair physics as " +
+      "pipeline_online, plus the SRP vector screen's band collisions " +
+      "over exact-identical replica vectors"))
 
   private val fullOps = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_banded",
