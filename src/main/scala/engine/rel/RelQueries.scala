@@ -1847,6 +1847,62 @@ object RelQueries {
         round(filled_q / 1e6, 4) AS value_filled
       FROM gj ORDER BY user_id, day"""))
 
+  // -------------------------------------------------- B27e ts_downsample
+  /** B27e: TIME-SERIES DOWNSAMPLE — the OHLC-style rollup every metrics
+    * store runs before retention/graphing (one row per (series, hour
+    * bucket): count, open/close = first/last value by event time,
+    * low/high, mean): raw telemetry is unbounded, the downsample is the
+    * queryable artifact. open/close ride `min_by`/`max_by` over a
+    * zero-padded `(epoch_us, event_id)` string key — fixed-width digit
+    * strings make lexicographic order equal numeric order in BOTH
+    * engines, and the event_id suffix breaks timestamp ties
+    * deterministically (a bare ts key would make open/close
+    * partition-order-dependent under ties). Mean sums exact integer
+    * cents (the house float discipline); low/high are order-free
+    * min/max of raw doubles, r4 at projection.
+    *
+    * Shape at 100 TB: ONE partial-agg-friendly groupBy keyed
+    * (event_type, bucket) — min_by/max_by/min/max/sum all carry
+    * constant-size mergeable buffers, so the map side collapses each
+    * partition to its bucket summaries before any shuffle; no windows,
+    * no per-series sort. The bucket column is the natural partition
+    * key for the downsampled table at rest. */
+  private val tsDownsample = Q(
+    (s, d) => {
+      val bucketUs = 3600000000L // 1 hour in microseconds
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bucket", expr(s"us div $bucketUs"))
+        .withColumn("k", concat(
+          lpad(col("us").cast("string"), 20, "0"), lit("-"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          r4(expr("min_by(value, k)")).as("open"),
+          r4(expr("max_by(value, k)")).as("close"),
+          r4(min(col("value"))).as("low"),
+          r4(max(col("value"))).as("high"),
+          r4(sum(col("cents")) / lit(100.0) / count(lit(1)))
+            .as("avg_value"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH tde AS (SELECT event_id, event_type, value,
+               epoch_us(ts) AS us FROM events),
+      tdk AS (SELECT event_type, value, us // 3600000000 AS bucket,
+               lpad(us::VARCHAR, 20, '0') || '-' ||
+                 lpad(event_id::VARCHAR, 12, '0') AS k,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+             FROM tde)
+      SELECT event_type, bucket, count(*) AS n_events,
+        round(arg_min(value, k), 4) AS open,
+        round(arg_max(value, k), 4) AS close,
+        round(min(value), 4) AS low,
+        round(max(value), 4) AS high,
+        round(sum(cents) / 100.0 / count(*), 4) AS avg_value
+      FROM tdk GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
   /** B27b: value-RANGE window frame — the trailing-hour running sum per
     * user, framed by EVENT TIME (micros), not row count: a rows-frame is
     * wrong whenever arrival density varies (the 100 TB norm). Value in
@@ -2117,6 +2173,7 @@ object RelQueries {
     "win_distribution" -> winDistribution,
     "win_carry_forward" -> winCarryForward,
     "ts_gapfill" -> tsGapfill,
+    "ts_downsample" -> tsDownsample,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "scd2_build" -> scd2Build,

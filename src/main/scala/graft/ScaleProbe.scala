@@ -403,8 +403,10 @@ object ScaleProbe {
     "join_range_bucketed", "text_entropy", "sample_split",
     "corpus_length_histogram",
     // r18: the CCNet perplexity-tercile gate — its tercile window is a
-    // per-lang sort of ONE narrow row per doc, the shape to probe
-    "quality_perplexity")
+    // per-lang sort of ONE narrow row per doc, the shape to probe —
+    // and the OHLC hour-bucket downsample (one partial-agg groupBy
+    // over the replicated events table)
+    "quality_perplexity", "ts_downsample")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */
