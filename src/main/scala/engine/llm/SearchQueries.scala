@@ -2859,7 +2859,16 @@ object SearchQueries {
     // unmaterialized made every downstream consumer (the minhash
     // signature build, the index commit) re-execute that whole chain —
     // the segment parquet is the same verdict set already materialized,
-    // an O(batch) read (the minhashScreenBatch caller-read discipline)
+    // an O(batch) read (the minhashScreenBatch caller-read discipline).
+    // REPLAY-AFTER-FOLD corner (r18 review): if this batch id was
+    // folded by AppendTable.compact, readSegment returns empty — but so
+    // did the old lineage path (the folded store already contains this
+    // batch's digests, so v1's anti-join marks everything non-fresh):
+    // both formulations yield zero survivors there. The corner is
+    // unreachable for these callers — their stores are run-scoped
+    // (destroyed at run start) and nothing compacts mid-ingest; the
+    // AppendTable replay contract guards STORE integrity (no
+    // double-append), not per-batch survivor recovery.
     b.join(engine.stream.AppendTable
         .readSegment(b.sparkSession, dgStore, dgSchema, batchId)
         .filter(col("kept")).select(col("doc_id")),
@@ -2876,9 +2885,14 @@ object SearchQueries {
       sigSchema: org.apache.spark.sql.types.StructType)
       (exactKept: DataFrame, batchId: Long): Unit = {
     val sp = exactKept.sparkSession
+    // restore the ENCLOSING description, not null — nulling clobbered
+    // the caller's stage label for every job after a nested sub()
+    // (r18 review: the candidate join between probe and append lost
+    // its online:minhash attribution)
     def sub[T](tag: String)(body: => T): T = {
+      val prev = sp.sparkContext.getLocalProperty("spark.job.description")
       sp.sparkContext.setJobDescription(s"mh:$tag#$batchId")
-      try body finally sp.sparkContext.setJobDescription(null)
+      try body finally sp.sparkContext.setJobDescription(prev)
     }
     val sig = LlmQueries.minhashSignatures(exactKept, spread = false)
       .withColumn("bks", LlmQueries.bandKeys(col("g"))).persist()
@@ -2977,8 +2991,10 @@ object SearchQueries {
         // JobTimer autopsy split a trigger's cost by stage instead of
         // attributing everything to writeStream.start
         def stage[T](tag: String)(body: => T): T = {
+          val prev = sp.sparkContext
+            .getLocalProperty("spark.job.description")
           sp.sparkContext.setJobDescription(s"online:$tag#$batchId")
-          try body finally sp.sparkContext.setJobDescription(null)
+          try body finally sp.sparkContext.setJobDescription(prev)
         }
         try {
           // 1-2. exact + minhash screens (the shared stage helpers)

@@ -1395,10 +1395,20 @@ object RelQueries {
       // run-UUID suffix (r17 verdict item 7): a fixed path is a
       // destroy/commit/read race under concurrent harnesses — same
       // discipline as the scd2 checkpoint dir. The dir is tiny (one
-      // 5-row version) and /tmp-cleaned with the box.
+      // 5-row version), but it now lives on tmpfs (no age-based /tmp
+      // cleaning), so sweep SUPERSEDED generations here instead of
+      // leaking one per run (r18 review; the nanos_norm sweep
+      // discipline): age-guarded so a concurrent run's fresh dir — or
+      // one whose lazy result frame may still be reading — is left for
+      // a later sweep.
+      val gen = s"graft_merge_state_${san}_[0-9a-f-]{36}".r
+      val cutoff = System.currentTimeMillis - 10 * 60 * 1000L
+      Option(new java.io.File(engine.Core.scratchRoot).listFiles())
+        .foreach(_.filter(f => gen.pattern.matcher(f.getName).matches() &&
+            f.lastModified < cutoff)
+          .foreach(engine.stream.VersionedTable.destroy))
       val state = new java.io.File(
         s"${engine.Core.scratchRoot}/graft_merge_state_${san}_${java.util.UUID.randomUUID}")
-      engine.stream.VersionedTable.destroy(state) // the run IS the replay
       engine.stream.VersionedTable.commit(mergeFrame(s, d), state, 0L)
       engine.stream.VersionedTable.read(s, state)
         .getOrElse(sys.error(s"merge result missing at $state"))
@@ -1873,7 +1883,18 @@ object RelQueries {
       t(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           unix_micros(col("ts")).as("us"))
-        .withColumn("bucket", expr(s"us div $bucketUs"))
+        // FLOOR division via pmod, exact for any sign: Spark's `div`
+        // truncates toward zero while DuckDB's `//` floors, so a bare
+        // div would put a pre-epoch (us < 0) row in a different bucket
+        // per engine (r18 review; latent on the 2024-only testdata,
+        // pinned here so a future generation can't surface it).
+        // (us - pmod(us, b)) is exactly divisible by b, so the div is
+        // exact floor division. The lpad sort key below is likewise
+        // numeric-ordered only for us >= 0 — identically in BOTH
+        // engines (same expression), so open/close stay cross-engine
+        // deterministic even then, just not time-ordered pre-epoch.
+        .withColumn("bucket",
+          expr(s"(us - pmod(us, $bucketUs)) div $bucketUs"))
         .withColumn("k", concat(
           lpad(col("us").cast("string"), 20, "0"), lit("-"),
           lpad(col("event_id").cast("string"), 12, "0")))

@@ -196,7 +196,15 @@ object Bench {
     val (drift, driftError) = {
       val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out)
       try {
-        val flags = DriftCheck.check(DriftCheck.readQueries(prevPath),
+        val prevQ = DriftCheck.readQueries(prevPath)
+        // a READABLE-but-unparseable previous artifact (truncated
+        // mid-write) parses to an empty map without throwing — which
+        // would re-open exactly the fail-open hole the catch below
+        // closes (r18 review); a real bench artifact always has queries
+        if (prevQ.isEmpty)
+          throw new IllegalStateException(
+            s"previous bench artifact $prevPath parsed to an empty queries map")
+        val flags = DriftCheck.check(prevQ,
           results.map { case (k, v, _, _, _, _) => k -> v }.toMap)
         val adjudicated = flags.map { case (q, p, c, r) =>
           engine.ScratchCache.drainBuiltLog(): Unit

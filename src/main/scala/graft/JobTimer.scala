@@ -47,9 +47,13 @@ object JobTimer {
       // "conf:key=value" args set session conf between timed ops — the
       // knob sweep harness (e.g. trigger counts via the .mft confs)
       if (n.startsWith("conf:")) {
-        val Array(k, v) = n.stripPrefix("conf:").split("=", 2)
-        spark.conf.set(k, v)
-        println(s"CONF $k=$v")
+        n.stripPrefix("conf:").split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"CONF $k=$v")
+          case _ => // a valueless conf: arg must not abort the sweep
+            System.err.println(s"CONF ignored (no '='): $n")
+        }
       } else {
       stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()

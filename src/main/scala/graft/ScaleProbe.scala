@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * top-8 ops by committed 10× probe time, on a 30× corpus, written to
   * `scaleprobe30.json` with each op's t30/t10 ratio. The 15× gate at
   * 10× says nothing about the 100× trend for ops in the 11-14× band
-  * (r11 verdict); ~linear scaling predicts t30/t10 ≈ 3, so any ratio
-  * above [[FrontierFactor]] is flagged in the artifact and on stdout —
-  * verdict-visible, not a hard failure (absolute times at 30× carry
-  * proportionally more noise). */
+  * (r11 verdict); ~linear scaling predicts t30/t10 ≈ scale/10, so any
+  * ratio above the scale-proportional line ([[FrontierFactor]] ×
+  * scale/30 — 3.3 at 30×, 11.0 at 100×) is flagged in the artifact
+  * and on stdout — verdict-visible, not a hard failure (absolute
+  * times at larger scales carry proportionally more noise). */
 object ScaleProbe {
   /** Loose on purpose: ~constant-factor noise passes, O(n²) does not. */
   val RegressionFactor = 15.0
@@ -208,10 +209,11 @@ object ScaleProbe {
     usFlags.foreach { case (q, p, c, r) =>
       println(f"SCALE US_PER_ROW DRIFT $q: $p%.2f -> $c%.2f us/row ($r%.1fx)")
     }
-    // scale-aware flag line: linear = scale/10 with the same 10% slack
-    // FrontierFactor encodes at 30× (1.1 × 3.0 = 3.3); at 100× linear
-    // is 10.0, so the 30× constant would flag every perfectly-linear op
-    val flagFactor = 1.1 * scale / 10.0
+    // scale-aware flag line derived FROM the documented 30× anchor
+    // (FrontierFactor × scale/30 ≡ 1.1 × linear): at 100× linear is
+    // 10.0, so the bare 30× constant would flag every perfectly-linear
+    // op; deriving keeps the constant live instead of dead-and-stale
+    val flagFactor = FrontierFactor * scale / 30.0
     val rowsNow = results.map { case (q, _, c) => q -> c }.toMap
     val flagged = if (scale == 10) Nil
       else results.flatMap { case (q, sec, c) =>
@@ -276,8 +278,14 @@ object ScaleProbe {
           case (q, p) if results.exists(_._1 == q) =>
             s""""$q": "$p"""" }.mkString(" \"growth_proxy\": {", ", ", "},")
           match { case " \"growth_proxy\": {}," => ""; case s0 => s0 }) +
-        s""" "us_per_row_flagged": [${
-          usFlags.map("\"" + _._1 + "\"").mkString(", ")}],""" +
+        // cross-round band field ONLY where the band actually ran
+        // (scale 10, full roster): an unconditional `[]` at 30×/100×
+        // read as "band clean" when the band never executed — the
+        // empty-map-means-clean fail-open this round's bench
+        // drift_error fix exists to prevent (r18 review)
+        (if (scale != 10 || opsOverride.nonEmpty) ""
+         else s""" "us_per_row_flagged": [${
+           usFlags.map("\"" + _._1 + "\"").mkString(", ")}],""") +
         (if (knngRecall.isEmpty) ""
          else knngRecall.map { case (k, r) => f""""k$k": $r%.3f""" }
            .mkString(" \"knng_recall\": {", ", ", "},")) +

@@ -176,9 +176,14 @@ class StreamSourceSpec extends AnyFunSuite {
   test("maintenance_compact collapses the fragmented layout 64 -> 4 files") {
     graft.SparkEntry.queries("maintenance_compact")(
       spark, "/root/testdata/sf0.001").collect()
-    def parts(p: String) = new java.io.File(p).listFiles()
+    // the op's scratch dirs follow engine.Core.scratchRoot (r18) — a
+    // hardcoded /tmp here NPE'd on a fresh box and false-passed against
+    // stale pre-scratchRoot artifacts on a dev box (r18 review)
+    def parts(p: String) = Option(new java.io.File(
+        s"${engine.Core.scratchRoot}/$p").listFiles())
+      .getOrElse(Array.empty)
       .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-    assert(parts("/tmp/graft_frag_v1__root_testdata_sf0_001") == 64)
-    assert(parts("/tmp/graft_compacted__root_testdata_sf0_001") == 4)
+    assert(parts("graft_frag_v1__root_testdata_sf0_001") == 64)
+    assert(parts("graft_compacted__root_testdata_sf0_001") == 4)
   }
 }
