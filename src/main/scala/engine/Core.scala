@@ -34,10 +34,15 @@ object Core {
     * doesn't control; data corpora (testdata, the probes' scaled
     * replicas) stay on disk — they are the workload, not the engine.
     * Capacity: every store here is MBs at bench SFs and destroyed or
-    * UUID-scoped per run; /dev/shm is 126 GiB on this box. */
+    * UUID-scoped per run; /dev/shm is 126 GiB on this box — but a
+    * container-default /dev/shm is 64 MB, which would ENOSPC the first
+    * store fold, so tmpfs is only preferred when it has real headroom
+    * (≥ 2 GiB usable; r18 advisor). Streaming checkpoint dirs route
+    * through here too, so SPARK_GRAFT_SCRATCH covers ALL engine state. */
   lazy val scratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
+    val minUsable = 2L << 30
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minUsable) {
       val d = new java.io.File(shm, "graft")
       d.mkdirs()
       d.getPath
@@ -229,6 +234,22 @@ object Core {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Register a scratch dir for deletion when the owning SparkSession's
+    * context stops. For run-UUID-scoped state dirs whose RESULT frame is
+    * lazy (a parquet scan of the dir): the dir can't be destroyed inside
+    * the query builder — the caller hasn't executed the plan yet — but
+    * must not leak on tmpfs either (no OS aging there; r18 advisor on
+    * merge_into). Session stop is the first point the engine knows no
+    * plan can still read the dir. Idempotent per dir; the age-guarded
+    * sibling sweeps stay as backstop for crashed JVMs. */
+  def cleanupAtSessionStop(spark: SparkSession, dir: java.io.File): Unit =
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          deleteRecursively(dir)
+      })
 
   /** Per-published-directory JVM monitors: `FileChannel.lock` throws
     * OverlappingFileLockException when two threads of ONE JVM contend for

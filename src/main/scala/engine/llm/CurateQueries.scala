@@ -873,6 +873,59 @@ object CurateQueries {
       FROM documents d JOIN rdt USING (doc_id)
       GROUP BY d.lang ORDER BY d.lang"""))
 
+  // ------------------------------------------- tokenize_vocab_coverage
+  /** VOCABULARY COVERAGE / OOV-RATE DATA CARD — the per-language report
+    * a fixed-vocabulary deployment reads before shipping: with the
+    * vocabulary pinned to the top-K corpus terms, what fraction of each
+    * language's running tokens falls OUT of vocabulary, and how many
+    * distinct types that tail holds. High OOV for one language is the
+    * classic tokenizer-equity failure (that language's text degrades
+    * to fallback handling); the metric is the complement of
+    * [[tokenizeReport]]'s fertility view — coverage of a closed vocab
+    * rather than cost under an open (BPE) one. K = 16 against the
+    * ~30-type testdata vocabulary so both sides of the cut are
+    * populated; the cut key (count DESC, term ASC) is total, so the
+    * vocabulary is deterministic under count ties.
+    *
+    * Shape at 100 TB: term counts are one partial-agg groupBy at
+    * vocabulary (not corpus) cardinality; the vocab itself is a
+    * top-K sort-limit of that model-sized table, broadcast back
+    * against the single corpus token pass; the report is a ≤|langs|-row
+    * integer-sum aggregate. OOV rate is an exact integer ratio, r4 at
+    * projection. */
+  private val tokenizeVocabCoverage = Q(
+    (s, d) => {
+      val th = docs(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      val vocab = th.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(16)
+        .select(col("term"), lit(1).as("iv"))
+      th.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("iv").isNull, 1)).as("n_oov_tokens"),
+          countDistinct(when(col("iv").isNull, col("term")))
+            .as("n_oov_types"))
+        .withColumn("oov_rate",
+          Core.r4(col("n_oov_tokens").cast("double") / col("n_tokens")))
+        .orderBy("lang")
+    },
+    Some("""WITH vth AS (SELECT lang,
+               unnest(string_split(text, ' ')) AS term FROM documents),
+      vcnt AS (SELECT term, count(*) AS cnt FROM vth GROUP BY term),
+      vvoc AS (SELECT term, 1 AS iv FROM vcnt
+               ORDER BY cnt DESC, term LIMIT 16)
+      SELECT t.lang, count(*) AS n_tokens,
+        count(CASE WHEN v.iv IS NULL THEN 1 END) AS n_oov_tokens,
+        count(DISTINCT CASE WHEN v.iv IS NULL THEN t.term END)
+          AS n_oov_types,
+        round(count(CASE WHEN v.iv IS NULL THEN 1 END)::DOUBLE
+          / count(*), 4) AS oov_rate
+      FROM vth t LEFT JOIN vvoc v USING (term)
+      GROUP BY t.lang ORDER BY t.lang"""))
+
   // ------------------------------------------------- embedding_dim_stats
   /** EMBEDDING QA — per-dimension distribution stats (mean, std,
     * min/max, zero count): the health check run before any embedding
@@ -2598,6 +2651,7 @@ object CurateQueries {
     "tokenize_bpe_apply" -> tokenizeBpeApply,
     "tokenize_decode" -> tokenizeDecode,
     "tokenize_report" -> tokenizeReport,
+    "tokenize_vocab_coverage" -> tokenizeVocabCoverage,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_dim_stats" -> embeddingDimStats,
     "embedding_pq" -> embeddingPq,

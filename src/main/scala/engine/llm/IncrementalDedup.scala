@@ -139,8 +139,7 @@ object IncrementalDedup {
             store, batchId, Some(LlmQueries.bandKeyBloom))
         } finally { sig.unpersist(); () }
       }
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_incr_${java.util.UUID.randomUUID}")
       // a trigger's frames are batch-sized (corpus/3); 8-way exchanges
       // inside the merge cut per-batch task overhead 4x vs the session's
@@ -255,8 +254,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, train,
         s"decondocs_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_decon_${java.util.UUID.randomUUID}")
       val screenBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
@@ -421,8 +419,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"incrvecs_$san", orderedBy = Some("vec_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_incrvec_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {
@@ -521,8 +518,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"incrdg_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_incrdg_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {
@@ -587,8 +583,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"driftincr_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_driftincr_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {
@@ -698,8 +693,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"cardincr_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_cardincr_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {
@@ -864,8 +858,7 @@ object IncrementalDedup {
       val src = engine.stream.StreamQueries.asFileStream(s, li0,
         s"qsincr_$san", orderedBy = Some("rid"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm")
-          .isDirectory) "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_qsincr_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {

@@ -2442,9 +2442,15 @@ object LlmQueries {
       val wl = Window.partitionBy(col("lang"))
       val r = rank().over(wl.orderBy(col("score_micro"))) - lit(1)
       val m = count(lit(1)).over(wl) - lit(1)
+      // singleton-lang guard (r18 advisor): with one doc, m = 0 makes
+      // both tercile predicates false and the lang's ONLY document
+      // would land in 'tail' with kept = false — a relative cut has no
+      // distribution to rank against, so the sole representative of a
+      // language must be kept, not dropped. Same special case in the
+      // oracle SQL below.
       scored
         .withColumn("bucket",
-          when(lit(3) * r < m, lit("head"))
+          when(m === 0 || lit(3) * r < m, lit("head"))
             .when(lit(3) * r < lit(2) * m, lit("middle"))
             .otherwise(lit("tail")))
         .withColumn("kept", col("bucket") =!= lit("tail"))
@@ -2465,10 +2471,10 @@ object LlmQueries {
                count(*) OVER (PARTITION BY lang) - 1 AS m
               FROM qsc)
       SELECT doc_id, lang, n_tokens, score_micro,
-        CASE WHEN 3 * r < m THEN 'head'
+        CASE WHEN m = 0 OR 3 * r < m THEN 'head'
              WHEN 3 * r < 2 * m THEN 'middle'
              ELSE 'tail' END AS bucket,
-        (3 * r < 2 * m) AS kept
+        (m = 0 OR 3 * r < 2 * m) AS kept
       FROM qrk ORDER BY doc_id"""))
 
   /** INTERPOLATED BIGRAM LM surprisal — the CCNet-style statistical-LM
@@ -2901,8 +2907,7 @@ object LlmQueries {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"annq_$san", orderedBy = Some("vec_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_annprobe_${java.util.UUID.randomUUID}")
       val serveBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)

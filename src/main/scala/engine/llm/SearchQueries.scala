@@ -1965,8 +1965,7 @@ object SearchQueries {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"knngincr_$san", orderedBy = Some("vec_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_knngincr_${java.util.UUID.randomUUID}")
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
@@ -2511,8 +2510,7 @@ object SearchQueries {
       val src = engine.stream.StreamQueries.asFileStream(s, src0,
         s"bm25q_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_bm25probe_${java.util.UUID.randomUUID}")
       val serveBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         engine.stream.AppendTable.append(probe(batch), resRoot, batchId)
@@ -3028,8 +3026,7 @@ object SearchQueries {
       val src = engine.stream.StreamQueries.asFileStream(s, corpus,
         s"online_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm")
-        .isDirectory) "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_online_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {
@@ -3213,8 +3210,7 @@ object SearchQueries {
       val src = engine.stream.StreamQueries.asFileStream(s, corpus,
         s"onlineh_$san", orderedBy = Some("doc_id"),
         maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm")
-        .isDirectory) "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_onlineh_${java.util.UUID.randomUUID}")
       try {
         engine.stream.StreamQueries.withMicroBatchConfs(s) {

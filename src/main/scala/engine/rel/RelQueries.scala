@@ -1409,6 +1409,12 @@ object RelQueries {
           .foreach(engine.stream.VersionedTable.destroy))
       val state = new java.io.File(
         s"${engine.Core.scratchRoot}/graft_merge_state_${san}_${java.util.UUID.randomUUID}")
+      // the result frame below is a lazy scan of `state`, so the dir
+      // can't be destroyed here; register it for session-stop cleanup
+      // (first point no plan can still read it) so tight-loop runs
+      // don't accumulate one dir each until the 10-min sweep above
+      // (r18 advisor) — the sweep stays as crashed-JVM backstop.
+      engine.Core.cleanupAtSessionStop(s, state)
       engine.stream.VersionedTable.commit(mergeFrame(s, d), state, 0L)
       engine.stream.VersionedTable.read(s, state)
         .getOrElse(sys.error(s"merge result missing at $state"))
@@ -1924,6 +1930,145 @@ object RelQueries {
         round(sum(cents) / 100.0 / count(*), 4) AS avg_value
       FROM tdk GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  // ---------------------------------------------------- B27f ts_anomaly
+  /** B27f: ROLLING Z-SCORE ANOMALY FLAGS — the telemetry QA gate every
+    * metrics pipeline runs before alerting/training on the stream: each
+    * event is scored against the trailing-6h distribution of its OWN
+    * series (event_type), and flagged when it sits more than 3σ from
+    * that baseline. The baseline frame EXCLUDES the current row (a
+    * spike must not dilute the very baseline that judges it) and needs
+    * ≥ 12 points to be trusted — sparser frames yield z = NULL, never
+    * a flag.
+    *
+    * Float discipline: the frame aggregates are exact integer sums of
+    * cents and cents² (order-free, overflow-safe by ~5 decimal orders
+    * at this data's density), and the FLAG is pure integer arithmetic —
+    * |z| > 3  ⇔  dev² > 9·varn2 with dev = c·n − s1, varn2 = n·s2 − s1²
+    * (both engine-exact), so kept/flagged can never straddle a float
+    * rounding seam. The reported z = dev/√varn2 is derived from those
+    * same exact integers (√ and ÷ are IEEE-portable), r4 at projection.
+    *
+    * Shape at 100 TB: one range-frame window per series, keyed by the
+    * series id — the standard telemetry layout where series cardinality
+    * (metric × host × …, millions in production; event_type here is
+    * the 5-way testdata stand-in) is the parallelism unit. RANGE frames
+    * on the integer event-time key are tie-safe by construction: frame
+    * membership depends only on `us` values, never partition order. A
+    * low-cardinality deployment would pre-fold per-minute (s1, s2, n)
+    * bucket partials and frame over buckets — same exact-integer
+    * algebra, O(buckets) per series. */
+  private val tsAnomaly = Q(
+    (s, d) => {
+      val fr = Window.partitionBy(col("event_type")).orderBy(col("us"))
+        .rangeBetween(-21600000000L, -1) // trailing 6h, current row excluded
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .withColumn("n", count(col("c")).over(fr))
+        .withColumn("s1", coalesce(sum(col("c")).over(fr), lit(0L)))
+        .withColumn("s2",
+          coalesce(sum(col("c") * col("c")).over(fr), lit(0L)))
+      val dev = col("c") * col("n") - col("s1")
+      val varn2 = col("n") * col("s2") - col("s1") * col("s1")
+      base
+        .withColumn("z",
+          when(col("n") >= 12 && varn2 > 0,
+            r4(dev.cast("double") / sqrt(varn2.cast("double")))))
+        .withColumn("is_anomaly",
+          col("n") >= 12 && varn2 > 0 && dev * dev > lit(9L) * varn2)
+        .select(col("event_id"), col("event_type"), col("n").as("n_win"),
+          col("z"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+    Some("""WITH tae AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      taw AS (SELECT event_id, event_type, c,
+               count(c) OVER fr AS n,
+               coalesce(sum(c) OVER fr, 0)::BIGINT AS s1,
+               coalesce(sum(c * c) OVER fr, 0)::BIGINT AS s2
+             FROM tae WINDOW fr AS (PARTITION BY event_type ORDER BY us
+               RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, event_type, n AS n_win,
+        CASE WHEN n >= 12 AND n * s2 - s1 * s1 > 0
+             THEN round((c * n - s1)::DOUBLE
+               / sqrt((n * s2 - s1 * s1)::DOUBLE), 4) END AS z,
+        (n >= 12 AND n * s2 - s1 * s1 > 0 AND
+          (c * n - s1) * (c * n - s1) > 9 * (n * s2 - s1 * s1))
+          AS is_anomaly
+      FROM taw ORDER BY event_id"""))
+
+  // ----------------------------------------------- B27g ts_interval_union
+  /** B27g: INTERVAL UNION / COVERAGE — merge each user's overlapping
+    * event-effect intervals into maximal covered spans (the
+    * billing/uptime/ad-exposure primitive): every event opens a window
+    * whose length depends on its type (view 5 min … purchase 60 min),
+    * and the deliverable is the per-user list of MERGED intervals plus
+    * what each one covers. Distinct from [[winSessionize]]: gap-based
+    * sessions are the equal-duration special case — with per-type
+    * durations an interval can outlast several shorter ones that start
+    * after it, which a gap rule mis-splits.
+    *
+    * The classic one-pass formulation: sort each user's events by
+    * (start, id), carry the running max end over STRICTLY PRECEDING
+    * rows, open a new group exactly when the current start clears it,
+    * and the group id is the running count of opens — two ROWS-frame
+    * windows over a unique sort key and one groupBy, all integer
+    * micros, no self-join. Merged end = max(end) within the group
+    * (any chain that overlaps keeps extending the max).
+    *
+    * Shape at 100 TB: both windows and the groupBy share ONE hash
+    * partitioning on user_id — a single shuffle of (user, us, dur)
+    * triples; per-user sort is the unavoidable core of interval union
+    * and exactly what a range-partitioned sort-merge handles. */
+  private val tsIntervalUnion = Q(
+    (s, d) => {
+      val durUs = when(col("event_type") === "view", 300L)
+        .when(col("event_type") === "click", 900L)
+        .when(col("event_type") === "error", 600L)
+        .when(col("event_type") === "signup", 1800L)
+        .otherwise(3600L) * 1000000L
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("end_us", col("us") + durUs)
+        .withColumn("opens",
+          when(col("us") > coalesce(max(col("end_us")).over(wPrev),
+            lit(Long.MinValue)), 1L).otherwise(0L))
+        .withColumn("interval_seq", sum(col("opens")).over(wRun))
+        .groupBy(col("user_id"), col("interval_seq"))
+        .agg(min(col("us")).as("start_us"),
+          max(col("end_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("covered_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "interval_seq")
+    },
+    Some("""WITH tie AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+               epoch_us(ts) + 1000000::BIGINT * CASE event_type
+                 WHEN 'view' THEN 300 WHEN 'click' THEN 900
+                 WHEN 'error' THEN 600 WHEN 'signup' THEN 1800
+                 ELSE 3600 END AS end_us
+             FROM events),
+      tio AS (SELECT *, CASE WHEN us > coalesce(max(end_us) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -9223372036854775808) THEN 1 ELSE 0 END AS opens
+             FROM tie),
+      tig AS (SELECT *, (sum(opens) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                 AS interval_seq
+             FROM tio)
+      SELECT user_id, interval_seq, min(us) AS start_us,
+        max(end_us) AS end_us, count(*) AS n_events,
+        max(end_us) - min(us) AS covered_us
+      FROM tig GROUP BY user_id, interval_seq
+      ORDER BY user_id, interval_seq"""))
+
   /** B27b: value-RANGE window frame — the trailing-hour running sum per
     * user, framed by EVENT TIME (micros), not row count: a rows-frame is
     * wrong whenever arrival density varies (the 100 TB norm). Value in
@@ -2195,6 +2340,8 @@ object RelQueries {
     "win_carry_forward" -> winCarryForward,
     "ts_gapfill" -> tsGapfill,
     "ts_downsample" -> tsDownsample,
+    "ts_anomaly" -> tsAnomaly,
+    "ts_interval_union" -> tsIntervalUnion,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "scd2_build" -> scd2Build,

@@ -121,8 +121,7 @@ object StreamQueries {
       mode: String = "append", noDataBatches: Boolean = true,
       statePartitions: Option[Int] = None): DataFrame = {
     spark.catalog.dropTempView(name) // tolerate re-runs within a session
-    val ckRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-      else System.getProperty("java.io.tmpdir")
+    val ckRoot = engine.Core.scratchRoot
     val ck = new java.io.File(
       s"$ckRoot/graft_ckpt_${name}_${java.util.UUID.randomUUID}")
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -526,8 +525,7 @@ object StreamQueries {
             expr("max_by(value, event_id)").as("last_value"))
         VersionedTable.commit(up, state, batchId)
       }
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_upsert_${java.util.UUID.randomUUID}")
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
@@ -595,8 +593,7 @@ object StreamQueries {
           .filter(col("r") <= TopKDepth).drop("r")
         VersionedTable.commit(top, state, batchId)
       }
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_topk_${java.util.UUID.randomUUID}")
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
@@ -676,8 +673,7 @@ object StreamQueries {
             expr("max_by(value, seq)").as("value"))
         VersionedTable.commit(up, state, batchId)
       }
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_cdc_${java.util.UUID.randomUUID}")
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit
@@ -814,8 +810,7 @@ object StreamQueries {
       // ts-monotone-in-event_id invariant
       val src = asFileStream(s, src0, s"scd2v2_$san",
         orderedBy = Some("tu,event_id"), maxFilesPerTrigger = Some(mft))
-      val ck = new java.io.File((if (new java.io.File("/dev/shm").isDirectory)
-        "/dev/shm" else "/tmp") +
+      val ck = new java.io.File(engine.Core.scratchRoot +
         s"/graft_ckpt_scd2_${java.util.UUID.randomUUID}")
       def rmCk(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmCk)); f.delete(): Unit

@@ -282,8 +282,15 @@ object ScaleProbe {
         // (scale 10, full roster): an unconditional `[]` at 30×/100×
         // read as "band clean" when the band never executed — the
         // empty-map-means-clean fail-open this round's bench
-        // drift_error fix exists to prevent (r18 review)
+        // drift_error fix exists to prevent (r18 review). Same hole
+        // one level down (r18 advisor): a MISSING/unparseable previous
+        // artifact makes prevProbeUs empty, usFlags vacuously empty,
+        // and `[]` would still read as "band clean" — emit an explicit
+        // probe_band_error marker instead, mirroring the bench's
+        // drift_error fail-closed.
         (if (scale != 10 || opsOverride.nonEmpty) ""
+         else if (prevProbeUs.isEmpty)
+           s""" "probe_band_error": "previous 10x artifact missing or unparseable - cross-round us_per_row band did NOT run","""
          else s""" "us_per_row_flagged": [${
            usFlags.map("\"" + _._1 + "\"").mkString(", ")}],""") +
         (if (knngRecall.isEmpty) ""
@@ -378,7 +385,8 @@ object ScaleProbe {
     // corpus) and its cost is trigger-count-dominated, not plan-bound
     "search_phrase", "search_mlt", "sim_knn_graph",
     "search_passage", "corpus_report_incremental", "graph_pagerank",
-    "tokenize_report", "sample_quality_topk", "search_autocomplete",
+    "tokenize_report", "tokenize_vocab_coverage", "sample_quality_topk",
+    "search_autocomplete",
     // r15 additions: the IVF posting-store fold (vector twin of
     // maintenance_index_compact), contrastive hard-negative mining,
     // snippet generation

@@ -1,0 +1,131 @@
+package engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import gps.TestSpark
+
+/** Behavior pins for the round-19 time-series QA operators (SURVEY.md §2
+  * B27f/B27g): brute-force recomputes from the raw events so the window
+  * formulations can never silently change frame bounds, tie rules, or the
+  * integer flag algebra. sf0.001 is sparse enough that ts_anomaly's n ≥ 12
+  * baseline gate yields zero flags there — the non-degenerate regime
+  * (341 anomalies at sf0.01) is pinned by the oracle gate; these tests pin
+  * the MECHANISM on the small fixture plus hand-built frames.
+  */
+class RelTsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ts_anomaly matches the brute per-event trailing-6h recompute " +
+      "(exclusive current row), and flag == (|z| > 3) wherever z exists") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byType = ev.groupBy(_._2)
+    val got = graft.SparkEntry.queries("ts_anomaly")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))))
+      .toMap
+    assert(got.size == ev.length)
+    ev.foreach { case (id, tp, us, c) =>
+      val frame = byType(tp).filter(e =>
+        e._3 >= us - 21600000000L && e._3 <= us - 1)
+      val n = frame.length.toLong
+      val s1 = frame.map(_._4).sum
+      val s2 = frame.map(e => e._4 * e._4).sum
+      val varn2 = n * s2 - s1 * s1
+      val (gn, gz, gflag) = got(id)
+      assert(gn == n, s"event $id n_win")
+      if (n >= 12 && varn2 > 0) {
+        val dev = c * n - s1
+        val z = dev.toDouble / math.sqrt(varn2.toDouble)
+        assert(gz.isDefined && math.abs(gz.get - z) < 5e-4, s"event $id z")
+        assert(gflag == (dev * dev > 9L * varn2), s"event $id flag")
+        assert(gflag == (math.abs(z) > 3.0) ||
+          math.abs(math.abs(z) - 3.0) < 1e-9, s"event $id flag==|z|>3")
+      } else {
+        assert(gz.isEmpty && !gflag, s"event $id sparse frame must not flag")
+      }
+    }
+  }
+
+  test("ts_interval_union: intervals are disjoint, ordered, cover every " +
+      "event, and match the brute sweep-line merge") {
+    val durOf = Map("view" -> 300L, "click" -> 900L, "error" -> 600L,
+      "signup" -> 1800L).withDefaultValue(3600L)
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3),
+        r.getLong(3) + durOf(r.getString(2)) * 1000000L))
+    // brute: per user, sort by start (ties irrelevant to the merged
+    // geometry), sweep and merge on overlap-or-touch (us <= maxEnd)
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toList
+      val merged = sorted.drop(1).foldLeft(
+        List((sorted.head._2, sorted.head._3, 1L))) {
+        case (acc @ ((s0, e0, k) :: rest), (_, st, en)) =>
+          if (st <= e0) (s0, math.max(e0, en), k + 1) :: rest
+          else (st, en, 1L) :: acc
+        case (Nil, _) => Nil
+      }.reverse
+      merged.zipWithIndex.map { case ((st, en, k), i) =>
+        (u, i + 1L) -> ((st, en, k)) }
+    }
+    val got = graft.SparkEntry.queries("ts_interval_union")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (key, (st, en, k)) =>
+      val (gs, ge, gk) = got(key)
+      assert((gs, ge, gk) == ((st, en, k)), s"interval $key")
+    }
+    // geometry invariants: within a user, intervals strictly ordered and
+    // separated by a real gap (else they would have merged)
+    got.toSeq.groupBy(_._1._1).foreach { case (_, ivs) =>
+      ivs.sortBy(_._1._2).sliding(2).foreach {
+        case Seq((_, (_, e1, _)), (_, (s2, _, _))) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
+  test("tokenize_vocab_coverage: vocab is the top-16 (count, term) cut; " +
+      "per-lang token counts and OOV rate match the brute recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toSeq)
+    val cnt = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(16).map(_._1).toSet
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.filterNot(vocab)
+      lang -> ((toks.size.toLong, oov.size.toLong,
+        oov.distinct.size.toLong))
+    }
+    val got = graft.SparkEntry.queries("tokenize_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (lang, (nt, noov, ntypes)) =>
+      val (gt, goov, gtypes, grate) = got(lang)
+      assert((gt, goov, gtypes) == ((nt, noov, ntypes)), s"lang $lang")
+      assert(math.abs(grate - noov.toDouble / nt) < 5e-4, s"lang $lang rate")
+      assert(goov > 0 && goov < gt,
+        s"lang $lang: both sides of the vocab cut must be populated")
+    }
+  }
+}
