@@ -822,6 +822,69 @@ object IncrementalDedup {
         4::BIGINT AS seg_before, 1::BIGINT AS seg_after
       FROM documents ORDER BY doc_id"""))
 
+  // ------------------------------------------- maintenance_purge_keys
+  /** KEY RETRACTION / RIGHT-TO-BE-FORGOTTEN — the deletion pass a
+    * long-lived corpus store owes its upstream: a takedown or privacy
+    * request names doc ids, and every row under those ids must leave
+    * the store — surgically, not by rewriting the archive. This op
+    * replays a 3-append doc_id-range ingest into an
+    * [[engine.stream.AppendTable]] with `doc_id` Bloom sidecars, purges
+    * the ids `doc_id % 7 = 0` drawn from the FIRST range only, and
+    * emits the post-purge store: [[engine.stream.AppendTable.purgeKeys]]
+    * proves its sidecar pruning by rewriting exactly ONE of the three
+    * segments (the counts ride every row — any non-pruned
+    * implementation would read 3/3 and any wrong anti-join would break
+    * the row hash).
+    *
+    * Shape at 100 TB: purge cost is O(segments holding the keys), not
+    * O(store) — the sidecar test touches bytes proportional to segment
+    * COUNT, the rewrite touches only hit segments, and the manifest
+    * swap is one atomic rename. The `#folded:` high-water fold keeps a
+    * crash-recovery replay of a purged batch from resurrecting the
+    * deleted rows — the correctness edge deletion adds to an
+    * idempotent-append log. */
+  private val maintenancePurgeKeys = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = new java.io.File(
+        s"${engine.Core.scratchRoot}/graft_purge_store_$san")
+      engine.stream.AppendTable.destroy(store) // fresh replay
+      def sigOf(batch: DataFrame): DataFrame = batch
+        .select(col("doc_id"),
+          coalesce(md5(lower(trim(col("text")))), lit("<null-text>"))
+            .as("dg"))
+      val src0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val storeSchema = sigOf(src0.limit(0)).schema
+      val maxId = src0.agg(max(col("doc_id"))).head.getLong(0)
+      (0 until 3).foreach { i =>
+        val lo = (maxId + 1) * i / 3
+        val hi = (maxId + 1) * (i + 1) / 3
+        engine.stream.AppendTable.append(
+          sigOf(src0.filter(col("doc_id") >= lo && col("doc_id") < hi)),
+          store, i.toLong,
+          Some(engine.stream.BloomSpec.column("doc_id")))
+      }
+      val cut = (maxId + 1) / 3
+      val purgeIds = src0
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < cut)
+        .select(col("doc_id"))
+      val (rewritten, total) = engine.stream.AppendTable.purgeKeys(
+        s, store, storeSchema, "doc_id", purgeIds,
+        Some(engine.stream.BloomSpec.column("doc_id")))
+      engine.stream.AppendTable.read(s, store, storeSchema)
+        .select(col("doc_id"), col("dg"),
+          lit(rewritten).cast("long").as("segs_rewritten"),
+          lit(total).cast("long").as("segs_total"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        coalesce(md5(lower(trim(text))), '<null-text>') AS dg,
+        1::BIGINT AS segs_rewritten, 3::BIGINT AS segs_total
+      FROM documents
+      WHERE NOT (doc_id % 7 = 0 AND
+        doc_id < (SELECT (max(doc_id) + 1) // 3 FROM documents))
+      ORDER BY doc_id"""))
+
   /** The QUANTILE SKETCH maintained ONLINE — agg_quantile_sketch as a
     * cross-run fold, PROVING the mergeability claim that op ships on:
     * the bin grid is a pre-declared calibration artifact (min/max of
@@ -922,6 +985,7 @@ object IncrementalDedup {
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental,
     "dedup_exact_incremental" -> dedupExactIncremental,
     "maintenance_store_compact" -> maintenanceStoreCompact,
+    "maintenance_purge_keys" -> maintenancePurgeKeys,
     "corpus_report_incremental" -> corpusReportIncremental,
     "corpus_drift_incremental" -> corpusDriftIncremental,
     "quantile_sketch_incremental" -> quantileSketchIncremental)

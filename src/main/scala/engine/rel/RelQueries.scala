@@ -1930,6 +1930,64 @@ object RelQueries {
         round(sum(cents) / 100.0 / count(*), 4) AS avg_value
       FROM tdk GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  // ----------------------------------------------------- B26b win_streaks
+  /** B26b: ACTIVITY STREAKS (gaps-and-islands) — per user, the runs of
+    * CONSECUTIVE active calendar days and the engagement summary every
+    * retention dashboard carries: active-day count, streak count,
+    * longest streak and when it started. The classic islands
+    * construction: over each user's DISTINCT activity dates,
+    * `date − row_number` is constant exactly within a consecutive run
+    * (both step by one day), so it IS the island key — one window, one
+    * groupBy, no self-join, no recursion.
+    *
+    * Longest-streak selection is a total order (length DESC, start
+    * ASC), so ties pick the earliest streak deterministically in both
+    * engines — `min(struct(−len, start))` here, the same ORDER BY under
+    * a row_number in the oracle.
+    *
+    * Shape at 100 TB: the distinct, both windows, and both groupBys all
+    * cluster on user_id — ONE hash partitioning serves the whole chain
+    * (the islands frame is |active days| ≪ |events| rows after the
+    * per-day distinct, which itself partial-aggregates map-side). */
+  private val winStreaks = Q(
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val islands = days
+        .withColumn("grp",
+          date_sub(col("day"),
+            row_number().over(byUser.orderBy(col("day")))))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("s"))
+      islands
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"),
+          date_format(
+            min(struct((-col("len")).as("nl"), col("s").as("s")))
+              .getField("s"), "yyyy-MM-dd").as("max_streak_start"))
+        .orderBy("user_id")
+    },
+    Some("""WITH wsd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+      wsi AS (SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY day) AS INTEGER) AS grp
+             FROM wsd),
+      wst AS (SELECT user_id, grp, count(*) AS len, min(day) AS s
+             FROM wsi GROUP BY 1, 2),
+      wsb AS (SELECT user_id, s FROM wst
+             QUALIFY row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, s) = 1)
+      SELECT t.user_id, sum(t.len)::BIGINT AS n_active_days,
+        count(*) AS n_streaks, max(t.len)::BIGINT AS max_streak,
+        strftime(any_value(b.s), '%Y-%m-%d') AS max_streak_start
+      FROM wst t JOIN wsb b USING (user_id)
+      GROUP BY t.user_id ORDER BY t.user_id"""))
+
   // ---------------------------------------------------- B27f ts_anomaly
   /** B27f: ROLLING Z-SCORE ANOMALY FLAGS — the telemetry QA gate every
     * metrics pipeline runs before alerting/training on the stream: each
@@ -2342,6 +2400,7 @@ object RelQueries {
     "ts_downsample" -> tsDownsample,
     "ts_anomaly" -> tsAnomaly,
     "ts_interval_union" -> tsIntervalUnion,
+    "win_streaks" -> winStreaks,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,
     "scd2_build" -> scd2Build,

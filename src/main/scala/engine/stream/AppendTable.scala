@@ -183,9 +183,31 @@ object AppendTable {
     * never do. */
   def readPruned(spark: SparkSession, root: java.io.File,
       schema: StructType, key: String, probe: DataFrame): PrunedRead = {
-    import org.apache.spark.sql.functions.col
     val segs = segments(root)
     if (segs.isEmpty) return PrunedRead(read(spark, root, schema), 0, 0)
+    val (hit, bare) = bloomCandidates(spark, root, segs, key, probe)
+    val chosen = segs.filter(sg => hit.contains(sg) || bare.contains(sg))
+    val df =
+      if (chosen.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else
+        spark.read.schema(schema)
+          .parquet(chosen.map(s => new java.io.File(root, s).getPath): _*)
+    PrunedRead(df, chosen.size, segs.size)
+  }
+
+  /** Sidecar membership test shared by [[readPruned]] and [[purgeKeys]]:
+    * (segments whose Bloom might contain a probe key, segments with no
+    * sidecar — always candidates). The test is distributed: serialized
+    * sidecars broadcast to the probe's partitions, each partition
+    * short-circuits a sidecar once hit, and only the hit-index set
+    * (bounded by the segment count) returns to the driver — the probe
+    * keys themselves never do. */
+  private def bloomCandidates(spark: SparkSession, root: java.io.File,
+      segs: Seq[String], key: String,
+      probe: DataFrame): (Set[String], Set[String]) = {
+    import org.apache.spark.sql.functions.col
     val (withB, bare) = segs.partition(bloomFile(root, _, key).isFile)
     val hit: Set[String] =
       if (withB.isEmpty) Set.empty
@@ -220,15 +242,63 @@ object AppendTable {
           idx.map(withB).toSet
         } finally bc.destroy()
       }
-    val chosen = segs.filter(sg => hit.contains(sg) || bare.contains(sg))
-    val df =
-      if (chosen.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else
-        spark.read.schema(schema)
-          .parquet(chosen.map(s => new java.io.File(root, s).getPath): _*)
-    PrunedRead(df, chosen.size, segs.size)
+    (hit, bare.toSet)
+  }
+
+  /** MAINTENANCE: delete every row whose `key` ∈ `keys` — the
+    * right-to-be-forgotten / key-retraction rewrite a long-lived store
+    * owes its upstream. SURGICAL, never O(store): segments whose Bloom
+    * sidecar provably excludes every purge key are left untouched (no
+    * I/O beyond the sidecar test); each segment that actually holds a
+    * match is rewritten as an anti-joined `seg-c<n>` twin (the fold
+    * namespace, so batch-id appends can never collide) with a fresh
+    * sidecar, and ONE atomic manifest swap publishes all twins
+    * together — a death pre-swap leaves every twin invisible, a death
+    * post-swap leaves unreferenced old dirs the sweep (or the next
+    * compact) clears. A candidate segment whose matches turn out to be
+    * Bloom false positives is NOT rewritten (purged content ≡ current
+    * content — rewriting would churn I/O for nothing).
+    *
+    * The numeric batch ids of rewritten segments fold into the
+    * `#folded:` high-water mark: a crash-recovery replay of such a
+    * batch must no-op, not resurrect the purged rows from the
+    * deterministic source replay — THE correctness edge of deletion
+    * from an idempotent-append log. Same single-writer contract as
+    * [[compact]].
+    *
+    * Returns (segmentsRewritten, segmentsTotal). */
+  def purgeKeys(spark: SparkSession, root: java.io.File,
+      schema: StructType, key: String, keys: DataFrame,
+      bloom: Option[BloomSpec] = None): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val segs = segments(root)
+    if (segs.isEmpty) return (0, 0)
+    val (hit, bare) = bloomCandidates(spark, root, segs, key, keys)
+    val candidates = segs.filter(sg => hit.contains(sg) || bare.contains(sg))
+    if (candidates.isEmpty) return (0, segs.size)
+    val k = keys.select(col(key)).distinct()
+    var gen = segs.filter(_.startsWith("seg-c"))
+      .map(_.stripPrefix("seg-c").toLong).maxOption.getOrElse(-1L) + 1
+    val replaced = candidates.flatMap { sg =>
+      val cur = spark.read.schema(schema)
+        .parquet(new java.io.File(root, sg).getPath)
+      val purged = cur.join(k, Seq(key), "left_anti")
+      if (purged.count() == cur.count()) None // Bloom false positive
+      else {
+        val twin = s"seg-c$gen"; gen += 1
+        purged.write.mode("overwrite")
+          .parquet(new java.io.File(root, twin).getPath)
+        bloom.foreach(b => writeBloom(spark, root, twin, b))
+        Some(sg -> twin)
+      }
+    }.toMap
+    if (replaced.isEmpty) return (0, segs.size)
+    val hw = (replaced.keys.toSeq.filterNot(_.startsWith("seg-c"))
+      .map(_.stripPrefix("seg-").toLong) :+ foldedHighWater(root)).max
+    writeManifest(root, s"p$gen", segs.map(sg => replaced.getOrElse(sg, sg)),
+      hw)
+    replaced.keys.foreach(sg => deleteRecursively(new java.io.File(root, sg)))
+    (replaced.size, segs.size)
   }
 
   /** MAINTENANCE: fold every committed segment into one range-clustered

@@ -376,7 +376,8 @@ object ScaleProbe {
     "pipeline_online", "dedup_semantic",
     // r14 additions: the AppendTable store fold + the hybrid online
     // capstone
-    "maintenance_store_compact", "pipeline_online_hybrid",
+    "maintenance_store_compact", "maintenance_purge_keys",
+    "pipeline_online_hybrid",
     "maintenance_index_compact",
     // r14 late additions: positional phrase retrieval, MoreLikeThis,
     // the cluster-blocked kNN graph build, chunk-granular passage

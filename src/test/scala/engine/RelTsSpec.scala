@@ -100,6 +100,36 @@ class RelTsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_streaks matches the brute consecutive-day recompute, " +
+      "longest-streak ties resolve to the earliest start") {
+    val days = Core.t(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    val expect = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sortBy(_.toEpochDay)
+      val streaks = sorted.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+        case ((s0, len) :: rest, d0)
+            if s0.plusDays(len).isEqual(d0) => (s0, len + 1) :: rest
+        case (acc, d0) => (d0, 1L) :: acc
+      }.reverse
+      val best = streaks.minBy { case (s0, len) => (-len, s0.toEpochDay) }
+      u -> ((sorted.length.toLong, streaks.length.toLong,
+        streaks.map(_._2).max, best._1.toString))
+    }
+    val got = graft.SparkEntry.queries("win_streaks")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+    // non-degenerate fixture: at least one real multi-day streak and at
+    // least one user with several streaks
+    assert(expect.values.exists(_._3 >= 2))
+    assert(expect.values.exists(_._2 >= 2))
+  }
+
   test("tokenize_vocab_coverage: vocab is the top-16 (count, term) cut; " +
       "per-lang token counts and OOV rate match the brute recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -130,4 +130,50 @@ class AppendTableSpec extends AnyFunSuite {
       AppendTable.destroy(root)
     }
   }
+
+  test("purgeKeys rewrites only the segments holding purge keys, raises " +
+      "the folded high-water so a replay cannot resurrect purged rows") {
+    val root = new java.io.File(
+      s"${engine.Core.scratchRoot}/graft_appendtable_spec_${java.util.UUID.randomUUID}")
+    try {
+      val schema = Seq((0L, "x")).toDF("id", "dg").schema
+      val bl = Some(BloomSpec.column("dg"))
+      // 3 bloomed segments with disjoint key ranges
+      def batch(i: Int) = (0 until 50).map(j => (i * 100L + j, s"dg-$i-$j"))
+        .toDF("id", "dg")
+      (0 until 3).foreach(i => AppendTable.append(batch(i), root, i.toLong, bl))
+      val (rw, tot) = AppendTable.purgeKeys(spark, root, schema, "dg",
+        Seq("dg-1-7", "dg-1-9", "absent-key").toDF("dg"), bl)
+      assert((rw, tot) == ((1, 3)), s"expected 1/3 rewritten, got $rw/$tot")
+      val after = AppendTable.read(spark, root, schema)
+      assert(after.count() == 148)
+      assert(after.filter(col("dg").isin("dg-1-7", "dg-1-9")).count() == 0,
+        "purged keys survived")
+      assert(after.filter(col("dg") === "dg-1-8").count() == 1,
+        "purge dropped a non-matching row from the rewritten segment")
+      // the rewritten twin carries a fresh sidecar: probes of surviving
+      // seg-1 keys still prune to one segment
+      val p = AppendTable.readPruned(spark, root, schema, "dg",
+        Seq("dg-1-8").toDF("dg"))
+      assert(p.segmentsScanned == 1, "purged twin lost its sidecar")
+      // crash-recovery replay of the purged batch id must NO-OP: the
+      // deterministic source replay would otherwise resurrect the
+      // purged rows — the correctness edge deletion adds to an
+      // idempotent-append log
+      assert(AppendTable.foldedHighWater(root) == 1L)
+      AppendTable.append(batch(1), root, 1L, bl)
+      assert(AppendTable.read(spark, root, schema).count() == 148,
+        "replay of a purged batch resurrected deleted rows")
+      // untouched segments keep their original names (no churn)
+      assert(AppendTable.segmentCount(root) == 3)
+      // purging keys no segment holds is a clean no-op: nothing
+      // rewrites, nothing changes
+      val (rw2, tot2) = AppendTable.purgeKeys(spark, root, schema, "dg",
+        Seq("nope-1").toDF("dg"), bl)
+      assert((rw2, tot2) == ((0, 3)))
+      assert(AppendTable.read(spark, root, schema).count() == 148)
+    } finally {
+      AppendTable.destroy(root)
+    }
+  }
 }
