@@ -2498,6 +2498,46 @@ object CurateQueries {
         round(count(*) / n_all, 4) AS share
       FROM sb CROSS JOIN st GROUP BY split, n_all ORDER BY split"""))
 
+  // ------------------------------------------- B50z sample_global_shuffle
+  /** B50z: DETERMINISTIC GLOBAL SHUFFLE / SHARD MANIFEST — the
+    * data-loader assignment every pretraining run needs reproducible:
+    * each document lands in one of 8 shards and at one position within
+    * it, both pure functions of (salt, doc_id) — any node of any
+    * cluster re-derives the same epoch order with no stored permutation
+    * table, shard sizes stay balanced by the hash, and a restart
+    * resumes mid-epoch from (shard, pos) alone. The within-shard order
+    * key is the salted md5 itself (the shuffle: hash order ≈ random
+    * order, ties impossible since doc_id rides the digest), so
+    * consecutive positions mix the corpus — the exact property
+    * sequential doc_id order lacks.
+    *
+    * Shape at 100 TB: shard = codegen'd scalar on the scan; position =
+    * row_number per shard — at production scale shard count ∝ cluster
+    * size, and the per-shard window becomes the two-level distributed
+    * prefix-sum (the maintenance_zorder / pack_sequences rank shape)
+    * with identical output. One shuffle, integer output. */
+  private val sampleGlobalShuffle = Q(
+    (s, d) => {
+      val u = md5(concat_ws("|", lit("gsh"), col("doc_id").cast("string")))
+      docs(s, d).select(col("doc_id"), u.as("u"))
+        .withColumn("shard",
+          pmod(conv(substring(col("u"), 1, 8), 16, 10).cast("long"),
+            lit(8)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("u"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH gsh AS (SELECT doc_id,
+                md5('gsh|' || doc_id) AS u,
+                ('0x' || substr(md5('gsh|' || doc_id), 1, 8))::BIGINT % 8
+                  AS shard
+              FROM documents)
+      SELECT doc_id, shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY u)
+          AS INTEGER) AS pos
+      FROM gsh ORDER BY doc_id"""))
+
   /** B50x: DOC-LENGTH HISTOGRAM — the log2-bucketed token-length
     * distribution on every corpus data card (and the input to
     * pack_sequences capacity planning: which buckets blow the context
@@ -2636,6 +2676,7 @@ object CurateQueries {
     "quality_classifier_eval" -> qualityClassifierEval,
     "corpus_report" -> corpusReport,
     "sample_split" -> sampleSplit,
+    "sample_global_shuffle" -> sampleGlobalShuffle,
     "corpus_length_histogram" -> corpusLengthHistogram,
     "corpus_drift" -> corpusDrift,
     "dedup_lines" -> dedupLines,

@@ -2244,6 +2244,74 @@ object SearchQueries {
       ORDER BY a.vec_id"""
     })
 
+  // ------------------------------------------- B58e graph_shortest_path
+  /** BFS hop bound. */
+  private val SpHops = 4
+
+  /** B58e: BOUNDED SHORTEST PATH (k-hop BFS) over the kNN similarity
+    * graph — min hop count from the standard seed set (vec_id < 5, the
+    * query convention) to every node within [[SpHops]] hops, over the
+    * SYMMETRIZED edges. The classic neighborhood-expansion readout a
+    * curation stack runs to ask "what sits N similarity steps from
+    * this (flagged / seed / query) set" — contamination blast radius,
+    * labeled-seed expansion, dataset neighborhoods — and beside
+    * pagerank (global centrality) and label-prop (local majority), the
+    * remaining classic propagation primitive the graph family lacked.
+    *
+    * Synchronous relaxation, not frontier-delta: each round re-expands
+    * the WHOLE reached set and re-takes min(dist) — a few extra
+    * integer-tuple rows at this fan-out, in exchange for
+    * round-for-round equality with the oracle's unrolled CTEs (and
+    * no reachability corner when a shorter path arrives late).
+    * All-integer distances ⇒ no float discipline needed.
+    *
+    * Shape at 100 TB: per round one dst-keyed edge join + one min
+    * shuffle = O(E) = O(N·k), rounds a fixed constant, lineage
+    * truncated per round ([[engine.Core.checkpointFresh]]); the right
+    * production variant past a few hops is bidirectional/weighted
+    * Δ-stepping, which changes the frontier policy, not this join
+    * shape. */
+  private def graphShortestPath = Q(
+    (s, d) => {
+      val g = knnGraphFrame(s, d)
+        .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+      val edges = engine.ScratchCache.persist(
+        g.unionByName(g.select(col("u").as("v"), col("v").as("u")))
+          .distinct().repartition(col("v")))
+      var dist = LlmQueries.unitCorpus(s, d)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("v"), lit(0).as("dist"))
+      for (_ <- 1 to SpHops) {
+        dist = engine.Core.checkpointFresh(
+          dist.unionByName(
+              edges.join(dist, "v")
+                .select(col("u").as("v"), (col("dist") + 1).as("dist")))
+            .groupBy(col("v"))
+            .agg(min(col("dist")).as("dist")))
+      }
+      dist.select(col("v").as("vec_id"), col("dist"))
+        .orderBy("vec_id")
+    },
+    Some {
+      def hop(r: Int): String = s""",
+      sp$r AS (SELECT v, min(dist) AS dist FROM (
+               SELECT v, dist FROM sp${r - 1}
+               UNION ALL
+               SELECT e.u, s.dist + 1 FROM sp${r - 1} s
+               JOIN sped e ON e.v = s.v) GROUP BY v)"""
+      LlmQueries.coarseChainSqlK(
+        engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s""",
+      spk AS (SELECT vec_id v, nbr_id u FROM (
+               SELECT vec_id, nbr_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, nbr_id) rank
+               FROM gp) WHERE rank <= $KnnK),
+      sped AS (SELECT v, u FROM spk UNION SELECT u, v FROM spk),
+      sp0 AS (SELECT vec_id AS v, 0 AS dist FROM eu WHERE vec_id < 5)""" +
+      (1 to SpHops).map(hop).mkString + s"""
+      SELECT v AS vec_id, dist FROM sp$SpHops ORDER BY vec_id"""
+    })
+
   // ------------------------------------------ B53e sim_search_matryoshka
   /** Matryoshka prefix dims / coarse depth / final depth. A trained MRL
     * embedding concentrates signal in a short prefix (P of 8-16 serves
@@ -3391,6 +3459,7 @@ object SearchQueries {
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
+    "graph_shortest_path" -> graphShortestPath,
     "graph_triangle_count" -> graphTriangleCount,
     "sim_knn_graph_incremental" -> simKnnGraphIncremental,
     "sim_search_rerank_mmr" -> simSearchRerankMmr,

@@ -190,6 +190,73 @@ object RelQueries {
     Some("""SELECT event_id, user_id, event_type, round(value, 4) AS value
       FROM events ORDER BY event_id"""))
 
+  // --------------------------------------- B55g maintenance_time_travel
+  /** B55g: SNAPSHOT / TIME-TRAVEL READS — the versioned-state retention
+    * every lakehouse table format sells (`VERSION AS OF`): a committer
+    * may retain the trailing K versions of a
+    * [[engine.stream.VersionedTable]] (`keep`), and any retained
+    * snapshot reads back by id, consistently — the pointer, not the
+    * filesystem, defines what committed, so a crashed build's torn
+    * directory above the pointer is never readable. This op replays 3
+    * nightly commits of a growing orders rollup with keep = 3, then
+    * reads ALL THREE snapshots back and emits them under their version
+    * ids — an engine that only kept CURRENT (the pre-r19 default, still
+    * the default) could not produce rows for versions 0-1.
+    *
+    * Shape at 100 TB: retention is pointer bookkeeping — commit cost
+    * stays O(new version); old snapshots are immutable directories a
+    * reader opens directly (the audit/debug/reproduce-training-run
+    * path), and pruning is the same post-swap sweep as before, just
+    * keeping K directories instead of one. */
+  private val maintenanceTimeTravel = Q(
+    (s, d) => {
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = new java.io.File(
+        s"${engine.Core.scratchRoot}/graft_tt_$san")
+      engine.stream.VersionedTable.destroy(root) // fresh replay
+      val o = t(s, d, "orders")
+      val maxK = o.agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+      (0 until 3).foreach { i =>
+        val cut = (maxK + 1) * (i + 1) / 3
+        engine.stream.VersionedTable.commit(
+          o.filter(col("o_orderkey") < cut)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(round(col("o_totalprice") * 100, 0).cast("long"))
+                .as("cents")),
+          root, i.toLong, keep = 3)
+      }
+      engine.stream.VersionedTable.retainedVersions(root).sorted
+        .map(v => engine.stream.VersionedTable.readAt(s, root, v)
+          .getOrElse(sys.error(s"retained snapshot v$v unreadable"))
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("version"), col("o_orderstatus"), col("n_orders"),
+          r4(col("cents") / 100.0).as("total"))
+        .orderBy("version", "o_orderstatus")
+    },
+    Some("""WITH ttm AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
+      arm AS (
+        SELECT 0::BIGINT AS version, o_orderstatus,
+          count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+            AS cents
+        FROM orders WHERE o_orderkey < (SELECT m * 1 // 3 FROM ttm)
+        GROUP BY 2
+        UNION ALL
+        SELECT 1::BIGINT, o_orderstatus, count(*),
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+        FROM orders WHERE o_orderkey < (SELECT m * 2 // 3 FROM ttm)
+        GROUP BY 2
+        UNION ALL
+        SELECT 2::BIGINT, o_orderstatus, count(*),
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+        FROM orders WHERE o_orderkey < (SELECT m * 3 // 3 FROM ttm)
+        GROUP BY 2)
+      SELECT version, o_orderstatus, n_orders,
+        round(cents / 100.0, 4) AS total
+      FROM arm ORDER BY version, o_orderstatus"""))
+
   /** Morton (Z-order) interleave of two [[ZBits]]-bit NORMALIZED keys —
     * the space-filling-curve layout key: rows close in z are close in
     * BOTH dimensions, so per-file min/max stats stay narrow on both and
@@ -2349,6 +2416,7 @@ object RelQueries {
     "source_orc" -> sourceOrc,
     "source_partitioned" -> sourcePartitioned,
     "maintenance_compact" -> maintenanceCompact,
+    "maintenance_time_travel" -> maintenanceTimeTravel,
     "maintenance_zorder" -> maintenanceZorder,
     "maintenance_stats_analyze" -> maintenanceStatsAnalyze,
     "project_select" -> projectSelect,

@@ -29,10 +29,37 @@ object VersionedTable {
 
   /** Publish `df` as version `id` and swap the pointer. `id` must be
     * non-decreasing across commits (a micro-batch id is); re-committing
-    * the CURRENT id is an idempotent no-op (crash-replay contract). */
-  def commit(df: DataFrame, root: java.io.File, id: Long): Unit =
-    commitDir(root, id) { dir =>
+    * the CURRENT id is an idempotent no-op (crash-replay contract).
+    * `keep` > 1 retains that many trailing versions for snapshot
+    * ([[readAt]]) reads. */
+  def commit(df: DataFrame, root: java.io.File, id: Long,
+      keep: Int = 1): Unit =
+    commitDir(root, id, keep) { dir =>
       df.write.mode("overwrite").parquet(dir.getPath)
+    }
+
+  /** SNAPSHOT (time-travel) read of retained version `id`: Some iff the
+    * version directory exists AND `id` is at or below the published
+    * pointer — a dir ABOVE the pointer is a crashed build's torn
+    * orphan, never a readable snapshot (the pointer, not the
+    * filesystem, defines what committed). Retention is the committer's
+    * `keep` choice; pruned versions read as None. */
+  def readAt(spark: SparkSession, root: java.io.File,
+      id: Long): Option[DataFrame] = {
+    val vdir = new java.io.File(root, s"v$id")
+    currentName(root)
+      .map(_.stripPrefix("v").toLong)
+      .filter(cur => id <= cur && vdir.isDirectory)
+      .map(_ => spark.read.parquet(vdir.getPath))
+  }
+
+  /** Retained snapshot ids, newest first (CURRENT always included). */
+  def retainedVersions(root: java.io.File): Seq[Long] =
+    currentName(root).map(_.stripPrefix("v").toLong).toSeq.flatMap { cur =>
+      Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.stripPrefix("v").toLong)
+        .filter(_ <= cur).sorted.reverse
     }
 
   /** Multi-table variant: `write` populates a fresh version DIRECTORY
@@ -42,7 +69,7 @@ object VersionedTable {
     * never see a new codebook with old postings, which two independent
     * `mode("overwrite")` writes would expose, torn, on a crash between
     * them). */
-  def commitDir(root: java.io.File, id: Long)
+  def commitDir(root: java.io.File, id: Long, keep: Int = 1)
       (write: java.io.File => Unit): Unit = {
     root.mkdirs()
     val vname = s"v$id"
@@ -70,8 +97,16 @@ object VersionedTable {
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(root, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // retention: keep the newest `keep` committed versions for snapshot
+    // reads (default 1 = current only, the pre-r19 behavior); anything
+    // non-numeric under v* is a stray and always swept
+    val retained = (Seq(id) ++ Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.stripPrefix("v").toLong).filter(_ < id))
+      .distinct.sorted.reverse.take(math.max(keep, 1))
+      .map(v => s"v$v").toSet
     root.listFiles().filter(f =>
-      f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
+      f.isDirectory && f.getName.startsWith("v") && !retained(f.getName))
       .foreach(deleteRecursively)
   }
 

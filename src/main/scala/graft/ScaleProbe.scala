@@ -376,8 +376,7 @@ object ScaleProbe {
     "pipeline_online", "dedup_semantic",
     // r14 additions: the AppendTable store fold + the hybrid online
     // capstone
-    "maintenance_store_compact", "maintenance_purge_keys",
-    "pipeline_online_hybrid",
+    "maintenance_store_compact", "pipeline_online_hybrid",
     "maintenance_index_compact",
     // r14 late additions: positional phrase retrieval, MoreLikeThis,
     // the cluster-blocked kNN graph build, chunk-granular passage
@@ -423,7 +422,16 @@ object ScaleProbe {
     // per-lang sort of ONE narrow row per doc, the shape to probe —
     // and the OHLC hour-bucket downsample (one partial-agg groupBy
     // over the replicated events table)
-    "quality_perplexity", "ts_downsample")
+    "quality_perplexity", "ts_downsample",
+    // r19: the telemetry QA window pair (range-frame z-scores, the
+    // sweep-line interval union) + gaps-and-islands streaks, the
+    // surgical Bloom-pruned store purge, snapshot retention reads,
+    // bounded BFS over the kNN graph, and the per-shard manifest
+    // window (shard count is the deployment's parallelism knob — the
+    // fixed-8 probe point stresses the within-shard rank)
+    "ts_anomaly", "ts_interval_union", "win_streaks",
+    "maintenance_purge_keys", "maintenance_time_travel",
+    "graph_shortest_path", "sample_global_shuffle")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -529,6 +529,54 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(out.exists(_._4), "no label ever changed — degenerate test")
   }
 
+  test("graph_shortest_path matches a driver-side 4-hop BFS over the " +
+      "symmetrized kNN edges") {
+    val got = SearchQueries.queries("graph_shortest_path").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = SearchQueries.queries("sim_knn_graph").fn(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (knn ++ knn.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = (0L until 5L).map(_ -> 0).toMap
+    for (h <- 1 to 4) {
+      val next = dist.toSeq.flatMap { case (v, dv) =>
+        adj.getOrElse(v, Set.empty).map(_ -> (dv + 1)) }
+      dist = (dist.toSeq ++ next).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+      val _ = h
+    }
+    assert(got == dist, "BFS distance map diverged")
+    // non-degenerate: the fixture graph must reach past the seeds'
+    // direct neighbors
+    assert(got.values.max >= 2, "no node at distance >= 2 — degenerate")
+    assert(got.values.count(_ == 0) == 5)
+  }
+
+  test("sample_global_shuffle: shard and position are pure functions of " +
+      "doc_id, positions are dense per shard, shards balanced") {
+    val rows = llm.CurateQueries.queries("sample_global_shuffle")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 500)
+    // dense 1..n positions within each shard, no duplicates
+    rows.groupBy(_._2).foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq,
+        s"shard $sh positions not dense")
+      // hash balance: no shard dominates (8 shards, 500 docs)
+      assert(rs.length > 20 && rs.length < 125, s"shard $sh unbalanced")
+    }
+    // re-derivability: a second run yields the identical manifest
+    val again = llm.CurateQueries.queries("sample_global_shuffle")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+    // the shuffle actually shuffles: within-shard position order is not
+    // doc_id order
+    val byShard = rows.groupBy(_._2).head._2.sortBy(_._3).map(_._1)
+    assert(byShard != byShard.sorted, "hash order degenerated to id order")
+  }
+
   test("search_snippet: each snippet is the doc's contiguous window at " +
       "snip_start with at least one query-term hit") {
     val rows = SearchQueries.queries("search_snippet").fn(spark, sf)

@@ -176,4 +176,39 @@ class AppendTableSpec extends AnyFunSuite {
       AppendTable.destroy(root)
     }
   }
+
+  test("VersionedTable keep=K retains exactly the K newest snapshots; " +
+      "readAt serves them consistently and refuses anything else") {
+    val root = new java.io.File(
+      s"${engine.Core.scratchRoot}/graft_versioned_spec_${java.util.UUID.randomUUID}")
+    try {
+      (0 until 4).foreach { i =>
+        VersionedTable.commit(
+          (0 to i).map(j => (j.toLong, s"r$j")).toDF("id", "k"),
+          root, i.toLong, keep = 3)
+      }
+      // 4 commits, keep 3: v0 pruned, v1..v3 retained newest-first
+      assert(VersionedTable.retainedVersions(root) == Seq(3L, 2L, 1L))
+      assert(VersionedTable.readAt(spark, root, 0L).isEmpty,
+        "pruned snapshot must not read")
+      (1 to 3).foreach { v =>
+        val snap = VersionedTable.readAt(spark, root, v.toLong)
+        assert(snap.isDefined, s"retained v$v unreadable")
+        assert(snap.get.count() == v + 1, s"v$v content drifted")
+      }
+      // current read still serves the newest version
+      assert(VersionedTable.read(spark, root).get.count() == 4)
+      // a torn dir ABOVE the pointer (crashed future build) is not a
+      // readable snapshot — the pointer defines what committed
+      new java.io.File(root, "v9").mkdirs()
+      assert(VersionedTable.readAt(spark, root, 9L).isEmpty)
+      assert(!VersionedTable.retainedVersions(root).contains(9L))
+      // default keep=1 prunes back to current-only (pre-r19 behavior)
+      VersionedTable.commit(Seq((0L, "x")).toDF("id", "k"), root, 10L)
+      assert(VersionedTable.retainedVersions(root) == Seq(10L))
+      assert(VersionedTable.readAt(spark, root, 3L).isEmpty)
+    } finally {
+      VersionedTable.destroy(root)
+    }
+  }
 }
