@@ -1018,7 +1018,7 @@ object LlmQueries {
     * buckets. At larger deployments the knob that scales this operator
     * is the code width (more planes/bands via [[VectorFunctions
     * .srpCode]]), not a cap. */
-  private def srpNearDupPairs(s: SparkSession, d: String,
+  private[engine] def srpNearDupPairs(s: SparkSession, d: String,
       thr: Double): DataFrame = {
     // EQUIVALENCE CLASSES by vector content: one groupBy(u) exchange
     // (the same bytes the unitEmbeddings repartition already moved)
@@ -1234,6 +1234,119 @@ object LlmQueries {
       SELECT v AS vec_id, rep AS rep_id,
         count(*) OVER (PARTITION BY rep) AS cluster_size
       FROM lbl ORDER BY vec_id"""))
+
+  // ------------------------------------------------- B48k cluster_dbscan
+  /** DBSCAN ε (cosine floor for neighborhood membership) and the core
+    * threshold: a point is core with ≥ [[DbscanMinPts]] ε-neighbors
+    * (self excluded — the classic minPts−1 neighbor form). ε = 0.3 on
+    * this corpus yields a 135-core / 189-border / 176-noise split at
+    * sf0.01 — all three roles populated at every test SF. */
+  private val DbscanEps = 0.3
+  private val DbscanMinPts = 3
+
+  /** B48k: DENSITY-BASED CLUSTERING (DBSCAN) over the embedding space —
+    * the outlier-aware complement to k-means (every point forced into a
+    * cell) and to dedup_embedding_clusters (near-dup closure at a tight
+    * threshold): each vector is classified `core` (≥ minPts
+    * ε-neighbors), `border` (non-core touching a core), or `noise`,
+    * and clusters are the connected components of the core-core
+    * ε-graph — the curation readout that separates dense semantic
+    * regions (over-represented content worth downsampling) from the
+    * isolated tail (often junk OR rare-and-valuable; either way the
+    * set a pipeline inspects).
+    *
+    * Shape at 100 TB: the ε-neighborhood is [[srpNearDupPairs]]' banded
+    * LSH screen — candidate pairs from band collisions, exact-cosine
+    * verified, NEVER all-pairs (grid-free DBSCAN's classic failure is
+    * the O(n²) region query; LSH banding is the standard fix for
+    * cosine-ε regions). Degrees, core filter, and border assignment
+    * are each one key-partitioned aggregation over the pair list; the
+    * component loop is [[clusterPairs]]' O(log diameter)
+    * pointer-halving over 16-byte rows, CORE rows only. Deterministic
+    * throughout: cluster id = component-minimum vec_id, border points
+    * take the min core-neighbor cluster, noise carries -1.
+    *
+    * Oracle: identical plane/code/band replay, recursive-CTE closure
+    * over the same core-core edges. */
+  private val clusterDbscan = Q(
+    (s, d) => {
+      // every frame past the pair screen is a few thousand integer
+      // rows — 32-way exchanges pay pure task-scheduling overhead, the
+      // clusterPairs rationale (on a cluster this is the epsilon-graph
+      // job conf, sized to edge count)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8")
+        // edges and core are each consumed by several downstream
+        // branches (degrees, core-core pairs, border assignment) —
+        // materialize ONCE or each branch re-runs the band-join verify
+        val prs = srpNearDupPairs(s, d, DbscanEps)
+          .select(col("va").as("v"), col("vb").as("u"))
+        val edges = prs.unionByName(prs.select(col("u").as("v"), col("v").as("u")))
+          .repartition(col("v")).localCheckpoint()
+        val core = edges.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= DbscanMinPts).select(col("v"))
+          .localCheckpoint()
+        val corePairs = edges.filter(col("v") < col("u"))
+          .join(core, "v")
+          .join(core.select(col("v").as("u")), "u")
+          .select(col("v").as("da"), col("u").as("db"))
+        val cc = clusterPairs(corePairs)
+          .select(col("doc_id").as("v"), col("rep_id").as("rep"))
+        // isolated cores (no core neighbor) head their own cluster
+        val coreLbl = core.join(cc, Seq("v"), "left")
+          .select(col("v"), coalesce(col("rep"), col("v")).as("cluster"))
+          .localCheckpoint()
+        val border = edges
+          .join(coreLbl.select(col("v").as("u"), col("cluster")), "u")
+          .join(core, Seq("v"), "left_anti")
+          .groupBy(col("v")).agg(min(col("cluster")).as("cluster"))
+        val lbl = coreLbl
+          .select(col("v"), lit("core").as("role"), col("cluster"))
+          .unionByName(border
+            .select(col("v"), lit("border").as("role"), col("cluster")))
+          .withColumnRenamed("v", "vec_id")
+        unitCorpus(s, d).select(col("vec_id"))
+          .join(lbl, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("role"), lit("noise")).as("role"),
+            coalesce(col("cluster"), lit(-1L)).as("cluster"))
+          .orderBy("vec_id")
+      } finally s.conf.set(shufKey, shufPrev)
+    },
+    Some(unitSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + srpSqlCtes + s""",
+      cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
+               FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      pr AS (SELECT cand.ai, cand.bi,
+               list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+                 AS cos
+             FROM cand JOIN e a ON a.vec_id = cand.ai
+                       JOIN e b ON b.vec_id = cand.bi),
+      prs AS (SELECT ai, bi FROM pr WHERE cos >= $DbscanEps),
+      edges AS (SELECT ai v, bi u FROM prs
+                UNION ALL SELECT bi, ai FROM prs),
+      core AS (SELECT v FROM edges GROUP BY v
+               HAVING count(*) >= $DbscanMinPts),
+      ce AS (SELECT e2.v, e2.u FROM edges e2
+             JOIN core a ON a.v = e2.v JOIN core b ON b.v = e2.u),
+      reach(v, u) AS (SELECT v, u FROM ce
+                      UNION
+                      SELECT r.v, e3.u FROM reach r JOIN ce e3 ON r.u = e3.v),
+      creps AS (SELECT v, least(v, min(u)) AS rep FROM reach GROUP BY v),
+      clbl AS (SELECT c.v, coalesce(cr.rep, c.v) AS cluster
+               FROM core c LEFT JOIN creps cr ON cr.v = c.v),
+      brd AS (SELECT e2.v, min(cl.cluster) AS cluster
+              FROM edges e2 JOIN clbl cl ON cl.v = e2.u
+              WHERE e2.v NOT IN (SELECT v FROM core)
+              GROUP BY e2.v),
+      roles AS (SELECT v, 'core' AS role, cluster FROM clbl
+                UNION ALL SELECT v, 'border' AS role, cluster FROM brd)
+      SELECT e.vec_id, coalesce(r.role, 'noise') AS role,
+        coalesce(r.cluster, -1)::BIGINT AS cluster
+      FROM e LEFT JOIN roles r ON r.v = e.vec_id
+      ORDER BY vec_id"""))
 
   // -------------------------------------------------- B49 similarity search
   /** B49: brute-force cosine top-k. The (tiny) query set is broadcast, so
@@ -3042,6 +3155,7 @@ object LlmQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
+    "cluster_dbscan" -> clusterDbscan,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_range" -> simSearchRange,
     "sim_search_filtered" -> simSearchFiltered,

@@ -2217,6 +2217,115 @@ object RelQueries {
       FROM tig GROUP BY user_id, interval_seq
       ORDER BY user_id, interval_seq"""))
 
+  // ------------------------------------------------------- B27h ts_ewma
+  /** EWMA truncation depth: weights 2^-(i+1) for lags i = 0..K-1, i.e.
+    * α = 1/2 — the one smoothing factor whose weight ladder is exact in
+    * binary at every depth. K = 8 bounds the dropped tail mass at 2^-8
+    * (≈ 0.4% of the weight), far below the 4-dp projection grain. */
+  private val EwmaK = 8
+
+  /** B27h: EXPONENTIAL MOVING AVERAGE (finite-K) — the standard
+    * trend-smoothing readout per series (user_id), truncated to the
+    * trailing [[EwmaK]] observations. The exact EWMA recurrence
+    * y_t = αx_t + (1−α)y_{t−1} is inherently SEQUENTIAL per series —
+    * the one shape a shared-nothing engine must not express directly —
+    * so the distributed form truncates the geometric tail: with
+    * α = 1/2 the dropped mass is 2^-K, and each row needs only its own
+    * K-row ROWS window, one incremental pass per series partition.
+    *
+    * Float discipline (house pattern, see ts_anomaly): cents are exact
+    * integer, the weight ladder 2^(K-1-i) is exact integer, so
+    * numerator and present-weight denominator are EXACT BIGINT sums
+    * (≤ ~2^38 at this data's magnitude — no overflow, no float order
+    * sensitivity); the single double division and the explicit
+    * floor(x·1e4 + 0.5)/1e4 rounding (the aggHistogram rule — native
+    * round() disagrees across engines on tie-adjacent binaries; a
+    * general integer quotient CAN land on an exact .xxxx5) are the
+    * same IEEE op sequence in both engines. Series starts normalize by
+    * the weights actually present instead of emitting a warm-up gap.
+    *
+    * Shape at 100 TB: one hash exchange on the series key, then one
+    * sort + one incremental ROWS-window pass — lag(k) state is a K-row
+    * ring buffer per series, never a re-aggregated frame. */
+  private val tsEwma = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val terms = (0 until EwmaK).map { i =>
+        val lg = if (i == 0) col("c") else lag(col("c"), i).over(w)
+        val wt = 1L << (EwmaK - 1 - i)
+        (when(lg.isNotNull, lg * wt).otherwise(lit(0L)),
+          when(lg.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        .withColumn("x",
+          num.cast("double") / (den.cast("double") * 100.0))
+        .select(col("event_id"), col("user_id"),
+          (floor(col("x") * lit(1e4) + lit(0.5)) / lit(1e4)).as("ewma"))
+        .orderBy("event_id")
+    },
+    Some {
+      val terms = (0 until EwmaK).map { i =>
+        val wt = 1L << (EwmaK - 1 - i)
+        val lg = if (i == 0) "c" else s"lag(c, $i) OVER w"
+        (s"CASE WHEN $lg IS NOT NULL THEN $lg * $wt ELSE 0 END",
+          s"CASE WHEN $lg IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH tec AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        tew AS (SELECT event_id, user_id,
+               (${terms.map(_._1).mkString(" + ")}) AS num,
+               (${terms.map(_._2).mkString(" + ")}) AS den
+             FROM tec WINDOW w AS
+               (PARTITION BY user_id ORDER BY us, event_id))
+        SELECT event_id, user_id,
+          floor(num::DOUBLE / (den::DOUBLE * 100.0) * 1e4 + 0.5) / 1e4
+            AS ewma
+        FROM tew ORDER BY event_id"""
+    })
+
+  // ---------------------------------------------- B19i agg_bitmap_distinct
+  /** B19i: EXACT distinct count via BITMAP WORDS — distinct customers
+    * per order month, computed as two fixed-width aggregations instead
+    * of a distinct-expand shuffle: stage 1 ORs each id's bit into its
+    * (group, id div 63) word, stage 2 sums popcounts per group. The
+    * ClickHouse/Doris/Kylin bitmap-rollup pattern: at 100 TB the
+    * shuffled state is one 8-byte word per OCCUPIED id-block per group
+    * (dense ids ⇒ ~n_distinct/63 words), both stages partial-aggregate
+    * map-side, and — unlike agg_approx_distinct's HLL — the count is
+    * exact AND the words themselves remain a mergeable, intersectable
+    * index (the follow-on ops a funnel/audience stack needs). 63-bit
+    * words, not 64: bit 63 of a signed-64 mask overflows DuckDB's
+    * checked `<<` (and flips the sign bit Spark-side), so ids pack 63
+    * per word and every mask stays positive on every engine.
+    * All-integer ⇒ no float discipline needed. n_words rides along to
+    * pin the word-level state, not just the final counts. */
+  private val aggBitmapDistinct = Q(
+    (s, d) => {
+      t(s, d, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          col("o_custkey"))
+        .groupBy(col("mon"), expr("o_custkey div 63").as("wd"))
+        .agg(expr("bit_or(shiftleft(1L, cast(o_custkey % 63 as int)))")
+          .as("bm"))
+        .groupBy(col("mon"))
+        .agg(expr("sum(bit_count(bm))").as("n_cust"),
+          count(lit(1)).as("n_words"))
+        .orderBy("mon")
+    },
+    Some("""WITH bw AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+               o_custkey // 63 AS wd,
+               bit_or(1::BIGINT << (o_custkey % 63)::INT) AS bm
+             FROM orders GROUP BY 1, 2)
+      SELECT mon, sum(bit_count(bm))::BIGINT AS n_cust,
+        count(*)::BIGINT AS n_words
+      FROM bw GROUP BY mon ORDER BY mon"""))
+
   /** B27b: value-RANGE window frame — the trailing-hour running sum per
     * user, framed by EVENT TIME (micros), not row count: a rows-frame is
     * wrong whenever arrival density varies (the 100 TB norm). Value in
@@ -2491,6 +2600,8 @@ object RelQueries {
     "ts_downsample" -> tsDownsample,
     "ts_anomaly" -> tsAnomaly,
     "ts_interval_union" -> tsIntervalUnion,
+    "ts_ewma" -> tsEwma,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "win_streaks" -> winStreaks,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,

@@ -431,7 +431,10 @@ object ScaleProbe {
     // fixed-8 probe point stresses the within-shard rank)
     "ts_anomaly", "ts_interval_union", "win_streaks",
     "maintenance_purge_keys", "maintenance_time_travel",
-    "graph_shortest_path", "sample_global_shuffle")
+    "graph_shortest_path", "sample_global_shuffle",
+    // r19 continuation: finite-K EWMA smoothing, bitmap-word exact
+    // distinct, density clustering over the banded epsilon graph
+    "ts_ewma", "agg_bitmap_distinct", "cluster_dbscan")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -828,4 +828,45 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         assert(r.getBoolean(5) == (r.getString(4) != "tail")))
     }
   }
+
+  test("cluster_dbscan matches the brute union-find recompute over the " +
+      "banded epsilon graph; all three roles populated") {
+    val pairs = LlmQueries.srpNearDupPairs(spark, sf, 0.3)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val core = nbrs.filter(_._2.size >= 3).keySet
+    // union-find over core-core edges, labels = component min
+    val parent = scala.collection.mutable.Map(core.map(v => v -> v).toSeq: _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val coreLbl = core.map(v => v -> find(v)).toMap
+    val got = graft.SparkEntry.queries("cluster_dbscan")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val roles = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(roles.keySet == Set("core", "border", "noise"),
+      s"all three roles must be populated, got $roles")
+    got.foreach { case (v, (role, cl)) =>
+      if (core(v)) {
+        assert(role == "core" && cl == coreLbl(v), s"vec $v core label")
+      } else if (nbrs.get(v).exists(_.exists(core))) {
+        assert(role == "border", s"vec $v must be border")
+        assert(cl == nbrs(v).filter(core).map(coreLbl).min,
+          s"vec $v border cluster = min core-neighbor cluster")
+      } else {
+        assert(role == "noise" && cl == -1L, s"vec $v must be noise")
+      }
+    }
+  }
 }

@@ -158,4 +158,53 @@ class RelTsSpec extends AnyFunSuite {
         s"lang $lang: both sides of the vocab cut must be populated")
     }
   }
+
+  test("ts_ewma matches the brute finite-K weighted recompute per user " +
+      "series, and a lone first observation smooths to itself") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = graft.SparkEntry.queries("ts_ewma")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == ev.length)
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._3, e._1))
+      ordered.zipWithIndex.foreach { case ((id, _, _, _), idx) =>
+        val tail = ordered.slice(math.max(0, idx - 7), idx + 1).reverse
+        val num = tail.zipWithIndex
+          .map { case (e, i) => e._4 * (1L << (7 - i)) }.sum
+        val den = tail.zipWithIndex.map { case (_, i) => 1L << (7 - i) }.sum
+        val expect =
+          math.floor(num.toDouble / (den.toDouble * 100.0) * 1e4 + 0.5) / 1e4
+        assert(math.abs(got(id) - expect) < 1e-9, s"event $id ewma")
+        if (idx == 0)
+          assert(math.abs(got(id) -
+            math.floor(tail.head._4.toDouble / 100.0 * 1e4 + 0.5) / 1e4)
+            < 1e-9, s"event $id: series head must smooth to itself")
+      }
+    }
+  }
+
+  test("agg_bitmap_distinct equals the exact COUNT(DISTINCT) per month " +
+      "and packs words at the 63-ids-per-word density") {
+    val o = Core.t(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = o.groupBy(_._1).map { case (m, rs) =>
+      val ks = rs.map(_._2).distinct
+      m -> ((ks.size.toLong, ks.map(_ / 63).distinct.size.toLong))
+    }
+    val got = graft.SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    got.values.foreach { case (n, w) =>
+      assert(n >= w && n <= w * 63L,
+        "popcount must lie within the occupied-word envelope")
+    }
+  }
 }
