@@ -985,6 +985,95 @@ object CurateQueries {
         round(vmin, 4) AS vmin, round(vmax, 4) AS vmax, n_zero
       FROM ag ORDER BY dim"""))
 
+  // ---------------------------------------------------- embedding_drift
+  /** B50ab: EMBEDDING-SPACE DRIFT — per label, the cosine between the
+    * centroids of two corpus snapshots (stand-in split: vec_id parity —
+    * a deployment compares yesterday's ingest to today's), plus both
+    * population counts. The embedding-level companion to corpus_drift's
+    * token-level readout and the monitor a training pipeline runs on
+    * every ingest wave: a centroid swing inside a label says the
+    * upstream encoder, crawl mix, or dedup policy moved under a label
+    * that kept its name.
+    *
+    * Shape at 100 TB: one map-side-collapsing agg to 2·|labels|·64
+    * integer dim-sums (the embedding_dim_stats shuffle shape — 128 rows
+    * per partition whatever the corpus), then label-cardinality joins.
+    * Float discipline: dim sums ride the 1e9 nano-grid (exact,
+    * associative, partition-order-free); the centroid dot/norms fold
+    * the two 64-long sum vectors in ASCENDING dim order in both engines
+    * (scale factors cancel in the cosine, so the un-normalized sums ARE
+    * the centroid direction), one sqrt + one division, floor-form
+    * 4-dp. */
+  private val embeddingDrift = Q(
+    (s, d) => {
+      import VectorFunctions.asDouble
+      val e = t(s, d, "embeddings")
+        .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+          asDouble(col("embedding")).as("v"))
+      val sums = e.select(col("label"), col("half"),
+          posexplode(transform(col("v"),
+            x => round(x * lit(1e9), 0).cast("long"))))
+        .toDF("label", "half", "pos", "q")
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(sum(col("q")).as("sq"))
+      val cnts = e.groupBy(col("label"), col("half"))
+        .agg(count(lit(1)).as("n"))
+      val a = sums.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("sq").as("qa"))
+      val b = sums.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("sq").as("qb"))
+      val na = cnts.filter(col("half") === 0)
+        .select(col("label"), col("n").as("n_a"))
+      val nb = cnts.filter(col("half") === 1)
+        .select(col("label"), col("n").as("n_b"))
+      def fold(f: Column => Column): Column =
+        aggregate(transform(col("pp"), f), lit(0.0), (acc, x) => acc + x)
+      val dab = fold(p =>
+        p.getField("qa").cast("double") * p.getField("qb").cast("double"))
+      val na2 = fold(p =>
+        p.getField("qa").cast("double") * p.getField("qa").cast("double"))
+      val nb2 = fold(p =>
+        p.getField("qb").cast("double") * p.getField("qb").cast("double"))
+      a.join(b, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(
+          struct(col("pos"), col("qa"), col("qb")))).as("pp"))
+        .join(na, "label").join(nb, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          when(na2 > 0 && nb2 > 0,
+            floor(dab / sqrt(na2 * nb2) * lit(1e4) + lit(0.5)) / lit(1e4))
+            .as("drift_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH edr AS (SELECT vec_id, label, vec_id % 2 AS half,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      eds AS (SELECT label, half, g.i,
+               sum(CAST(round(v[g.i] * 1e9, 0) AS BIGINT)) AS sq
+              FROM edr CROSS JOIN generate_series(1, 64) g(i)
+              GROUP BY 1, 2, 3),
+      edn AS (SELECT label, half, count(*)::BIGINT AS n
+              FROM edr GROUP BY 1, 2),
+      eda AS (SELECT label, list(sq ORDER BY i) AS qa
+              FROM eds WHERE half = 0 GROUP BY label),
+      edb AS (SELECT label, list(sq ORDER BY i) AS qb
+              FROM eds WHERE half = 1 GROUP BY label),
+      edd AS (SELECT a.label,
+               list_sum(list_transform(list_zip(a.qa, b.qb),
+                 p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dab,
+               list_sum(list_transform(a.qa,
+                 x -> x::DOUBLE * x::DOUBLE)) AS na2,
+               list_sum(list_transform(b.qb,
+                 x -> x::DOUBLE * x::DOUBLE)) AS nb2
+              FROM eda a JOIN edb b USING (label))
+      SELECT d2.label, na.n_a, nb.n_b,
+        CASE WHEN na2 > 0 AND nb2 > 0
+             THEN floor(dab / sqrt(na2 * nb2) * 1e4 + 0.5) / 1e4 END
+          AS drift_cos
+      FROM edd d2
+      JOIN (SELECT label, n AS n_a FROM edn WHERE half = 0) na USING (label)
+      JOIN (SELECT label, n AS n_b FROM edn WHERE half = 1) nb USING (label)
+      ORDER BY d2.label"""))
+
   // -------------------------------------------------- embedding_quantize
   /** Int8 scalar quantization of the embedding column — the 4x storage
     * cut every large-scale vector store applies before anything else
@@ -2695,6 +2784,7 @@ object CurateQueries {
     "tokenize_vocab_coverage" -> tokenizeVocabCoverage,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_dim_stats" -> embeddingDimStats,
+    "embedding_drift" -> embeddingDrift,
     "embedding_pq" -> embeddingPq,
     "sim_search_pq_adc" -> simSearchPqAdc,
     "sim_search_pq_indexed" -> simSearchPqIndexed,

@@ -1792,7 +1792,7 @@ object SearchQueries {
     * recipe. At 100 TB the coarse quantizer goes hierarchical
     * (IVF-HNSW / two-level k-means), which refines this same blocking
     * without changing the within-cell exact-verify core. */
-  private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
+  private[engine] def knnGraphFrame(s: SparkSession, d: String): DataFrame =
     cellPairs(s, cellAssign(s, d, "spark.graft.knng.k"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
@@ -1847,6 +1847,59 @@ object SearchQueries {
           ORDER BY cos DESC, nbr_id) AS rank,
         nbr_id, round(cos, 4) AS cosine
       FROM gp QUALIFY rank <= $KnnK ORDER BY vec_id, rank"""))
+
+  // ------------------------------------------ B53z embedding_outlier_knn
+  /** B53z: kNN-DISTANCE OUTLIER SCORE — for every corpus vector, 1 −
+    * (mean cosine to its top-[[KnnK]] blocked neighbors): the classic
+    * distance-based outlier readout (the k-distance core of LOF,
+    * Breunig et al. 2000, without the density ratio) and the third
+    * consumer of the kNN graph the curation stack builds once
+    * (sim_knn_graph → pagerank / label-prop / THIS). High score =
+    * isolated in embedding space — the rare-or-junk tail a pipeline
+    * inspects before sampling; near-zero = deep inside a dense region.
+    * Vectors alone in their coarse cell have no neighbors and score
+    * 1.0 with k_found = 0 (the blocked build's honest answer, not an
+    * imputed one).
+    *
+    * Shape at 100 TB: the graph build is the shared cluster-blocked
+    * pass (O(N^1.5) under the √N cell recipe); this op adds ONE
+    * key-partitioned agg over the edge list plus a left join back to
+    * the corpus ids. Float discipline: the neighbor cosines are summed
+    * over the ASCENDING-sorted list in both engines (a fixed fold
+    * order, the dot-product rule applied to an aggregation), and the
+    * mean's one division + the floor-form 4-dp round are the same IEEE
+    * sequence everywhere. */
+  private val embeddingOutlierKnn = Q(
+    (s, d) => {
+      val g = knnGraphFrame(s, d)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("k_found"),
+          aggregate(sort_array(collect_list(col("cos"))), lit(0.0),
+            (a, x) => a + x).as("scos"))
+      LlmQueries.unitCorpus(s, d).select(col("vec_id"))
+        .join(g, Seq("vec_id"), "left")
+        .withColumn("q", when(col("k_found").isNull, lit(1.0))
+          .otherwise(lit(1.0) - col("scos") / col("k_found").cast("double")))
+        .select(col("vec_id"),
+          coalesce(col("k_found"), lit(0L)).as("k_found"),
+          (floor(col("q") * lit(1e4) + lit(0.5)) / lit(1e4)).as("outlier"))
+        .orderBy("vec_id")
+    },
+    Some(LlmQueries.coarseChainSqlK(
+      engine.Core.oracleK("spark.graft.knng.k")) + knnSqlCtes + s""",
+      okn AS (SELECT vec_id, cos FROM (
+               SELECT vec_id, cos, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, nbr_id) AS rank FROM gp)
+              WHERE rank <= $KnnK),
+      oks AS (SELECT vec_id, count(*) AS k_found,
+               list_sum(list_sort(list(cos))) AS scos
+              FROM okn GROUP BY vec_id)
+      SELECT eu.vec_id, coalesce(k.k_found, 0)::BIGINT AS k_found,
+        floor((CASE WHEN k.vec_id IS NULL THEN 1.0
+               ELSE 1.0 - k.scos / k.k_found END) * 1e4 + 0.5) / 1e4
+          AS outlier
+      FROM eu LEFT JOIN oks k ON k.vec_id = eu.vec_id
+      ORDER BY eu.vec_id"""))
 
   /** The within-cell pair CTEs (assignment → same-cell cosine pairs),
     * ending in `gp(vec_id, nbr_id, cos)` over coarseChainSql's
@@ -3456,6 +3509,7 @@ object SearchQueries {
     "search_mlt" -> searchMlt,
     "search_snippet" -> searchSnippet,
     "sim_knn_graph" -> simKnnGraph,
+    "embedding_outlier_knn" -> embeddingOutlierKnn,
     "search_passage" -> searchPassage,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,

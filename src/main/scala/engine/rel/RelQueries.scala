@@ -2289,6 +2289,165 @@ object RelQueries {
         FROM tew ORDER BY event_id"""
     })
 
+  // -------------------------------------------------------- B27i ts_cusum
+  /** CUSUM alarm threshold, in per-series average-absolute-deviation
+    * units. At this data's density the one-sided excursion probability
+    * exp(−2·slack·h/σ²) lands near 1-2% of events — alarms present at
+    * every test SF, never the majority. */
+  private val CusumH = 8L
+
+  /** B27i: CUSUM CHANGE-POINT DETECTION — the one-sided cumulative-sum
+    * drift statistic (Page 1954) per series (event_type): S_t =
+    * max(0, S_{t−1} + (x_t − k − slack)), alarm when S_t exceeds
+    * [[CusumH]]·aad. The classic mean-shift monitor telemetry QA runs
+    * beside ts_anomaly's per-point z-score: a z-test sees spikes, CUSUM
+    * accumulates small sustained shifts that never individually clear
+    * 3σ.
+    *
+    * The recurrence LOOKS inherently sequential (the trap a naive port
+    * would hit with a per-series loop), but it has an exact closed
+    * form: with y_t = x_t − k − slack and prefix sums P_t,
+    * S_t = P_t − min(0, min_{j≤t} P_j) — ONE cumulative sum plus ONE
+    * cumulative min, both incremental O(rows) window passes over the
+    * same (series, time) order. That identity is what makes CUSUM
+    * distributable at 100 TB, and RelTsSpec proves it against the
+    * literal recurrence.
+    *
+    * All-integer discipline (the ts_anomaly rule): x in exact cents,
+    * reference k = per-series integer-div mean, slack = aad/2 with
+    * aad = integer-div mean absolute deviation (positive sums ⇒
+    * truncating div identical in both engines), so P, S, and the alarm
+    * compare never touch a float. Per-series scalars are a 5-row
+    * broadcast — series cardinality is the parallelism unit, the
+    * per-series constants ride a map-side join. */
+  private val tsCusum = Q(
+    (s, d) => {
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val tk = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .withColumn("k", expr("s1 div n"))
+        .select(col("event_type"), col("n"), col("k"))
+      val typ = base.join(broadcast(tk), "event_type")
+        .groupBy(col("event_type"))
+        .agg(expr("sum(abs(c - k)) div max(n)").as("aad"),
+          max(col("k")).as("k"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base.join(broadcast(typ), "event_type")
+        .withColumn("p",
+          sum(col("c") - col("k") - expr("aad div 2")).over(w))
+        .withColumn("cusum",
+          col("p") - least(lit(0L), min(col("p")).over(w)))
+        .select(col("event_id"), col("event_type"), col("cusum"),
+          (col("cusum") > lit(CusumH) * col("aad")).as("is_alarm"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH tce AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      tks AS (SELECT event_type, count(*) AS n, sum(c) AS s1
+              FROM tce GROUP BY 1),
+      tkk AS (SELECT event_type, n, s1 // n AS k FROM tks),
+      tad AS (SELECT t.event_type,
+               sum(abs(c - k)) // max(n) AS aad, max(k) AS k
+              FROM tce t JOIN tkk USING (event_type) GROUP BY t.event_type),
+      tp AS (SELECT event_id, t.event_type, us, aad,
+              (sum(c - k - aad // 2) OVER (PARTITION BY t.event_type
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                AS p
+             FROM tce t JOIN tad USING (event_type)),
+      tsm AS (SELECT event_id, event_type, aad,
+               p - least(0, min(p) OVER (PARTITION BY event_type
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+              FROM tp)
+      SELECT event_id, event_type, s AS cusum,
+        s > $CusumH * aad AS is_alarm
+      FROM tsm ORDER BY event_id"""))
+
+  // --------------------------------------------------------- B27j ts_acf
+  /** Autocorrelation lags reported per series. */
+  private val AcfLags = 4
+
+  /** B27j: AUTOCORRELATION FUNCTION — Pearson r between each series and
+    * its lag-l self for l = 1..[[AcfLags]]: the seasonality/persistence
+    * probe run before choosing smoothing or anomaly windows (a high
+    * lag-l ACF says ts_ewma's K and ts_anomaly's baseline width are
+    * load-bearing choices, white noise says they aren't). One window
+    * pass materializes the lagged pairs; one partial+final agg per
+    * (series, lag) reduces them to the five exact-integer sufficient
+    * sums (m, Σx, Σy, Σxy, Σx², Σy²) — the classic sufficient-statistic
+    * shape: shuffled state is 6 longs per (series, lag) whatever the
+    * row count.
+    *
+    * Float discipline: cents and cents-products summed as exact BIGINT
+    * (bounded ~5e14 at the 100× probe scale — inside the 2^53 exact
+    * window with 4 orders to spare); the Pearson formula then runs in
+    * doubles from those exact integers in one fixed op sequence
+    * (products first, subtraction, one sqrt, one division), floor-form
+    * 4-dp. Degenerate variance (constant series) yields NULL r on both
+    * engines; sort keys are (series, lag), never r. */
+  private val tsAcf = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val lagged = (1 to AcfLags).map { l =>
+        base.withColumn("y", lag(col("c"), l).over(w))
+          .filter(col("y").isNotNull)
+          .select(col("event_type"), lit(l).as("lag"),
+            col("c").as("x"), col("y"))
+      }.reduce(_ unionByName _)
+      val sums = lagged.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val m = col("m").cast("double")
+      val cov = m * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val vx = m * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = m * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      sums.select(col("event_type"), col("lag"), col("m"),
+        when(vx > 0 && vy > 0,
+          floor(cov / sqrt(vx * vy) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some {
+      val lagUnion = (1 to AcfLags).map(l =>
+        s"""SELECT event_type, $l AS lag, c AS x,
+            lag(c, $l) OVER (PARTITION BY event_type
+              ORDER BY us, event_id) AS y FROM ace""").mkString(
+        " UNION ALL ")
+      s"""WITH ace AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        acl AS (SELECT * FROM ($lagUnion) WHERE y IS NOT NULL),
+        acs AS (SELECT event_type, lag, count(*)::BIGINT AS m,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+                FROM acl GROUP BY event_type, lag)
+        SELECT event_type, lag, m,
+          CASE WHEN m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                AND m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+               THEN floor((m::DOUBLE * sxy::DOUBLE
+                   - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   * (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                 * 1e4 + 0.5) / 1e4 END AS acf
+        FROM acs ORDER BY event_type, lag"""
+    })
+
   // ---------------------------------------------- B19i agg_bitmap_distinct
   /** B19i: EXACT distinct count via BITMAP WORDS — distinct customers
     * per order month, computed as two fixed-width aggregations instead
@@ -2325,6 +2484,76 @@ object RelQueries {
       SELECT mon, sum(bit_count(bm))::BIGINT AS n_cust,
         count(*)::BIGINT AS n_words
       FROM bw GROUP BY mon ORDER BY mon"""))
+
+  // --------------------------------------------- B19j agg_bitmap_retention
+  /** B19j: BITMAP SET ALGEBRA — month-over-month customer retention as
+    * popcount(words(m) AND words(m+1)): the payoff of
+    * agg_bitmap_distinct's claim that the words stay an INTERSECTABLE
+    * index, not just a count. Retained customers between adjacent
+    * months is one equi-join on (month-successor, word-block) over the
+    * already-aggregated word table — the raw id sets never re-shuffle,
+    * and the join carries ~n_distinct/63 8-byte words per month
+    * instead of one row per customer-month (retention_cohorts' shape).
+    * The audience-overlap / funnel-intersection pattern every bitmap
+    * warehouse (ClickHouse, Doris, Druid) serves from this exact
+    * layout. Months without a successor month in the data are excluded
+    * (no fabricated zero cohorts); the rate's division + floor-form
+    * 4-dp round are the same IEEE sequence in both engines. */
+  private val aggBitmapRetention = Q(
+    (s, d) => {
+      val words = t(s, d, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+          col("o_custkey"))
+        .groupBy(col("mon"), expr("o_custkey div 63").as("wd"))
+        .agg(expr("bit_or(shiftleft(1L, cast(o_custkey % 63 as int)))")
+          .as("bm"))
+      val byMon = words.groupBy(col("mon"))
+        .agg(expr("sum(bit_count(bm))").as("n_cust"))
+      val inter = words
+        .select(col("mon").as("amon"),
+          expr("date_format(add_months(to_date(mon || '-01'), 1), 'yyyy-MM')")
+            .as("mon"),
+          col("wd"), col("bm").as("abm"))
+        .join(words, Seq("mon", "wd"))
+        .groupBy(col("amon"))
+        .agg(expr("sum(bit_count(abm & bm))").as("retained"))
+        .withColumnRenamed("amon", "mon")
+      val nxt = byMon.select(
+        expr("date_format(add_months(to_date(mon || '-01'), -1), 'yyyy-MM')")
+          .as("mon"),
+        col("n_cust").as("n_next"))
+      byMon.join(nxt, Seq("mon"))
+        .join(inter, Seq("mon"), "left")
+        .withColumn("retained", coalesce(col("retained"), lit(0L)))
+        .select(col("mon"), col("n_cust"), col("n_next"), col("retained"),
+          (floor(col("retained").cast("double") / col("n_cust").cast("double")
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("retention_rate"))
+        .orderBy("mon")
+    },
+    Some("""WITH bw AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+               o_custkey // 63 AS wd,
+               bit_or(1::BIGINT << (o_custkey % 63)::INT) AS bm
+             FROM orders GROUP BY 1, 2),
+      bmn AS (SELECT mon, sum(bit_count(bm))::BIGINT AS n_cust
+              FROM bw GROUP BY mon),
+      ban AS (SELECT mon AS amon,
+               strftime(strptime(mon || '-01', '%Y-%m-%d')
+                 + INTERVAL 1 MONTH, '%Y-%m') AS mon,
+               wd, bm AS abm FROM bw),
+      itr AS (SELECT amon AS mon,
+               sum(bit_count(abm & b.bm))::BIGINT AS retained
+              FROM ban JOIN bw b ON b.mon = ban.mon AND b.wd = ban.wd
+              GROUP BY 1),
+      nx AS (SELECT strftime(strptime(mon || '-01', '%Y-%m-%d')
+               - INTERVAL 1 MONTH, '%Y-%m') AS mon,
+             n_cust AS n_next FROM bmn)
+      SELECT m.mon, m.n_cust, n.n_next,
+        coalesce(i.retained, 0)::BIGINT AS retained,
+        floor(coalesce(i.retained, 0)::DOUBLE / m.n_cust::DOUBLE * 1e4
+          + 0.5) / 1e4 AS retention_rate
+      FROM bmn m JOIN nx n ON n.mon = m.mon
+      LEFT JOIN itr i ON i.mon = m.mon
+      ORDER BY m.mon"""))
 
   /** B27b: value-RANGE window frame — the trailing-hour running sum per
     * user, framed by EVENT TIME (micros), not row count: a rows-frame is
@@ -2602,6 +2831,9 @@ object RelQueries {
     "ts_interval_union" -> tsIntervalUnion,
     "ts_ewma" -> tsEwma,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_bitmap_retention" -> aggBitmapRetention,
+    "ts_cusum" -> tsCusum,
+    "ts_acf" -> tsAcf,
     "win_streaks" -> winStreaks,
     "win_sessionize" -> winSessionize,
     "agg_funnel" -> aggFunnel,

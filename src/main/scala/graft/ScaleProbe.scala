@@ -434,7 +434,9 @@ object ScaleProbe {
     "graph_shortest_path", "sample_global_shuffle",
     // r19 continuation: finite-K EWMA smoothing, bitmap-word exact
     // distinct, density clustering over the banded epsilon graph
-    "ts_ewma", "agg_bitmap_distinct", "cluster_dbscan")
+    "ts_ewma", "agg_bitmap_distinct", "cluster_dbscan",
+    "agg_bitmap_retention", "embedding_outlier_knn", "ts_cusum",
+    "ts_acf", "embedding_drift")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

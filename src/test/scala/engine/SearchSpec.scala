@@ -1140,4 +1140,37 @@ class SearchSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(recall >= 0.8,
       s"matryoshka recall@5 $recall vs exact top-5 (coarse depth 100)")
   }
+
+  test("embedding_outlier_knn: score is 1 - mean neighbor cosine (sorted " +
+      "fold) from the shared kNN graph; neighborless vectors score 1.0") {
+    val sf = "/root/testdata/sf0.001"
+    val g = SearchQueries.knnGraphFrame(spark, sf)
+      .select(col("vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SearchQueries.queries("embedding_outlier_knn").fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val allIds = engine.llm.LlmQueries.unitCorpus(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got.keySet == allIds, "one row per corpus vector")
+    allIds.foreach { v =>
+      val (k, o) = got(v)
+      g.get(v) match {
+        case Some(cs) =>
+          val scos = cs.sorted.foldLeft(0.0)(_ + _)
+          val expect =
+            math.floor((1.0 - scos / cs.length) * 1e4 + 0.5) / 1e4
+          assert(k == cs.length.toLong && math.abs(o - expect) < 1e-9,
+            s"vec $v outlier")
+        case None =>
+          assert(k == 0L && o == 1.0, s"vec $v: neighborless must score 1.0")
+      }
+    }
+    // the score must separate the corpus, not collapse to a constant
+    // (no singleton cells at this fixture's 500/16 density, so the
+    // neighborless branch is covered by the per-vector case split above)
+    val scores = got.values.map(_._2)
+    assert(got.values.exists(_._1 == 3L) && scores.min < scores.max)
+  }
 }
