@@ -2320,6 +2320,33 @@ object RelQueries {
     * compare never touch a float. Per-series scalars are a 5-row
     * broadcast — series cardinality is the parallelism unit, the
     * per-series constants ride a map-side join. */
+  /** The CUSUM oracle chain — shared verbatim with stream_cusum
+    * (engine.stream), whose fold must land on the identical statistic
+    * under any trigger split. */
+  private[engine] val cusumSql: String =
+    s"""WITH tce AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      tks AS (SELECT event_type, count(*) AS n, sum(c) AS s1
+              FROM tce GROUP BY 1),
+      tkk AS (SELECT event_type, n, s1 // n AS k FROM tks),
+      tad AS (SELECT t.event_type,
+               sum(abs(c - k)) // max(n) AS aad, max(k) AS k
+              FROM tce t JOIN tkk USING (event_type) GROUP BY t.event_type),
+      tp AS (SELECT event_id, t.event_type, us, aad,
+              (sum(c - k - aad // 2) OVER (PARTITION BY t.event_type
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                AS p
+             FROM tce t JOIN tad USING (event_type)),
+      tsm AS (SELECT event_id, event_type, aad,
+               p - least(0, min(p) OVER (PARTITION BY event_type
+                 ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+              FROM tp)
+      SELECT event_id, event_type, s AS cusum,
+        s > $CusumH * aad AS is_alarm
+      FROM tsm ORDER BY event_id"""
+
   private val tsCusum = Q(
     (s, d) => {
       val base = t(s, d, "events")
@@ -2346,28 +2373,7 @@ object RelQueries {
           (col("cusum") > lit(CusumH) * col("aad")).as("is_alarm"))
         .orderBy("event_id")
     },
-    Some(s"""WITH tce AS (SELECT event_id, event_type, epoch_us(ts) AS us,
-               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
-      tks AS (SELECT event_type, count(*) AS n, sum(c) AS s1
-              FROM tce GROUP BY 1),
-      tkk AS (SELECT event_type, n, s1 // n AS k FROM tks),
-      tad AS (SELECT t.event_type,
-               sum(abs(c - k)) // max(n) AS aad, max(k) AS k
-              FROM tce t JOIN tkk USING (event_type) GROUP BY t.event_type),
-      tp AS (SELECT event_id, t.event_type, us, aad,
-              (sum(c - k - aad // 2) OVER (PARTITION BY t.event_type
-                ORDER BY us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-                AS p
-             FROM tce t JOIN tad USING (event_type)),
-      tsm AS (SELECT event_id, event_type, aad,
-               p - least(0, min(p) OVER (PARTITION BY event_type
-                 ORDER BY us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
-              FROM tp)
-      SELECT event_id, event_type, s AS cusum,
-        s > $CusumH * aad AS is_alarm
-      FROM tsm ORDER BY event_id"""))
+    Some(cusumSql))
 
   // --------------------------------------------------------- B27j ts_acf
   /** Autocorrelation lags reported per series. */

@@ -971,8 +971,85 @@ object StreamQueries {
         ON events.user_id = o.k AND events.ts >= o.at
       ORDER BY event_id"""))
 
+  // --------------------------------------------------- B5i stream_cusum
+  case class CusumRow(event_id: Long, event_type: String, us: Long, c: Long)
+  case class CusumOut(event_id: Long, event_type: String, cusum: Long,
+      is_alarm: Boolean)
+
+  /** Per-series CUSUM fold: rows sort by (us, event_id) within the
+    * trigger, the carried statistic is ONE long per series —
+    * max(0, S + (c − k − aad/2)) is a left fold, so any trigger split
+    * of the ordered log lands on the identical per-event statistic
+    * (state at a cut point IS the prefix fold; StreamSourceSpec pins
+    * 3-trigger ≡ single ≡ batch ts_cusum). */
+  private def cusumFold(calib: Map[String, (Long, Long)])(
+      key: String, rows: Iterator[CusumRow],
+      state: org.apache.spark.sql.streaming.GroupState[Long])
+      : Iterator[CusumOut] = {
+    val (k, aad) = calib(key)
+    var s = state.getOption.getOrElse(0L)
+    val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
+      s = math.max(0L, s + (r.c - k - aad / 2))
+      CusumOut(r.event_id, key, s, s > 8L * aad)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  /** B5i: STREAMING CUSUM — ts_cusum's streaming twin: the mean-shift
+    * alarm evaluated per event AS IT ARRIVES, per series, against
+    * pre-trained calibration. Batch ts_cusum distributes the recurrence
+    * via the prefix-sum − running-min identity; the streaming form runs
+    * the LITERAL max(0, S + y) fold, carrying one long of state per
+    * series — the two are provably the same statistic, and the oracle
+    * (the batch chain verbatim) makes that an executed check rather
+    * than a claim.
+    *
+    * Calibration (per-series reference k and deviation aad — two
+    * integers) is trained offline and closed over like a shipped config
+    * (the quantile_sketch_incremental pre-declared-grid discipline;
+    * here it is derived from the same corpus so the oracle can replay
+    * it). State is O(series), never history; per trigger the fold
+    * touches only the batch's rows. `spark.graft.cusumStream.mft`
+    * sizes triggers; ordered admission (us-major, event_id tiebreak)
+    * is the file-source contract every stateful stream here rides. */
+  private val streamCusum = Q(
+    (s, d) => {
+      import s.implicits._
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val tk = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .withColumn("k", expr("s1 div n"))
+        .select(col("event_type"), col("n"), col("k"))
+      // (event_type, aad, k): series-cardinality calibration scalars
+      val calib = base.join(broadcast(tk), "event_type")
+        .groupBy(col("event_type"))
+        .agg(expr("sum(abs(c - k)) div max(n)").as("aad"),
+          max(col("k")).as("k"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+      val mft = s.conf.get("spark.graft.cusumStream.mft", "32").toInt
+      val src = asFileStream(s, base, s"cusum_$san",
+        orderedBy = Some("us,event_id"), maxFilesPerTrigger = Some(mft))
+      val out = src.as[CusumRow].groupByKey(_.event_type)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          cusumFold(calib))
+      // 5 series ⇒ 8 state partitions (the stream_join_stream sizing)
+      runToMemory(s, out.toDF(), "graft_cusum_sink",
+          statePartitions = Some(8))
+        .orderBy("event_id")
+    },
+    Some(engine.rel.RelQueries.cusumSql))
+
   val queries: Map[String, Q] = Map(
     "stream_asof_enrich" -> streamAsofEnrich,
+    "stream_cusum" -> streamCusum,
     "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_join_static" -> streamJoinStatic,

@@ -28,6 +28,22 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream_cusum: multi-trigger fold lands on the batch ts_cusum " +
+      "statistic exactly (prefix-fold state at every cut point)") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("ts_cusum")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_cusum")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.cusumStream.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.cusumStream.mft")
+    val single = run()
+    assert(multi == single && single == batch)
+    assert(batch.exists(_.last == true), "alarms must fire on the fixture")
+  }
+
   test("stream_upsert_sink: trigger split does not change the folded state") {
     // last-writer-wins by a total sequence is associative, so the 3-round
     // fold (mft=11) must land on exactly the single-trigger default's
