@@ -2247,6 +2247,29 @@ object RelQueries {
     * Shape at 100 TB: one hash exchange on the series key, then one
     * sort + one incremental ROWS-window pass — lag(k) state is a K-row
     * ring buffer per series, never a re-aggregated frame. */
+  /** The EWMA oracle chain — shared verbatim with stream_ewma
+    * (engine.stream), whose ring-buffer fold must land on the identical
+    * smoothed value under any trigger split. */
+  private[engine] val ewmaSql: String = {
+    val terms = (0 until EwmaK).map { i =>
+      val wt = 1L << (EwmaK - 1 - i)
+      val lg = if (i == 0) "c" else s"lag(c, $i) OVER w"
+      (s"CASE WHEN $lg IS NOT NULL THEN $lg * $wt ELSE 0 END",
+        s"CASE WHEN $lg IS NOT NULL THEN $wt ELSE 0 END")
+    }
+    s"""WITH tec AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      tew AS (SELECT event_id, user_id,
+             (${terms.map(_._1).mkString(" + ")}) AS num,
+             (${terms.map(_._2).mkString(" + ")}) AS den
+           FROM tec WINDOW w AS
+             (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT event_id, user_id,
+        floor(num::DOUBLE / (den::DOUBLE * 100.0) * 1e4 + 0.5) / 1e4
+          AS ewma
+      FROM tew ORDER BY event_id"""
+  }
+
   private val tsEwma = Q(
     (s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -2269,25 +2292,84 @@ object RelQueries {
           (floor(col("x") * lit(1e4) + lit(0.5)) / lit(1e4)).as("ewma"))
         .orderBy("event_id")
     },
-    Some {
-      val terms = (0 until EwmaK).map { i =>
-        val wt = 1L << (EwmaK - 1 - i)
-        val lg = if (i == 0) "c" else s"lag(c, $i) OVER w"
-        (s"CASE WHEN $lg IS NOT NULL THEN $lg * $wt ELSE 0 END",
-          s"CASE WHEN $lg IS NOT NULL THEN $wt ELSE 0 END")
-      }
-      s"""WITH tec AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
-        tew AS (SELECT event_id, user_id,
-               (${terms.map(_._1).mkString(" + ")}) AS num,
-               (${terms.map(_._2).mkString(" + ")}) AS den
-             FROM tec WINDOW w AS
-               (PARTITION BY user_id ORDER BY us, event_id))
-        SELECT event_id, user_id,
-          floor(num::DOUBLE / (den::DOUBLE * 100.0) * 1e4 + 0.5) / 1e4
-            AS ewma
-        FROM tew ORDER BY event_id"""
-    })
+    Some(ewmaSql))
+
+
+
+  // ------------------------------------------------ B19k agg_bitmap_funnel
+  /** B19k: BITMAP PRESENCE FUNNEL — view → click → purchase audience
+    * narrowing as an AND-chain over user-id bitmap words: step n's
+    * population is popcount(w_1 & … & w_n). The UNORDERED (presence)
+    * funnel beside agg_funnel's time-ordered sequence funnel — the
+    * audience-sizing question ("how many users did ALL of these,
+    * ever?") a bitmap warehouse answers without touching event rows
+    * twice: one word table per step (map-side-collapsing agg each),
+    * one equi-join on the word block, popcounts. Missing word blocks
+    * coalesce to 0 — absence of a block IS an empty set, so the left
+    * join is exact, not approximate. Conversion rates floor-form 4-dp;
+    * everything else pure integer. */
+  private val aggBitmapFunnel = Q(
+    (s, d) => {
+      def words(tp: String) = t(s, d, "events")
+        .filter(col("event_type") === tp)
+        .groupBy(expr("user_id div 63").as("wd"))
+        .agg(expr("bit_or(shiftleft(1L, cast(user_id % 63 as int)))")
+          .as(s"bm_$tp"))
+      val joined = words("view")
+        .join(words("click"), Seq("wd"), "left")
+        .join(words("purchase"), Seq("wd"), "left")
+        .select(col("bm_view").as("v"),
+          coalesce(col("bm_click"), lit(0L)).as("c"),
+          coalesce(col("bm_purchase"), lit(0L)).as("p"))
+      val agg = joined.agg(
+        expr("sum(bit_count(v))").as("n1"),
+        expr("sum(bit_count(v & c))").as("n2"),
+        expr("sum(bit_count(v & c & p))").as("n3"))
+      def rate(n: Column, prev: Column): Column =
+        when(prev > 0,
+          floor(n.cast("double") / prev.cast("double") * lit(1e4)
+            + lit(0.5)) / lit(1e4)).otherwise(lit(0.0))
+      agg.select(
+        expr("stack(3, 1, 'view', n1, CAST(1.0 AS DOUBLE)," +
+          " 2, 'view>click', n2, CAST(NULL AS DOUBLE)," +
+          " 3, 'view>click>purchase', n3, CAST(NULL AS DOUBLE))")
+          .as(Seq("step", "path", "n_users", "conv")),
+        col("n1"), col("n2"), col("n3"))
+        .select(col("step"), col("path"), col("n_users"),
+          when(col("step") === 1, lit(1.0))
+            .when(col("step") === 2, rate(col("n2"), col("n1")))
+            .otherwise(rate(col("n3"), col("n2"))).as("conv"))
+        .orderBy("step")
+    },
+    Some("""WITH fv AS (SELECT user_id // 63 AS wd,
+               bit_or(1::BIGINT << (user_id % 63)::INT) AS bm
+             FROM events WHERE event_type = 'view' GROUP BY 1),
+      fc AS (SELECT user_id // 63 AS wd,
+               bit_or(1::BIGINT << (user_id % 63)::INT) AS bm
+             FROM events WHERE event_type = 'click' GROUP BY 1),
+      fp AS (SELECT user_id // 63 AS wd,
+               bit_or(1::BIGINT << (user_id % 63)::INT) AS bm
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      fj AS (SELECT fv.bm AS v, coalesce(fc.bm, 0) AS c,
+               coalesce(fp.bm, 0) AS p
+             FROM fv LEFT JOIN fc USING (wd) LEFT JOIN fp USING (wd)),
+      fa AS (SELECT sum(bit_count(v))::BIGINT AS n1,
+               sum(bit_count(v & c))::BIGINT AS n2,
+               sum(bit_count(v & c & p))::BIGINT AS n3 FROM fj)
+      SELECT * FROM (
+        SELECT 1 AS step, 'view' AS path, n1 AS n_users, 1.0 AS conv
+        FROM fa
+        UNION ALL
+        SELECT 2, 'view>click', n2,
+          CASE WHEN n1 > 0
+               THEN floor(n2::DOUBLE / n1::DOUBLE * 1e4 + 0.5) / 1e4
+               ELSE 0.0 END FROM fa
+        UNION ALL
+        SELECT 3, 'view>click>purchase', n3,
+          CASE WHEN n2 > 0
+               THEN floor(n3::DOUBLE / n2::DOUBLE * 1e4 + 0.5) / 1e4
+               ELSE 0.0 END FROM fa)
+      ORDER BY step"""))
 
   // -------------------------------------------------------- B27i ts_cusum
   /** CUSUM alarm threshold, in per-series average-absolute-deviation
@@ -2839,6 +2921,7 @@ object RelQueries {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_bitmap_retention" -> aggBitmapRetention,
     "ts_cusum" -> tsCusum,
+    "agg_bitmap_funnel" -> aggBitmapFunnel,
     "ts_acf" -> tsAcf,
     "win_streaks" -> winStreaks,
     "win_sessionize" -> winSessionize,

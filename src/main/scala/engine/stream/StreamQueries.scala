@@ -1047,9 +1047,68 @@ object StreamQueries {
     },
     Some(engine.rel.RelQueries.cusumSql))
 
+  // ---------------------------------------------------- B5j stream_ewma
+  case class EwmaRow(event_id: Long, user_id: Long, us: Long, c: Long)
+  case class EwmaOut(event_id: Long, user_id: Long, ewma: Double)
+
+  /** Per-series EWMA fold: state is the RING of the last K−1 cents
+    * (most recent first) — exactly the window the finite-K weight
+    * ladder reads, so any trigger split reproduces batch ts_ewma
+    * value-for-value (the state at a cut point IS the ring the next
+    * batch's first row needs). Weights 2^(K-1-i), numerator and
+    * denominator exact BIGINT, the one division + floor-form round
+    * identical to the batch op. */
+  private def ewmaFold(key: Long, rows: Iterator[EwmaRow],
+      state: org.apache.spark.sql.streaming.GroupState[Seq[Long]])
+      : Iterator[EwmaOut] = {
+    var hist: Seq[Long] = state.getOption.getOrElse(Seq.empty)
+    val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
+      val window = r.c +: hist // current + up to K-1 priors
+      val num = window.zipWithIndex.map { case (c, i) => c * (128L >> i) }.sum
+      val den = window.zipWithIndex.map { case (_, i) => 128L >> i }.sum
+      hist = window.take(7)
+      EwmaOut(r.event_id, key,
+        math.floor(num.toDouble / (den.toDouble * 100.0) * 1e4 + 0.5) / 1e4)
+    }
+    state.update(hist)
+    out.iterator
+  }
+
+  /** B5j: STREAMING EWMA — ts_ewma's streaming twin: the finite-K
+    * (K=8, α=1/2) smoothed value emitted per event as it arrives, per
+    * user series. Where stream_cusum's state is one scalar (the fold
+    * is associative-after-prefix), the truncated EWMA's state is the
+    * LAST K−1 OBSERVATIONS — the minimal ring buffer that makes the
+    * weight ladder readable at a batch cut; both are O(series), never
+    * history. The oracle is batch ts_ewma's lag-chain SQL verbatim,
+    * and StreamSourceSpec pins 3-trigger ≡ single ≡ batch
+    * (`spark.graft.ewmaStream.mft` sizes triggers). */
+  private val streamEwma = Q(
+    (s, d) => {
+      import s.implicits._
+      val san = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val mft = s.conf.get("spark.graft.ewmaStream.mft", "32").toInt
+      val src = asFileStream(s, base, s"ewma_$san",
+        orderedBy = Some("us,event_id"), maxFilesPerTrigger = Some(mft))
+      val out = src.as[EwmaRow].groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          ewmaFold)
+      runToMemory(s, out.toDF(), "graft_ewma_sink",
+          statePartitions = Some(8))
+        .orderBy("event_id")
+    },
+    Some(engine.rel.RelQueries.ewmaSql))
+
   val queries: Map[String, Q] = Map(
     "stream_asof_enrich" -> streamAsofEnrich,
     "stream_cusum" -> streamCusum,
+    "stream_ewma" -> streamEwma,
     "stream_topk" -> streamTopk,
     "stream_tumbling" -> streamTumbling,
     "stream_join_static" -> streamJoinStatic,

@@ -436,7 +436,7 @@ object ScaleProbe {
     // distinct, density clustering over the banded epsilon graph
     "ts_ewma", "agg_bitmap_distinct", "cluster_dbscan",
     "agg_bitmap_retention", "embedding_outlier_knn", "ts_cusum",
-    "ts_acf", "embedding_drift")
+    "ts_acf", "embedding_drift", "agg_bitmap_funnel")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

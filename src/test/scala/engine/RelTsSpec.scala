@@ -264,6 +264,29 @@ class RelTsSpec extends AnyFunSuite {
     assert(anyAlarm, "the fixture must trip at least one alarm")
   }
 
+  test("agg_bitmap_funnel equals the brute distinct-user set AND-chain, " +
+      "populations narrow monotonically") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def users(tp: String) = ev.filter(_._1 == tp).map(_._2).toSet
+    val (v, c, p) = (users("view"), users("click"), users("purchase"))
+    val (n1, n2, n3) =
+      (v.size.toLong, (v & c).size.toLong, (v & c & p).size.toLong)
+    val got = graft.SparkEntry.queries("agg_bitmap_funnel")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1)._2 == n1 && got(2)._2 == n2 && got(3)._2 == n3)
+    assert(got(1)._3 == 1.0)
+    assert(math.abs(got(2)._3 -
+      math.floor(n2.toDouble / n1 * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(math.abs(got(3)._3 -
+      math.floor(n3.toDouble / n2 * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0,
+      "every funnel step must stay populated on the fixture")
+  }
+
   test("ts_acf matches the brute Pearson recompute over lagged pairs " +
       "per series, r in [-1, 1]") {
     val ev = Core.t(spark, sf, "events")

@@ -44,6 +44,22 @@ class StreamSourceSpec extends AnyFunSuite {
     assert(batch.exists(_.last == true), "alarms must fire on the fixture")
   }
 
+  test("stream_ewma: multi-trigger ring-buffer fold lands on batch " +
+      "ts_ewma value-for-value") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("ts_ewma")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    def run(): Seq[Seq[Any]] =
+      graft.SparkEntry.queries("stream_ewma")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.ewmaStream.mft", "11")
+    val multi = try run()
+      finally spark.conf.unset("spark.graft.ewmaStream.mft")
+    val single = run()
+    assert(multi == single && single == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream_upsert_sink: trigger split does not change the folded state") {
     // last-writer-wins by a total sequence is associative, so the 3-round
     // fold (mft=11) must land on exactly the single-trigger default's
