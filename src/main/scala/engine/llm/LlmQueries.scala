@@ -1348,6 +1348,100 @@ object LlmQueries {
       FROM e LEFT JOIN roles r ON r.v = e.vec_id
       ORDER BY vec_id"""))
 
+  // --------------------------------------------------- B48m graph_k_core
+  /** Peel rounds / core threshold. R = 8 covers fixpoint at every test
+    * SF (6 rounds at sf0.01, 2 at sf0.1 — sparser graphs peel longer);
+    * the contract is "the survivor set after R synchronous peels",
+    * which equals the true k-core wherever the peel has converged
+    * (LlmSpec pins convergence on the fixture). */
+  private val KCoreR = 8
+  private val KCoreK = 2
+
+  /** B48m: K-CORE EXTRACTION — the maximal subgraph of the ε-similarity
+    * graph in which every member keeps ≥ [[KCoreK]] surviving
+    * neighbors: the classic dense-region backbone (Seidman 1983), and
+    * the structural complement to cluster_dbscan's per-point density
+    * test — DBSCAN asks "how many neighbors do YOU have", the k-core
+    * asks it RECURSIVELY (your neighbors must also survive), which is
+    * what separates a chain of weakly-attached points from a genuinely
+    * dense region. Curation reads the core as the redundancy backbone
+    * (downsample candidates) and the peeled shell as the attachment
+    * fringe.
+    *
+    * Synchronous peel, not sequential: each round drops EVERY node
+    * whose surviving degree < k at once — the standard distributed
+    * k-core schedule (rounds ≤ peel depth, each round one semi-join +
+    * one count per edge) — and the oracle unrolls the identical R
+    * rounds, so engine ≡ oracle by construction even where R cuts a
+    * deeper peel short. Edges are the banded LSH ε-screen shared with
+    * cluster_dbscan; all-integer throughout. */
+  private val graphKCore = Q(
+    (s, d) => {
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8")
+        val prs = srpNearDupPairs(s, d, DbscanEps)
+          .select(col("va").as("v"), col("vb").as("u"))
+        val edges = prs.unionByName(
+            prs.select(col("u").as("v"), col("v").as("u")))
+          .repartition(col("v")).localCheckpoint()
+        def restrict(sv: DataFrame): DataFrame = edges
+          .join(sv, Seq("v"), "leftsemi")
+          .join(sv.select(col("v").as("u")), Seq("u"), "leftsemi")
+        var surv = edges.select(col("v")).distinct().localCheckpoint()
+        for (_ <- 1 to KCoreR)
+          surv = engine.Core.checkpointFresh(
+            restrict(surv).groupBy(col("v"))
+              .agg(count(lit(1)).as("dg"))
+              .filter(col("dg") >= KCoreK).select(col("v")))
+        val deg = restrict(surv).groupBy(col("v"))
+          .agg(count(lit(1)).as("core_deg"))
+        unitCorpus(s, d).select(col("vec_id"))
+          .join(surv.select(col("v").as("vec_id"), lit(true).as("m")),
+            Seq("vec_id"), "left")
+          .join(deg.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("m"), lit(false)).as("in_core"),
+            coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+          .orderBy("vec_id")
+      } finally s.conf.set(shufKey, shufPrev)
+    },
+    Some {
+      // every kc CTE is referenced 2-3 times downstream; DuckDB inlines
+      // plain CTEs per reference, which re-expands the whole SRP band
+      // pipeline 2^R times — MATERIALIZED pins each round to one
+      // evaluation (measured: the plain form never returned at sf0.01)
+      def round(i: Int): String = s""",
+      kc$i AS MATERIALIZED (SELECT e2.v FROM edges e2
+              JOIN kc${i - 1} a ON a.v = e2.v
+              JOIN kc${i - 1} b ON b.v = e2.u
+              GROUP BY e2.v HAVING count(*) >= $KCoreK)"""
+      unitSql + srpSqlCtes + s""",
+      cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
+               FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+      pr AS (SELECT cand.ai, cand.bi,
+               list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+                 AS cos
+             FROM cand JOIN e a ON a.vec_id = cand.ai
+                       JOIN e b ON b.vec_id = cand.bi),
+      prs AS (SELECT ai, bi FROM pr WHERE cos >= $DbscanEps),
+      edges AS MATERIALIZED (SELECT ai v, bi u FROM prs
+                UNION ALL SELECT bi, ai FROM prs),
+      kc0 AS MATERIALIZED (SELECT DISTINCT v FROM edges)""" +
+      (1 to KCoreR).map(round).mkString + s""",
+      kdeg AS (SELECT e2.v, count(*) AS core_deg FROM edges e2
+               JOIN kc$KCoreR a ON a.v = e2.v
+               JOIN kc$KCoreR b ON b.v = e2.u
+               GROUP BY e2.v)
+      SELECT e.vec_id, (s8.v IS NOT NULL) AS in_core,
+        coalesce(d8.core_deg, 0)::BIGINT AS core_deg
+      FROM e LEFT JOIN kc$KCoreR s8 ON s8.v = e.vec_id
+             LEFT JOIN kdeg d8 ON d8.v = e.vec_id
+      ORDER BY e.vec_id"""
+    })
+
   // -------------------------------------------------- B49 similarity search
   /** B49: brute-force cosine top-k. The (tiny) query set is broadcast, so
     * the corpus streams through one codegen'd projection with NO shuffle
@@ -3156,6 +3250,7 @@ object LlmQueries {
     "dedup_embedding_banded" -> dedupEmbeddingBanded,
     "dedup_embedding_clusters" -> dedupEmbeddingClusters,
     "cluster_dbscan" -> clusterDbscan,
+    "graph_k_core" -> graphKCore,
     "sim_search_topk" -> simSearchTopk,
     "sim_search_range" -> simSearchRange,
     "sim_search_filtered" -> simSearchFiltered,

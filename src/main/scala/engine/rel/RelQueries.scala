@@ -2536,6 +2536,65 @@ object RelQueries {
         FROM acs ORDER BY event_type, lag"""
     })
 
+  // --------------------------------------------- B27k ts_seasonal_baseline
+  /** Seasonal outlier threshold in per-bucket aad units (~1-2% of
+    * events at this data's density — populated at every test SF, never
+    * the majority). */
+  private val SeasonalH = 4L
+
+  /** B27k: SEASONAL-BASELINE RESIDUALS — each event scored against the
+    * mean of its OWN (series, hour-of-day) bucket, flagged past
+    * [[SeasonalH]]·aad: the seasonal-naive decomposition every
+    * telemetry QA runs beside the trailing-window z-score (ts_anomaly)
+    * and the drift accumulator (ts_cusum). A trailing window calls the
+    * nightly traffic dip an anomaly every single day; the seasonal
+    * baseline learns the dip IS the expectation for that hour and
+    * flags only departures from the daily shape.
+    *
+    * All-integer (the house ts rule): hour-of-day = (us div 3.6e9) mod
+    * 24 — pure integer arithmetic on epoch micros, no timestamptz
+    * semantics to diverge on; bucket mean k and mean-absolute-deviation
+    * aad are integer-div statistics over exact cents (two
+    * map-side-collapsing aggs to ≤ series×24 rows); residual and flag
+    * compare are BIGINT. Bucket stats broadcast back — the calibration
+    * join is map-side at any corpus size. */
+  private val tsSeasonalBaseline = Q(
+    (s, d) => {
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 3600000000 % 24").as("hod"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val tk = base.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"))
+        .withColumn("k", expr("s1 div n"))
+        .select(col("event_type"), col("hod"), col("n"), col("k"))
+      val cal = base.join(broadcast(tk), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(expr("sum(abs(c - k)) div max(n)").as("aad"),
+          max(col("k")).as("k"))
+      base.join(broadcast(cal), Seq("event_type", "hod"))
+        .select(col("event_id"), col("event_type"), col("hod"),
+          (col("c") - col("k")).as("resid_cents"),
+          (abs(col("c") - col("k")) > lit(SeasonalH) * col("aad"))
+            .as("is_outlier"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH sbe AS (SELECT event_id, event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS hod,
+               CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      sbk AS (SELECT event_type, hod, count(*) AS n, sum(c) AS s1
+              FROM sbe GROUP BY 1, 2),
+      sbkk AS (SELECT event_type, hod, n, (s1 // n)::BIGINT AS k FROM sbk),
+      sba AS (SELECT t.event_type, t.hod,
+               (sum(abs(c - k)) // max(n))::BIGINT AS aad, max(k) AS k
+              FROM sbe t JOIN sbkk USING (event_type, hod)
+              GROUP BY 1, 2)
+      SELECT event_id, t.event_type, t.hod,
+        c - k AS resid_cents,
+        abs(c - k) > $SeasonalH * aad AS is_outlier
+      FROM sbe t JOIN sba USING (event_type, hod)
+      ORDER BY event_id"""))
+
   // ---------------------------------------------- B19i agg_bitmap_distinct
   /** B19i: EXACT distinct count via BITMAP WORDS — distinct customers
     * per order month, computed as two fixed-width aggregations instead
@@ -2922,6 +2981,7 @@ object RelQueries {
     "agg_bitmap_retention" -> aggBitmapRetention,
     "ts_cusum" -> tsCusum,
     "agg_bitmap_funnel" -> aggBitmapFunnel,
+    "ts_seasonal_baseline" -> tsSeasonalBaseline,
     "ts_acf" -> tsAcf,
     "win_streaks" -> winStreaks,
     "win_sessionize" -> winSessionize,

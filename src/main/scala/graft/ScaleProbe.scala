@@ -436,7 +436,8 @@ object ScaleProbe {
     // distinct, density clustering over the banded epsilon graph
     "ts_ewma", "agg_bitmap_distinct", "cluster_dbscan",
     "agg_bitmap_retention", "embedding_outlier_knn", "ts_cusum",
-    "ts_acf", "embedding_drift", "agg_bitmap_funnel")
+    "ts_acf", "embedding_drift", "agg_bitmap_funnel",
+    "graph_k_core", "ts_seasonal_baseline")
 
   /** Previous committed per-op seconds, if an artifact exists. Tolerant
     * flat-regex parse — the file is machine-written by this object. */

@@ -869,4 +869,36 @@ class LlmSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
   }
+
+  test("graph_k_core equals the brute peel run to FIXPOINT (R=8 is " +
+      "convergent on the fixture), degrees counted within the core") {
+    val pairs = LlmQueries.srpNearDupPairs(spark, sf, 0.3)
+      .select(col("va"), col("vb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var surv = edges.map(_._1)
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.filter(e => surv(e._1) && surv(e._2))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val next = surv.filter(v => deg.getOrElse(v, 0) >= 2)
+      changed = next != surv
+      if (changed) rounds += 1
+      surv = next
+    }
+    assert(rounds <= 8, s"fixture must converge within R=8, took $rounds")
+    val coreDeg = edges.toSeq.filter(e => surv(e._1) && surv(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = LlmQueries.queries("graph_k_core").fn(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    got.foreach { case (v, (inCore, dg)) =>
+      assert(inCore == surv(v), s"vec $v membership")
+      assert(dg == coreDeg.getOrElse(v, 0L), s"vec $v core degree")
+      if (inCore) assert(dg >= 2L, s"vec $v: core member must keep >= k")
+    }
+    assert(got.values.exists(_._1) && got.values.exists(!_._1),
+      "both core and shell must be populated")
+  }
 }

@@ -287,6 +287,35 @@ class RelTsSpec extends AnyFunSuite {
       "every funnel step must stay populated on the fixture")
   }
 
+  test("ts_seasonal_baseline matches the brute per-(series, hour) " +
+      "integer recompute; outliers exist but stay a small minority") {
+    val ev = Core.t(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 3600000000 % 24").as("hod"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byBucket = ev.groupBy(e => (e._2, e._3))
+    val got = graft.SparkEntry.queries("ts_seasonal_baseline")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == ev.length)
+    var flagged = 0
+    byBucket.foreach { case (_, rows) =>
+      val n = rows.length.toLong
+      val k = rows.map(_._4).sum / n
+      val aad = rows.map(e => math.abs(e._4 - k)).sum / n
+      rows.foreach { case (id, _, _, c) =>
+        val (gr, gf) = got(id)
+        assert(gr == c - k, s"event $id residual")
+        assert(gf == (math.abs(c - k) > 4L * aad), s"event $id flag")
+        if (gf) flagged += 1
+      }
+    }
+    assert(flagged > 0 && flagged < ev.length / 10,
+      s"outliers populated but a minority, got $flagged/${ev.length}")
+  }
+
   test("ts_acf matches the brute Pearson recompute over lagged pairs " +
       "per series, r in [-1, 1]") {
     val ev = Core.t(spark, sf, "events")
