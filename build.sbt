@@ -29,5 +29,29 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g on a 125 GiB box: the old 8g default left ~4.6 GiB of unified
+  // memory for a 226-query local[32] sweep whose session-keyed caches +
+  // localCheckpoints overflow it — evicted blocks then re-read from the
+  // contended /tmp disk store (22 MB/s under neighbor load), the r19
+  // search-family bench regression's mechanism. Override with
+  // SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ {
+  // Block-manager scratch (shuffle files, disk-store evictions) belongs
+  // on the engine's local-scratch tier, not the shared /tmp disk — the
+  // same rationale as engine.Core.scratchRoot (which gates on ≥ 2 GiB
+  // tmpfs headroom; mirrored here because spark.local.dir must be set
+  // before the forked JVM's SparkContext starts). SPARK_GRAFT_SCRATCH
+  // overrides, matching Core.
+  val dir = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= (2L << 30))
+      Some("/dev/shm/graft")
+    else None
+  }
+  dir.toSeq.map { d =>
+    val local = new java.io.File(d, "sparklocal")
+    local.mkdirs()
+    s"-Dspark.local.dir=${local.getPath}"
+  }
+}

@@ -776,19 +776,29 @@ object CurateQueries {
       // encode side: word → (rn, tid) — ids only, symbols dropped
       val enc = fin.join(broadcast(vocab), "sym")
         .select(col("word"), col("rn"), col("tid"))
+      // the posting path stays NARROW: (doc_id, p, word) only. Carrying
+      // `text` per token row (the pre-r20 shape) multiplies the symbol
+      // frame's bytes by document length, and the per-doc collect_list
+      // agg's sort fallback then ships doc-length payload per SYMBOL row
+      // — the scaleprobe100 superlinear flag (us_per_row 2.41× vs 30×:
+      // the 30× replica's agg fit the hash buffer, the 100× one spilled
+      // to sort with text aboard). The original text re-attaches below
+      // via ONE doc-cardinality join, co-partitioned on doc_id.
       val th = docs(s, d).repartition(col("doc_id"))
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
           posexplode(tokens(col("text"))).as(Seq("p", "word")))
       // decode: tid → sym via the broadcast vocabulary, then stitch
-      th.join(broadcast(enc), "word")
-        .select(col("doc_id"), col("text"), col("p"), col("rn"), col("tid"))
+      val dec = th.join(broadcast(enc), "word")
+        .select(col("doc_id"), col("p"), col("rn"), col("tid"))
         .join(broadcast(vocab), "tid")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), first(col("text")).as("text"),
+        .agg(count(lit(1)).as("n_tokens"),
           array_join(transform(
             array_sort(collect_list(struct(col("p"), col("rn"), col("sym")))),
             x => x.getField("sym")), "").as("blob"))
         .withColumn("decoded", rtrim(expr("replace(blob, '</w>', ' ')")))
+      dec.join(docs(s, d).repartition(col("doc_id"))
+          .select(col("doc_id"), col("text")), "doc_id")
         .select(col("doc_id"), col("n_tokens"),
           length(col("decoded")).as("decoded_len"),
           (col("decoded") === col("text")).as("roundtrip_ok"))

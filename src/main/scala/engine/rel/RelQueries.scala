@@ -2222,7 +2222,7 @@ object RelQueries {
     * α = 1/2 — the one smoothing factor whose weight ladder is exact in
     * binary at every depth. K = 8 bounds the dropped tail mass at 2^-8
     * (≈ 0.4% of the weight), far below the 4-dp projection grain. */
-  private val EwmaK = 8
+  private[engine] val EwmaK = 8
 
   /** B27h: EXPONENTIAL MOVING AVERAGE (finite-K) — the standard
     * trend-smoothing readout per series (user_id), truncated to the
@@ -2376,7 +2376,7 @@ object RelQueries {
     * units. At this data's density the one-sided excursion probability
     * exp(−2·slack·h/σ²) lands near 1-2% of events — alarms present at
     * every test SF, never the majority. */
-  private val CusumH = 8L
+  private[engine] val CusumH = 8L
 
   /** B27i: CUSUM CHANGE-POINT DETECTION — the one-sided cumulative-sum
     * drift statistic (Page 1954) per series (event_type): S_t =

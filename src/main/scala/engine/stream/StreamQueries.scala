@@ -990,7 +990,9 @@ object StreamQueries {
     var s = state.getOption.getOrElse(0L)
     val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
       s = math.max(0L, s + (r.c - k - aad / 2))
-      CusumOut(r.event_id, key, s, s > 8L * aad)
+      // alarm threshold shared with batch ts_cusum — one constant, one
+      // oracle; a CusumH change cannot desynchronize the twins
+      CusumOut(r.event_id, key, s, s > engine.rel.RelQueries.CusumH * aad)
     }
     state.update(s)
     out.iterator
@@ -1026,11 +1028,13 @@ object StreamQueries {
         .withColumn("k", expr("s1 div n"))
         .select(col("event_type"), col("n"), col("k"))
       // (event_type, aad, k): series-cardinality calibration scalars
-      val calib = base.join(broadcast(tk), "event_type")
-        .groupBy(col("event_type"))
-        .agg(expr("sum(abs(c - k)) div max(n)").as("aad"),
-          max(col("k")).as("k"))
-        .collect()
+      val calib = engine.Core.boundedCollect(
+          base.join(broadcast(tk), "event_type")
+            .groupBy(col("event_type"))
+            .agg(expr("sum(abs(c - k)) div max(n)").as("aad"),
+              max(col("k")).as("k")),
+          1024, "stream_cusum per-series calibration (one row per " +
+            "event_type — the shipped-config table, never corpus rows)")
         .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(1)))).toMap
       val mft = s.conf.get("spark.graft.cusumStream.mft", "32").toInt
       val src = asFileStream(s, base, s"cusum_$san",
@@ -1061,12 +1065,15 @@ object StreamQueries {
   private def ewmaFold(key: Long, rows: Iterator[EwmaRow],
       state: org.apache.spark.sql.streaming.GroupState[Seq[Long]])
       : Iterator[EwmaOut] = {
+    // weight ladder and ring length derive from the SHARED EwmaK so the
+    // streaming twin can never desynchronize from batch ts_ewma
+    val K = engine.rel.RelQueries.EwmaK
     var hist: Seq[Long] = state.getOption.getOrElse(Seq.empty)
     val out = rows.toSeq.sortBy(r => (r.us, r.event_id)).map { r =>
       val window = r.c +: hist // current + up to K-1 priors
-      val num = window.zipWithIndex.map { case (c, i) => c * (128L >> i) }.sum
-      val den = window.zipWithIndex.map { case (_, i) => 128L >> i }.sum
-      hist = window.take(7)
+      val num = window.zipWithIndex.map { case (c, i) => c * (1L << (K - 1 - i)) }.sum
+      val den = window.zipWithIndex.map { case (_, i) => 1L << (K - 1 - i) }.sum
+      hist = window.take(K - 1)
       EwmaOut(r.event_id, key,
         math.floor(num.toDouble / (den.toDouble * 100.0) * 1e4 + 0.5) / 1e4)
     }

@@ -542,8 +542,20 @@ class CurateSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       val expect = math.floor(dab / math.sqrt(na2 * nb2) * 1e4 + 0.5) / 1e4
       assert(math.abs(cosv - expect) < 1e-9, s"label $l drift_cos")
     }
-    // parity halves of the same label must agree in direction far more
-    // than random isotropic 64-d vectors would (|cos| ~ 1/sqrt(64))
-    assert(got.values.map(_._3).min > -1.0 && got.nonEmpty)
+    // r19 ADVICE item 4: the old `min > -1.0` was vacuous and its comment
+    // ("halves share the label's cluster direction") claimed something
+    // the fixture does not have — measured per-label parity cosines are
+    // ±0.2 at BOTH sf0.001 and sf0.01 (the generator's labels are
+    // direction-isotropic; n≈25 per half puts the noise scale near
+    // 1/sqrt(n) + 1/sqrt(64)). The meaningful pin is therefore the
+    // parity-split mechanism itself: a split bug that lets the halves
+    // share rows (or computes one centroid twice) drives every cosine
+    // to ≈ 1.0, and a degenerate-centroid bug escapes [-1, 1].
+    assert(got.nonEmpty)
+    val cosines = got.values.map(_._3)
+    assert(cosines.max < 0.9,
+      s"a parity-half cosine of ${cosines.max} on an isotropic fixture " +
+        "means the halves are not disjoint")
+    assert(cosines.forall(c => c >= -1.0 && c <= 1.0))
   }
 }

@@ -21,6 +21,39 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     graft.SparkEntry.queries(q)(spark, sf)
       .queryExecution.executedPlan.toString
 
+  /** Structural pruning pin (r19 verdict item 1): find the parquet scan
+    * whose storage location ends in `postings` and return its partition
+    * filters rendered to text. The old form grepped `executedPlan.toString`,
+    * whose Location path truncates at spark.sql.maxMetadataStringLength —
+    * one extra digit in the tmpfs index version counter pushed "postings"
+    * past the cut and the grep's anchor line vanished. Walking the plan
+    * tree is length-independent. */
+  private def postingsPartitionFilters(q: String): String = {
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(deep)
+    }
+    val exec = graft.SparkEntry.queries(q)(spark, sf)
+      .queryExecution.executedPlan
+    val scans = deep(exec).filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith("postings")))
+    assert(scans.nonEmpty, s"$q: no parquet scan over a postings table")
+    scans.map(_.partitionFilters.map(_.toString).mkString(", ")).mkString("\n")
+  }
+
   test("join_inner_hash broadcasts the small dimension") {
     assert(plan("join_inner_hash").contains("BroadcastHashJoin"))
   }
@@ -342,12 +375,12 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // the probe half must scan the PREBUILT index tables, not the corpus
     assert(p.contains("graft_ivf_index"), "probe does not read the index")
     // and the cell id is a storage partition key the probe set prunes on:
-    // the scan carries a static PartitionFilters INSET over cent_id, so
-    // only nprobe/K of the postings directories are read
-    val scanBlock = p.linesIterator.dropWhile(!_.contains("postings"))
-      .take(8).mkString("\n")
-    assert(scanBlock.contains("PartitionFilters: [cent_id"), scanBlock)
-    assert(scanBlock.contains("INSET"), scanBlock)
+    // the postings scan carries a partition filter INSET over cent_id, so
+    // only nprobe/K of the postings directories are read (structural —
+    // survives any scratch-path length / version-counter digit count)
+    val pf = postingsPartitionFilters("sim_search_ivf_indexed")
+    assert(pf.contains("cent_id"), pf)
+    assert(pf.contains("INSET") || pf.contains(" IN "), pf)
   }
 
   test("sim_search_pq_indexed: the ADC probe reads the prebuilt index, " +
@@ -369,13 +402,12 @@ class PlanSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val p = plan("sim_search_ivfpq_indexed")
     // the probe half must read the prebuilt IVF-PQ index tables
     assert(p.contains("graft_ivfpq_index"), "probe does not read the index")
-    // the inverted-list scan prunes to the nprobe probed cells: a static
-    // PartitionFilters INSET over the cell id, so only nprobe/K of the
-    // code-row directories are read
-    val scanBlock = p.linesIterator.dropWhile(!_.contains("postings"))
-      .take(8).mkString("\n")
-    assert(scanBlock.contains("PartitionFilters: [cent_id"), scanBlock)
-    assert(scanBlock.contains("INSET"), scanBlock)
+    // the inverted-list scan prunes to the nprobe probed cells: a
+    // partition filter INSET over the cell id, so only nprobe/K of the
+    // code-row directories are read (structural, path-length-independent)
+    val pf = postingsPartitionFilters("sim_search_ivfpq_indexed")
+    assert(pf.contains("cent_id"), pf)
+    assert(pf.contains("INSET") || pf.contains(" IN "), pf)
     // and the serving plan contains no training argmin (coarse AND fine
     // training both argmin via min_by) — a min_by here means an index
     // half retrained per query

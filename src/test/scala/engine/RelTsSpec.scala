@@ -235,6 +235,25 @@ class RelTsSpec extends AnyFunSuite {
       "some adjacent-month pair must share customers")
   }
 
+  test("fixture guard: events.value and epoch are non-negative at every " +
+      "test SF — the div-semantics seam the integer ts ops stand on") {
+    // ts_cusum / ts_seasonal_baseline translate DuckDB `//` (floors
+    // toward -inf) as Spark `div` (truncates toward zero). The two agree
+    // ONLY on non-negative numerators: per-series cents sums (value >= 0)
+    // and the hod bucket (ts >= epoch). This pins the assumption the
+    // docstrings state, so a fixture regeneration with negative values or
+    // pre-1970 timestamps fails HERE with the reason, not as an opaque
+    // oracle hash mismatch. (r19 ADVICE item 3.)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = Core.t(spark, d, "events")
+        .agg(min(col("value")), min(unix_micros(col("ts")))).head()
+      assert(r.getDouble(0) >= 0.0,
+        s"$d events.value has negatives: Spark div != DuckDB // on sums")
+      assert(r.getLong(1) >= 0L,
+        s"$d has pre-epoch timestamps: hod bucket floors differently")
+    }
+  }
+
   test("ts_cusum matches the LITERAL max(0, S + y) recurrence per series " +
       "(proving the prefix-sum minus running-min identity), alarms exist") {
     val ev = Core.t(spark, sf, "events")
