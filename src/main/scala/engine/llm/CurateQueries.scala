@@ -1250,7 +1250,8 @@ object CurateQueries {
     })
 
   private def pqTrainEncode(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = pqTrainEncodeFor(s, d, PqM, PqD)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    pqTrainEncodeFor(s, d, PqM, PqD)
 
   /** [[pqTrainEncode]] at an arbitrary (subspace count, subspace dim)
     * split of the 64-dim vector — pm*subD must be 64. The default 4x16
@@ -1258,7 +1259,8 @@ object CurateQueries {
     * report's finer 8x8 operating point shares everything but the
     * split. */
   private[llm] def pqTrainEncodeFor(s: SparkSession, d: String, pm: Int,
-      subD: Int, pk: Int = PqK): (DataFrame, DataFrame, DataFrame) = {
+      subD: Int, pk: Int = PqK)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import VectorFunctions.asDouble
     val e = engine.ScratchCache.persist(t(s, d, "embeddings")
@@ -1287,19 +1289,34 @@ object CurateQueries {
       case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
         case ((_, _, cu), k) => (m, k.toLong, cu) }
     }.toDF("m", "k", "cu")
-    val encBs = subs.join(broadcast(kdf), "m")
-      .select(col("vec_id"), col("m"), col("k"), col("cu"),
-        l2sq(col("x"), col("cu")).as("d"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr("min_by(struct(k, cu), struct(d, k))").as("b"))
+    // the NARROW code table (vec_id, m, k) is the corpus-scale encode
+    // every ADC consumer pays — sim_search_pq_adc, the report's K=256
+    // operating point, and both persisted-index builds. It is a model
+    // artifact of the corpus (the trainedMerges discipline), so it
+    // lives in the cross-query keyed cache: ann_recall_report's four
+    // PQ rungs each re-ran the 800k-vector argmin per bench run
+    // (r17/r19 verdict item on the report's cost). ~25 MB per (pm, pk)
+    // point at sf0.1 — orders smaller than the vectors it encodes.
+    val codes = engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey(s"pqcodes_m${pm}d${subD}k$pk", d, "embeddings"))(
+      subs.join(broadcast(kdf), "m")
+        .select(col("vec_id"), col("m"), col("k"),
+          l2sq(col("x"), col("cu")).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(expr("min_by(k, struct(d, k))").as("k")))
+    // the wide per-vector form (bs with centroid vectors aboard) used
+    // by embedding_pq's reconstruction — rebuilt from the narrow codes
+    // by one broadcast join, never re-encoded
+    val encBs = codes.join(broadcast(kdf), Seq("m", "k"))
       .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("bs"))
-    (e, kdf, encBs)
+      .agg(sort_array(collect_list(struct(col("m"),
+        struct(col("k"), col("cu")).as("b")))).as("bs"))
+    (e, kdf, encBs, codes)
   }
 
   private val embeddingPq = Q(
     (s, d) => {
-      val (e, _, encBs) = pqTrainEncode(s, d)
+      val (e, _, encBs, _) = pqTrainEncode(s, d)
       val enc = encBs.join(e, "vec_id")
       val recon = flatten(transform(col("bs"),
         x => x.getField("b").getField("cu")))
@@ -1399,9 +1416,8 @@ object CurateQueries {
   private[engine] def pqAdcTopKFor(s: SparkSession, d: String, pm: Int,
       subD: Int, pk: Int = PqK): DataFrame = {
       val TopK = 5
-      val (e, kdf, encBs) = pqTrainEncodeFor(s, d, pm, subD, pk)
-      val encExp = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
+      val (e, kdf, _, codes) = pqTrainEncodeFor(s, d, pm, subD, pk)
+      val encExp = codes // the keyed narrow (vec_id, m, k) table
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val lut = broadcast(q.crossJoin(kdf)
@@ -1466,9 +1482,7 @@ object CurateQueries {
     * .commitDir]]: a probe must never see new codebooks with old codes).
     * Returns the two table paths of the CURRENT version. */
   private def pqBuildIndex(s: SparkSession, d: String): (String, String) = {
-    val (_, kdf, encBs) = pqTrainEncode(s, d)
-    val codes = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
-      .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
+    val (_, kdf, _, codes) = pqTrainEncode(s, d)
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_pq_index_$san")
     val id = engine.stream.VersionedTable.currentDir(root)
@@ -1601,7 +1615,7 @@ object CurateQueries {
   private def ivfPqBuildIndexUncached(s: SparkSession, d: String)
       : (String, String, String, org.apache.spark.sql.types.StructType) = {
     import s.implicits._
-    val (e, kdf, encBs) = pqTrainEncode(s, d)
+    val (e, kdf, _, codes) = pqTrainEncode(s, d)
     // coarse centroids = the same md5-sampled seed vectors (shared with
     // the PQ training via pqSeedCache) refined by one full-dim round —
     // memoized like every other trained model here
@@ -1617,9 +1631,7 @@ object CurateQueries {
       .agg(expr("min_by(cent_id, struct(d, cent_id))").as("cent_id"))
     // the inverted lists: code rows carrying their cell — 16 bits of
     // payload per vector once partitioned by cent_id
-    val posts = encBs.select(col("vec_id"), explode(col("bs")).as("x"))
-      .select(col("vec_id"), col("x.m").as("m"), col("x.b.k").as("k"))
-      .join(asg, "vec_id")
+    val posts = codes.join(asg, "vec_id")
     val postSchema = posts.schema
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_ivfpq_index_$san")
@@ -1822,12 +1834,20 @@ object CurateQueries {
       case (m, cs) => cs.sortBy(_._2).zipWithIndex.map {
         case ((_, _, cu), k) => (m, k.toLong, cu) }
     }.toDF("m", "k", "cu")
-    // encode: per-subspace argmin over the residual subvectors
-    val encExp = subs.join(broadcast(kdf), "m")
-      .select(col("vec_id"), col("m"), col("k"),
-        l2sq(col("x"), col("cu")).as("dd"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr("min_by(k, struct(dd, k))").as("k"))
+    // encode: per-subspace argmin over the residual subvectors. The
+    // narrow (vec_id, cent_id, m, k) code table is the residual rung's
+    // whole corpus-side state — a model artifact (pqcodes discipline),
+    // session-keyed so the report's two residual operating points stop
+    // re-encoding 800k residuals per bench run; cent_id rides each row
+    // so candidate generation needs no second corpus frame.
+    val rcodes = engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey(s"pqrescodes_m${pm}d${subD}k$pk", d, "embeddings"))(
+      subs.join(broadcast(kdf), "m")
+        .select(col("vec_id"), col("m"), col("k"),
+          l2sq(col("x"), col("cu")).as("dd"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(expr("min_by(k, struct(dd, k))").as("k"))
+        .join(res.select(col("vec_id"), col("cent_id")), "vec_id"))
     // query probe: nprobe nearest cells, query residual PER CELL
     val qv = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1844,15 +1864,18 @@ object CurateQueries {
       .select(col("qid"), col("cent_id"), col("m"), col("k"),
         l2sq(slice(col("qr"), col("m") * subD + 1, lit(subD)), col("cu"))
           .as("dd")))
-    // candidates: corpus vectors in probed cells (one cell per vector,
-    // distinct probed cells per query ⇒ (qid, vec) already unique)
-    val cand = res.select(col("vec_id"), col("cent_id"))
+    // candidates + scoring in one pass: rcodes carries (vec_id,
+    // cent_id, m, k), so cell membership (the broadcast probed-cell
+    // semi-restriction) and the per-subspace LUT lookup compose on the
+    // SAME cached rows — one cell per vector and distinct probed cells
+    // per query keep (qid, vec) unique; each slot sum still sees
+    // exactly one (m, k) row, so double addition order is pinned
+    val slots = (0 until pm).map(m =>
+      sum(when(col("m") === m, col("dd"))).as(s"s$m"))
+    val sc = rcodes
       .join(broadcast(qres.select(col("qid"), col("cent_id"))),
         Seq("cent_id"))
       .filter(col("vec_id") =!= col("qid"))
-    val slots = (0 until pm).map(m =>
-      sum(when(col("m") === m, col("dd"))).as(s"s$m"))
-    val sc = cand.join(encExp, Seq("vec_id"))
       .join(lut, Seq("qid", "cent_id", "m", "k"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(slots.head, slots.tail: _*)

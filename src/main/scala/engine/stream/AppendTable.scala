@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.StructType
   * writing only for HIGH-cardinality keys (digests, md5 band keys): a
   * small key domain (e.g. the SRP store's 64 (band, bv) values) puts
   * every value in every segment and the sidecar prunes nothing. */
-final case class BloomSpec(key: String, of: DataFrame => DataFrame)
+final case class BloomSpec(key: String, of: DataFrame => DataFrame,
+    fanout: Long = 1L)
 
 object BloomSpec {
   /** Sidecar over a scalar store column. */
@@ -143,13 +144,32 @@ object AppendTable {
   private def bloomFile(root: java.io.File, seg: String, key: String) =
     new java.io.File(new java.io.File(root, seg), s"_BLOOM.$key")
 
+  /** Segment row count from the parquet footers — driver-side metadata,
+    * no Spark job (the count used to be its own job per append, pure
+    * per-trigger overhead on the ingest path). */
+  private def footerRowCount(segDir: java.io.File): Long =
+    Option(segDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+
   private def writeBloom(spark: SparkSession, root: java.io.File,
       seg: String, bloom: BloomSpec): Unit = {
     import org.apache.spark.sql.functions.col
-    val keys = bloom.of(spark.read
-        .parquet(new java.io.File(root, seg).getPath))
+    val segDir = new java.io.File(root, seg)
+    val keys = bloom.of(spark.read.parquet(segDir.getPath))
       .toDF("k").select(col("k").cast("string")).na.drop()
-    val n = math.max(keys.count(), 1L)
+    // sizing bound: segment ROWS ≥ non-null distinct keys for a scalar
+    // key; an array key (band keys) explodes to rows × slots, so scale
+    // by the spec's declared fan-out. Overestimating n only lowers the
+    // realized fpp (a bigger, stricter filter) — pruning stays correct.
+    val n = math.max(footerRowCount(segDir) * bloom.fanout, 1L)
     // fpp sized to the PROBE, not the lookup: a trigger tests ~segment-
     // sized key batches against each sidecar, so P(falsely scanning a
     // segment) ≈ n·fpp per probe batch — 0.01/n holds that at ~1%.
