@@ -122,9 +122,13 @@ object ScaleProbe {
       // us_per_row_vs10x/vs30x fields keep "output-bound" a measured
       // claim rather than a label
       else if (scale == 100)
+        // tokenize_decode stays on the 100× roster by name: it carried
+        // the r19 superlinear flag (fixed r20 — the narrow-posting-path
+        // rewrite), and the clean ratio must remain a MEASURED artifact
+        // even now that the op is fast enough to fall out of the top-8
         withProxies(tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1) ++
           Seq("decontaminate_incremental", "dedup_edit_distance",
-            "dedup_ngram_jaccard"))
+            "dedup_ngram_jaccard", "tokenize_decode"))
       // frontier probe: the top-8 ops by committed 10× probe time —
       // the worst absolute trends are exactly where a super-linear
       // term shows first
@@ -343,7 +347,16 @@ object ScaleProbe {
       "sublinear before suspecting a plan change"),
     "pipeline_online_hybrid" -> ("same replica-clique pair physics as " +
       "pipeline_online, plus the SRP vector screen's band collisions " +
-      "over exact-identical replica vectors"))
+      "over exact-identical replica vectors"),
+    "cluster_dbscan" -> ("replica-clique edge physics: the probe " +
+      "replicates each embedding VERBATIM (vec_id offset only), so " +
+      "every replica lands in every sibling's eps-ball and the " +
+      "neighborhood edge list grows ~(scale/10)^2 per base vector " +
+      "while output rows grow linearly; the banded screen emits " +
+      "exactly those true pairs (they all share bands by identity), " +
+      "so the growth is the result set's, not a plan regression — a " +
+      "real corpus does not replicate vectors with the corpus size. " +
+      "Check edges-per-point stays ~scale before suspecting the plan"))
 
   private val fullOps = Seq("dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_embedding_banded",
