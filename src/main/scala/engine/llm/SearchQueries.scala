@@ -2466,8 +2466,14 @@ object SearchQueries {
       // the exact ground truth is consumed TWICE (the hit join and the
       // completeness grid) and Spark does not dedupe common subplans
       // across join branches (r13 lesson) — unpersisted, the brute-force
-      // corpus scan ran once per consumer (r17 verdict item 6)
-      val brute = engine.ScratchCache.persist(
+      // corpus scan ran once per consumer (r17 verdict item 6).
+      // SESSION-keyed (r17 item 6's ScratchCache suggestion, the
+      // bpeEncTables pattern): the exact top-5 per query is a
+      // deterministic eval artifact of the corpus — queries × 5 rows —
+      // so re-running the report (bench best-of-2, repeated QA sweeps)
+      // reuses it instead of re-scanning the corpus per run
+      val brute = engine.ScratchCache.persistKeyed(
+        engine.Core.fpKey("anngt", d, "embeddings"))(
         LlmQueries.queries("sim_search_topk").fn(s, d)
           .select(col("qid"), col("cid"), lit(1L).as("hit")))
       // Two operating points per approximate rung (r12 verdict item 4):
