@@ -235,6 +235,31 @@ object Core {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Run independent Spark actions CONCURRENTLY from sibling threads and
+    * wait for all (guide §2.6: actions are only sequential because the
+    * driver calls them sequentially). For per-trigger sinks that derive
+    * several independent O(batch) tables from one materialized segment —
+    * the trigger then pays max(job) instead of Σ(job), and the later
+    * jobs' tasks back-fill executors the first job's tail frees. Threads
+    * are created HERE so they inherit the caller's job
+    * description/group (SparkContext local properties are inheritable at
+    * thread creation). The first failure propagates after all bodies
+    * finish — a crashed sibling must not strand a half-written store
+    * behind an exception the caller never sees. */
+  def inParallel(bodies: (() => Unit)*): Unit = {
+    if (bodies.sizeIs <= 1) { bodies.foreach(_.apply()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = bodies.tail.map { b =>
+      val t = new Thread(() =>
+        try b() catch { case e: Throwable => errs.add(e): Unit })
+      t.start(); t
+    }
+    try bodies.head.apply()
+    catch { case e: Throwable => errs.add(e): Unit }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Register a scratch dir for deletion when the owning SparkSession's
     * context stops. For run-UUID-scoped state dirs whose RESULT frame is
     * lazy (a parquet scan of the dir): the dir can't be destroyed inside

@@ -1792,15 +1792,29 @@ object SearchQueries {
     * recipe. At 100 TB the coarse quantizer goes hierarchical
     * (IVF-HNSW / two-level k-means), which refines this same blocking
     * without changing the within-cell exact-verify core. */
-  private[engine] def knnGraphFrame(s: SparkSession, d: String): DataFrame =
-    cellPairs(s, cellAssign(s, d, "spark.graft.knng.k"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-        dot(col("u"), col("nu")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("nbr_id"))))
-      .filter(col("rank") <= KnnK)
+  private[engine] def knnGraphFrame(s: SparkSession, d: String): DataFrame = {
+    // SESSION-keyed (lesson 24: a deterministic corpus-scale encode is a
+    // model artifact, not query work): the ranked edge table is the
+    // shared substrate of SEVEN readouts (sim_knn_graph, pagerank,
+    // label_prop, triangle_count, shortest_path, embedding_outlier_knn,
+    // blockedKnnRecall), each of which re-ran the assignment +
+    // within-cell pair verify per bench run. The frame is (long, long,
+    // double, int) × N·K — id-table scale, orders of magnitude under
+    // its source. Key includes the cell-count conf: ScaleProbe re-runs
+    // under √N-scaled spark.graft.knng.k and must not read the 16-cell
+    // artifact.
+    val cells = s.conf.get("spark.graft.knng.k", "16").toInt
+    engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey(s"knng_edges_c$cells", d, "embeddings"))(
+      cellPairs(s, cellAssign(s, d, "spark.graft.knng.k"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          dot(col("u"), col("nu")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nbr_id"))))
+        .filter(col("rank") <= KnnK))
+  }
 
   /** Measured WITHIN-CELL recall of the blocked kNN build against the
     * exact corpus-wide top-[[KnnK]], over the deterministic query
@@ -2162,6 +2176,14 @@ object SearchQueries {
     * in E and the constant is the contract both engines execute. */
   private def graphPagerank = Q(
     (s, d) => {
+      // the whole iteration runs over N·k integer edge rows — 32-wide
+      // exchanges paid pure task-scheduling overhead per round (the
+      // cluster_dbscan / graph_k_core conf rationale; a cluster sizes
+      // this to edge count in the job conf)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8")
       val rawEdges = knnGraphFrame(s, d)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       // out-degree folded into the persisted edge table ONCE (a window
@@ -2177,24 +2199,32 @@ object SearchQueries {
       val damp = lit(PrDamp.toDouble)
       val base = lit(0.15) / lit(n)
       var pr = nodes.withColumn("pr", lit(1.0) / lit(n))
-      for (_ <- 1 to PrRounds) {
+      for (r <- 1 to PrRounds) {
         val contrib = edges
           .join(pr.withColumnRenamed("vec_id", "src"), "src")
           .select(col("dst"),
             round(col("pr") / col("od") * lit(1e9), 0).cast("long")
               .as("m"))
           .groupBy(col("dst")).agg(sum(col("m")).as("im"))
-        pr = engine.Core.checkpointFresh(
-          nodes.join(contrib.withColumnRenamed("dst", "vec_id"),
-              Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              (base + damp *
-                (coalesce(col("im"), lit(0L)).cast("double") / lit(1e9)))
-                .as("pr")))
+        val next = nodes.join(contrib.withColumnRenamed("dst", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (base + damp *
+              (coalesce(col("im"), lit(0L)).cast("double") / lit(1e9)))
+              .as("pr"))
+        // checkpoint every SECOND round, not every round: the eager
+        // localCheckpoint is a full driver-scheduled job, and a 2-round
+        // lineage is still constant-depth (join + agg + join, twice) —
+        // halves the per-op job count with identical integer-grid math
+        // (plan statistics stay bounded; checkpointFresh's reset only
+        // matters past ~2 self-references per round, see its doc)
+        pr = if (r % 2 == 0 || r == PrRounds)
+          engine.Core.checkpointFresh(next) else next
       }
       pr.select(col("vec_id"),
           round(col("pr") * lit(1e9), 0).cast("long").as("pr_nano"))
         .orderBy("vec_id")
+      } finally s.conf.set(shufKey, shufPrev)
     },
     Some {
       def prRound(k: Int): String = s""",
@@ -2463,6 +2493,16 @@ object SearchQueries {
   private val annRecallReport = Q(
     (s, d) => {
       import s.implicits._
+      // every frame past the rungs' corpus scans is query-scale (top-k
+      // lists, the ≤ methods × queries grid) — 32-wide exchanges paid
+      // pure task scheduling across 10 rungs (the cluster_dbscan /
+      // graph_pagerank conf rationale; r21 JobTimer: 85 stages / 1312
+      // tasks warm for a 50-row report). Materialized eagerly inside
+      // the scope so the caller's action replays rows, not the plan.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val shufPrev = s.conf.get(shufKey)
+      try {
+        s.conf.set(shufKey, "8")
       // the exact ground truth is consumed TWICE (the hit join and the
       // completeness grid) and Spark does not dedupe common subplans
       // across join branches (r13 lesson) — unpersisted, the brute-force
@@ -2526,12 +2566,14 @@ object SearchQueries {
       // recall 0.0, not a silently missing row
       val grid = brute.select(col("qid")).distinct()
         .crossJoin(rungs.map(_._1).toDF("method"))
-      grid.join(hits, Seq("method", "qid"), "left")
-        .select(col("method"), col("qid"),
-          coalesce(col("h"), lit(0L)).as("hits"),
-          r4(coalesce(col("h"), lit(0L)).cast("double") / lit(5.0))
-            .as("recall"))
-        .orderBy("method", "qid")
+      engine.Core.checkpointFresh(
+        grid.join(hits, Seq("method", "qid"), "left")
+          .select(col("method"), col("qid"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            r4(coalesce(col("h"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+          .orderBy("method", "qid"))
+      } finally s.conf.set(shufKey, shufPrev)
     },
     Some {
       def nest(q: Q): String = q.oracle.get
@@ -2722,24 +2764,37 @@ object SearchQueries {
     * drop rule only ever drops the NEWER doc, so a batch's survivors
     * are final the moment they pass — segments never need rewriting. */
   private[engine] def commitIndexSegment(sp: SparkSession, idxRoot: java.io.File,
-      batchId: Long, survivors: DataFrame): Unit = {
+      batchId: Long, survivors: DataFrame,
+      posts: Option[DataFrame] = None): Unit = {
     val segName = s"seg-$batchId"
     val cur = idxSegments(idxRoot)
     if (cur.contains(segName)) return // committed replay: no-op
     val segDir = new java.io.File(idxRoot, s"segments/$segName")
     val pDir = new java.io.File(segDir, "postings")
-    bm25Postings(survivors, None)
+    // `posts`: callers that already hold the survivors' posting rows
+    // (e.g. a doc-range slice of the shared corpus posting table —
+    // tokenization is per-document, so a doc subset's postings ARE the
+    // corresponding subset of the corpus posting table) pass them and
+    // skip the per-segment tokenize+shuffle chain; the streaming
+    // capstones keep deriving postings from the batch (their survivors
+    // exist only at trigger time).
+    posts.getOrElse(bm25Postings(survivors, None))
       .write.mode("overwrite").parquet(pDir.getPath)
     // derive the deltas from the segment's own parquet — one extra
-    // O(batch) scan instead of recomputing the tokenize+shuffle chain
+    // O(batch) scan instead of recomputing the tokenize+shuffle chain.
+    // The two deltas are independent O(batch) jobs over the same
+    // materialized segment: run them concurrently (Core.inParallel) so
+    // the trigger pays max(dfs, stats), not the sum — on the ingest
+    // path this is per-trigger wall time (guide §2.6).
     val segPosts = sp.read.parquet(pDir.getPath)
-    segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite")
-      .parquet(new java.io.File(segDir, "dfs").getPath)
-    segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
-      .write.mode("overwrite")
-      .parquet(new java.io.File(segDir, "stats").getPath)
+    engine.Core.inParallel(
+      () => segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(segDir, "dfs").getPath),
+      () => segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(segDir, "stats").getPath))
     // Version ids are a MONOTONIC COUNTER (current + 1), never the
     // batch id: a compaction also advances the counter, so an ingest
     // resuming after one could present a batch id equal to the current
@@ -2798,13 +2853,15 @@ object SearchQueries {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(pDir.getPath)
     val segPosts = s.read.parquet(pDir.getPath)
-    segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite")
-      .parquet(new java.io.File(segDir, "dfs").getPath)
-    segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
-      .write.mode("overwrite")
-      .parquet(new java.io.File(segDir, "stats").getPath)
+    // independent O(fold) delta jobs — concurrent, as in commitIndexSegment
+    engine.Core.inParallel(
+      () => segPosts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(segDir, "dfs").getPath),
+      () => segPosts.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(segDir, "stats").getPath))
     val vid = engine.stream.VersionedTable.currentDir(idxRoot)
       .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
     engine.stream.VersionedTable.commitDir(idxRoot, vid) { dir =>
@@ -2837,12 +2894,22 @@ object SearchQueries {
       val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_idxcmp_$san")
       engine.stream.VersionedTable.destroy(idxRoot) // fresh replay
       val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      // the 4-segment ingest is TEST SCAFFOLDING for the fold under
+      // test — build the slices as doc_id-range filters of the shared
+      // session posting table (the bm25posts artifact every search op
+      // reads) instead of tokenizing each quarter from scratch:
+      // tokenization is per-document, so the filtered rows are
+      // bit-identical to a per-slice bm25Postings run
+      val allPosts = bm25Postings(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
       val maxId = corpus.agg(max(col("doc_id"))).head.getLong(0)
       (0 until 4).foreach { i =>
         val lo = (maxId + 1) * i / 4
         val hi = (maxId + 1) * (i + 1) / 4
         commitIndexSegment(s, idxRoot, i.toLong,
-          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi))
+          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          posts = Some(allPosts
+            .filter(col("doc_id") >= lo && col("doc_id") < hi)))
       }
       val segBefore = idxSegments(idxRoot).size
       compactIndexSegments(s, idxRoot)
@@ -2965,17 +3032,22 @@ object SearchQueries {
     val sig = dgOf(b).withColumn("rn", row_number().over(wMin))
     // Bloom-pruned store probe (r14 verdict item 2): only segments whose
     // digest sidecar might contain one of THIS batch's digests are
-    // scanned — a grown store's untouched segments cost no I/O — and
-    // membership is a left-anti join, never the old
-    // distinct-the-whole-archive + left join (the per-trigger O(store)
-    // shuffle the verdict flagged).
+    // scanned — a grown store's untouched segments cost no I/O. The
+    // distinct below runs over that PRUNED read (bounded by matching
+    // segments), never the whole archive (the per-trigger O(store)
+    // shuffle the r14 verdict flagged).
     val pruned = engine.stream.AppendTable.readPruned(sp, dgStore,
       dgSchema, "dg", sig.select(col("dg")))
-    val fresh = sig.filter(col("rn") === 1)
-      .join(pruned.df.select(col("dg")), Seq("dg"), "left_anti")
-      .select(col("doc_id"))
-    val v1 = sig.join(fresh.withColumn("_k", lit(1)), Seq("doc_id"), "left")
-      .withColumn("kept", col("rn") === 1 && col("_k").isNotNull)
+    // kept ⇔ first-in-batch (rn = 1) AND digest absent from the store:
+    // ONE left join on dg — which reuses the window's hash partitioning
+    // on dg for the batch side — where the old anti-join-then-rejoin
+    // shape (fresh by dg, then mark by doc_id) paid two extra exchanges
+    // per trigger for the identical verdict set (guide §2.4: two
+    // operations keyed the same way share one exchange).
+    val storeDg = pruned.df.select(col("dg")).distinct()
+      .withColumn("_s", lit(1))
+    val v1 = sig.join(storeDg, Seq("dg"), "left")
+      .withColumn("kept", col("rn") === 1 && col("_s").isNull)
       .select(col("doc_id"), col("dg"), col("kept"))
     engine.stream.AppendTable.append(v1, dgStore, batchId,
       Some(engine.stream.BloomSpec.column("dg")))
@@ -3111,7 +3183,13 @@ object SearchQueries {
         .add("kept", "boolean", nullable = false)
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
-        val b = batch.persist()
+        // NOT persisted: the batch is a 16-file parquet slice whose three
+        // re-reads (digest screen, survivor semi-join, index commit) cost
+        // less than a cache round-trip — the persist added an
+        // InMemoryRelation layer per trigger for data the scan re-serves
+        // from page cache (r21 A/B; the r20 verdict's "drop the second
+        // foreachBatch persist" candidate).
+        val b = batch
         // per-stage job descriptions: free at run time, and they let a
         // JobTimer autopsy split a trigger's cost by stage instead of
         // attributing everything to writeStream.start
@@ -3121,7 +3199,7 @@ object SearchQueries {
           sp.sparkContext.setJobDescription(s"online:$tag#$batchId")
           try body finally sp.sparkContext.setJobDescription(prev)
         }
-        try {
+        {
           // 1-2. exact + minhash screens (the shared stage helpers)
           val exactKept = stage("exact")(
             exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId))
@@ -3141,7 +3219,7 @@ object SearchQueries {
             .filter(col("kept")).select(col("doc_id"))
           stage("index")(commitIndexSegment(sp, idxRoot, batchId,
             b.join(keptBatch, Seq("doc_id"), "leftsemi")))
-        } finally { b.unpersist(); () }
+        }
       }
       // the trigger-sequenced ingest: 2 "nightly batches" by default —
       // the multi-trigger composition IS this capstone's subject (unlike
@@ -3169,6 +3247,18 @@ object SearchQueries {
       }
       // 4. serve from the CURRENT index version — the merged segment
       // view; the shared bm25Rank join pins scoring identity
+      s.sparkContext.setJobDescription("online:serve")
+      // the serve readout runs under the SAME micro-batch confs as the
+      // trigger loop (AQE off, pinned small shuffle width) and is
+      // materialized eagerly inside the scope: its frames are
+      // store-scale (two batch-sized segments + the ≤8-row funnel), and
+      // with AQE on, every one of its ~12 exchanges became its own
+      // serialized stage job — 19 driver-scheduled jobs for a 6-row
+      // report (r21 JobTimer; the r19 withMicroBatchConfs measurement's
+      // serve-side twin). checkpointFresh pins the result so the
+      // caller's action replays 6 rows, not the plan, under whatever
+      // confs the session restores to.
+      engine.stream.StreamQueries.withMicroBatchConfs(s) {
       val (iPosts, iDfs, iGlob) = readSegIndex(s, idxRoot)
       val qt = iPosts.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("term"))
@@ -3181,13 +3271,15 @@ object SearchQueries {
       def funnel(stage: String, v: Column, src0: DataFrame): DataFrame =
         src0.agg(coalesce(v, lit(0L)).as("n"))
           .select(lit(stage).as("stage"), col("n").cast("long").as("n"))
-      funnel("1_ingested", count(lit(1)), corpus)
-        .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
-        .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
-        .unionByName(funnel("4_index_postings", count(lit(1)), iPosts))
-        .unionByName(funnel("5_probe_answers", count(lit(1)), ans))
-        .unionByName(funnel("6_probe_ms_sum", sum(col("ms")), ans))
-        .orderBy("stage")
+      engine.Core.checkpointFresh(
+        funnel("1_ingested", count(lit(1)), corpus)
+          .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
+          .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
+          .unionByName(funnel("4_index_postings", count(lit(1)), iPosts))
+          .unionByName(funnel("5_probe_answers", count(lit(1)), ans))
+          .unionByName(funnel("6_probe_ms_sum", sum(col("ms")), ans))
+          .orderBy("stage"))
+      }
     },
     Some(LlmQueries.shingleSql + LlmQueries.minhashSqlCtes + s""",
       pok AS (SELECT doc_id FROM documents
@@ -3291,8 +3383,9 @@ object SearchQueries {
         engine.stream.AppendTable.read(s, vecStore, vecSchema)).schema
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
-        val b = batch.persist()
-        try {
+        // b NOT persisted — see pipelineOnline's mergeBatch
+        val b = batch;
+        {
           // 1-2. the shared lexical screens
           val exactKept =
             exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
@@ -3323,12 +3416,20 @@ object SearchQueries {
           val vk = engine.stream.AppendTable
             .readSegment(sp, vecStore, vecSchema, batchId)
             .filter(col("kept") && col("u").isNotNull)
+          // hash-clustered, not range-clustered: repartitionByRange runs
+          // a RANGE-SAMPLING pass over the batch before the exchange —
+          // a whole extra per-trigger job for a layout property the
+          // probe doesn't need (cell row-group pruning only wants rows
+          // of one cell adjacent, which hash-partition + within-file
+          // sort already gives; global file ORDER is irrelevant to a
+          // cent_id equi-probe). The off-ingest maintenance fold
+          // (AppendTable.compact) keeps range clustering.
           engine.stream.AppendTable.append(
             assignCells(vk)
-              .repartitionByRange(col("cent_id"))
+              .repartition(col("cent_id"))
               .sortWithinPartitions(col("cent_id")),
             vpostStore, batchId)
-        } finally { b.unpersist(); () }
+        }
       }
       // 2 "nightly batches" by default, as pipeline_online — the
       // multi-trigger composition is the subject; SearchSpec pins the
@@ -3352,6 +3453,11 @@ object SearchQueries {
         rm(ck)
       }
       // 5. SERVE hybrid RRF from the online stores
+      s.sparkContext.setJobDescription("onlineh:serve")
+      // micro-batch confs + eager materialization, as pipelineOnline's
+      // serve — the hybrid adds the vector arm but the frames stay
+      // store-scale
+      engine.stream.StreamQueries.withMicroBatchConfs(s) {
       val (iPosts, iDfs, iGlob) = readSegIndex(s, idxRoot)
       val qt = iPosts.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("term"))
@@ -3400,15 +3506,17 @@ object SearchQueries {
           .select(lit(stage).as("stage"), col("n").cast("long").as("n"))
       val chk = col("qid") * lit(1000003L) + col("cid") * lit(31L) +
         col("rank")
-      funnel("1_ingested", count(lit(1)), corpus)
-        .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
-        .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
-        .unionByName(funnel("4_vec_kept", count(lit(1)), kept3))
-        .unionByName(funnel("5_bm25_postings", count(lit(1)), iPosts))
-        .unionByName(funnel("6_vec_postings", count(lit(1)), vposts))
-        .unionByName(funnel("7_hybrid_answers", count(lit(1)), fused))
-        .unionByName(funnel("8_hybrid_chk", sum(chk), fused))
-        .orderBy("stage")
+      engine.Core.checkpointFresh(
+        funnel("1_ingested", count(lit(1)), corpus)
+          .unionByName(funnel("2_exact_kept", count(lit(1)), kept1))
+          .unionByName(funnel("3_near_kept", count(lit(1)), kept2))
+          .unionByName(funnel("4_vec_kept", count(lit(1)), kept3))
+          .unionByName(funnel("5_bm25_postings", count(lit(1)), iPosts))
+          .unionByName(funnel("6_vec_postings", count(lit(1)), vposts))
+          .unionByName(funnel("7_hybrid_answers", count(lit(1)), fused))
+          .unionByName(funnel("8_hybrid_chk", sum(chk), fused))
+          .orderBy("stage"))
+      }
     },
     Some(LlmQueries.shingleSql + LlmQueries.minhashSqlCtes + s""",
       hok AS (SELECT doc_id FROM documents

@@ -48,6 +48,41 @@ object BloomSpec {
   */
 object AppendTable {
 
+  /** Pending DEFERRED Bloom-sidecar builds, keyed by canonical store
+    * root. [[append]] publishes the segment (write + manifest) and lets
+    * the sidecar build — a separate Spark job that only accelerates
+    * FUTURE probes — run on a sibling thread, overlapping the trigger's
+    * later stages (guide §2.6: per-trigger wall time is the sum of
+    * sequential driver actions). Every sidecar-dependent operation
+    * ([[readPruned]], [[purgeKeys]], [[compact]], [[destroy]], and the
+    * next [[append]] to the same store) settles the pending build first,
+    * so no reader can observe a missing-or-torn sidecar and the
+    * single-writer ordering is preserved; plain [[read]]/[[readSegment]]
+    * never touch sidecars and need not wait. The sidecar file itself is
+    * written tmp + atomic rename as defence in depth. A build failure
+    * rethrows at settle — fail loud, never a silently bare segment. */
+  private val pendingBloom =
+    new java.util.concurrent.ConcurrentHashMap[String, (Thread,
+      java.util.concurrent.atomic.AtomicReference[Throwable])]()
+
+  private def settleBloom(root: java.io.File): Unit = {
+    val p = pendingBloom.remove(root.getCanonicalPath)
+    if (p != null) {
+      p._1.join()
+      val e = p._2.get()
+      if (e != null) throw e
+    }
+  }
+
+  private def deferBloom(root: java.io.File)(body: => Unit): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try body catch { case e: Throwable => err.set(e) })
+    t.setName(s"graft-bloom-${root.getName}")
+    pendingBloom.put(root.getCanonicalPath, (t, err))
+    t.start()
+  }
+
   private def manifest(root: java.io.File): java.io.File =
     new java.io.File(root, "MANIFEST")
 
@@ -129,14 +164,22 @@ object AppendTable {
     * the segment so a listed segment always carries its sidecar. */
   def append(df: DataFrame, root: java.io.File, id: Long,
       bloom: Option[BloomSpec] = None): Unit = {
+    settleBloom(root) // single-writer ordering across deferred builds
     root.mkdirs()
     val seg = s"seg-$id"
     if (id <= foldedHighWater(root) || segments(root).contains(seg)) return
     df.write.mode("overwrite").parquet(new java.io.File(root, seg).getPath)
-    bloom.foreach(b => writeBloom(df.sparkSession, root, seg, b))
     val cur = segments(root)
     if (!cur.contains(seg))
       writeManifest(root, id.toString, cur :+ seg, foldedHighWater(root))
+    // the sidecar build is its own Spark job that only benefits FUTURE
+    // probes — defer it to a sibling thread so the caller's next stage
+    // overlaps it; settled before any sidecar-dependent access (above).
+    // Listing the segment before its sidecar lands is safe: readers
+    // treat a missing sidecar as always-scan, and the atomic rename in
+    // writeBloom means no reader can ever see a torn sidecar file.
+    bloom.foreach(b =>
+      deferBloom(root)(writeBloom(df.sparkSession, root, seg, b)))
   }
 
   /** Per-segment Bloom sidecar file (`_BLOOM.<key>` inside the segment
@@ -176,8 +219,15 @@ object AppendTable {
     // Cost is 1.44·log2(1/fpp) bits/key (≈5 bytes/key at n=1e6): the
     // sidecar stays orders of magnitude smaller than its segment.
     val bf = keys.stat.bloomFilter("k", n, math.max(0.01 / n, 1e-12))
-    val out = new java.io.FileOutputStream(bloomFile(root, seg, bloom.key))
+    // tmp + atomic rename: with deferred builds a probe may race this
+    // write — it must observe a complete sidecar or none at all
+    val dest = bloomFile(root, seg, bloom.key)
+    val tmp = new java.io.File(dest.getPath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
     try bf.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** Result of a Bloom-pruned read: the frame over the surviving
@@ -255,11 +305,14 @@ object AppendTable {
                 }
               }
               hits.zipWithIndex.collect { case (true, i) => i }.iterator
-            }.distinct().collect() // ≤ |segments| ints by construction
-                                       // (values index bfs) — the one
-                                       // non-Dataset collect, outside
-                                       // Core.boundedCollect's reach
-          idx.map(withB).toSet
+            }.collect() // ≤ |segments| × partitions ints by construction
+                        // (values index bfs) — the one non-Dataset
+                        // collect, outside Core.boundedCollect's reach.
+                        // Driver-side toSet replaces the old .distinct():
+                        // a shuffle stage bought nothing on a result this
+                        // small, and on the ingest path the probe runs
+                        // once per trigger (one fewer stage per probe).
+          idx.toSet[Int].map(withB)
         } finally bc.destroy()
       }
     (hit, bare.toSet)
@@ -291,6 +344,7 @@ object AppendTable {
       schema: StructType, key: String, keys: DataFrame,
       bloom: Option[BloomSpec] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.col
+    settleBloom(root)
     val segs = segments(root)
     if (segs.isEmpty) return (0, 0)
     val (hit, bare) = bloomCandidates(spark, root, segs, key, keys)
@@ -355,6 +409,7 @@ object AppendTable {
       clusterKeys: Seq[String], nFiles: Int = 0,
       bloom: Option[BloomSpec] = None): Unit = {
     import org.apache.spark.sql.functions.col
+    settleBloom(root)
     val segs = segments(root)
     if (segs.size <= 1) return
     val gen = segs.filter(_.startsWith("seg-c"))
@@ -391,7 +446,10 @@ object AppendTable {
   }.sum
 
   /** Remove the table entirely (fresh-run reset). */
-  def destroy(root: java.io.File): Unit = deleteRecursively(root)
+  def destroy(root: java.io.File): Unit = {
+    settleBloom(root) // never delete under a running sidecar build
+    deleteRecursively(root)
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

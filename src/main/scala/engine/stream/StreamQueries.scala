@@ -233,7 +233,8 @@ object StreamQueries {
             .as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
           col("event_type"), col("n"), col("sum_value"))
-      runToMemory(s, agg, "graft_tumble_sink", mode = "complete")
+      runToMemory(s, agg, "graft_tumble_sink", mode = "complete",
+        statePartitions = Some(8))
         .orderBy("h", "event_type")
     },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
@@ -251,7 +252,8 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("ws"),
           col("n"))
-      runToMemory(s, agg, "graft_slide_sink", mode = "complete").orderBy("ws")
+      runToMemory(s, agg, "graft_slide_sink", mode = "complete",
+        statePartitions = Some(8)).orderBy("ws")
     },
     Some("""SELECT strftime(ws, '%Y-%m-%d %H:00') AS ws, count(*) AS n
       FROM (SELECT unnest([date_trunc('hour', ts),
@@ -272,7 +274,8 @@ object StreamQueries {
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start"),
           col("n_events"), col("sum_value"))
-      runToMemory(s, agg, "graft_session_sink", mode = "complete")
+      runToMemory(s, agg, "graft_session_sink", mode = "complete",
+        statePartitions = Some(8))
         .orderBy("user_id", "session_start")
     },
     Some("""WITH marked AS (
@@ -313,7 +316,8 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("h"),
           col("n"))
-      runToMemory(s, agg, "graft_wm_sink", mode = "complete").orderBy("h")
+      runToMemory(s, agg, "graft_wm_sink", mode = "complete",
+        statePartitions = Some(8)).orderBy("h")
     },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS h,
         count(*) AS n
@@ -390,12 +394,16 @@ object StreamQueries {
           Some(s.conf.get("spark.graft.merge.filesPerTrigger", "16").toInt))
       val parsed = NmeaFunctions.parseSentences(src).as[ParsedSentence]
       val fixes = FixAssembler.assemble(parsed)
-      // ~150 devices ⇒ 16 state partitions: assembly parallelism is
-      // capped by device count anyway, and halving the store count
-      // halves per-trigger commit IO across the multi-trigger run
+      // ~150 devices ⇒ 8 state partitions: assembly parallelism is
+      // capped by device count anyway (~19 devices/store at 8), and
+      // every halving of the store count halves per-trigger WAL+commit
+      // IO across the multi-trigger run — measured on the r21 box:
+      // 16 stores ≈ 12.6-13.8 s, 8 ≈ 6.4 s, 4 ≈ 6.4 s (flat past 8),
+      // so 8 keeps the parallelism headroom at the IO floor. A real
+      // deployment sizes this in the job conf (the override below).
       val out = runToMemory(s, fixes.toDF(), "graft_merge_sink",
         statePartitions =
-          Some(s.conf.get("spark.graft.merge.statePartitions", "16").toInt))
+          Some(s.conf.get("spark.graft.merge.statePartitions", "8").toInt))
       out.filter(col("device") =!= "__wm__")
         .filter(col("complete"))
         .filter(col("numsat") >= 5 && col("hdop") <= 8.0)
