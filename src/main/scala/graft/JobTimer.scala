@@ -46,7 +46,15 @@ object JobTimer {
     for (n <- args.drop(1)) {
       // "conf:key=value" args set session conf between timed ops — the
       // knob sweep harness (e.g. trigger counts via the .mft confs)
-      if (n.startsWith("conf:")) {
+      // "drain" between ops reproduces the bench's cache discipline:
+      // without it, a repeated op's ScratchCache.persist frames resolve
+      // to the previous run's InMemoryRelation via the CacheManager and
+      // the run measures replay, not recompute
+      if (n == "drain") {
+        engine.ScratchCache.drain()
+        System.gc()
+        println("DRAIN")
+      } else if (n.startsWith("conf:")) {
         n.stripPrefix("conf:").split("=", 2) match {
           case Array(k, v) =>
             spark.conf.set(k, v)
