@@ -1481,7 +1481,20 @@ object CurateQueries {
     * under one atomic pointer ([[engine.stream.VersionedTable
     * .commitDir]]: a probe must never see new codebooks with old codes).
     * Returns the two table paths of the CURRENT version. */
-  private def pqBuildIndex(s: SparkSession, d: String): (String, String) = {
+  /** Built-index memo — the [[ivfPqIndexCache]] discipline applied to
+    * the plain PQ index: first call per JVM builds + writes, later
+    * calls serve the same committed version (a new process always
+    * rebuilds from the parquet inputs). */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]()
+
+  private def pqBuildIndex(s: SparkSession, d: String): (String, String) =
+    pqIndexCache.computeIfAbsent(
+      s"$d#${engine.Core.srcFingerprint(d, "embeddings")}",
+      _ => pqBuildIndexUncached(s, d))
+
+  private def pqBuildIndexUncached(s: SparkSession, d: String)
+      : (String, String) = {
     val (_, kdf, _, codes) = pqTrainEncode(s, d)
     val san = d.replaceAll("[^a-zA-Z0-9]", "_")
     val root = new java.io.File(s"${engine.Core.scratchRoot}/graft_pq_index_$san")

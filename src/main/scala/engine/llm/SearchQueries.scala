@@ -2565,20 +2565,32 @@ object SearchQueries {
       // below 1 (PQ hardest: quantization error ≈ full variance on
       // random data). On clustered real-corpus embeddings the same
       // ladder concentrates toward 1; the REPORT is the deliverable.
-      val rungs = Seq(
-        "ann" -> LlmQueries.queries("sim_search_ann").fn(s, d),
-        "ann_b8x2" -> LlmQueries.srpAnnTopK(s, d, 8, 2),
-        "ivf" -> LlmQueries.queries("sim_search_ivf").fn(s, d),
-        "ivf_np8" -> LlmQueries.ivfTopK(s, d, 8),
-        "matryoshka" -> simSearchMatryoshka.fn(s, d),
-        "pq_adc" -> LlmQueries.queries("sim_search_pq_adc").fn(s, d),
-        "pq_k256" -> CurateQueries.pqAdcTopKFor(s, d, 4, 16, 256),
-        "ivfpq" -> CurateQueries.queries("sim_search_ivfpq_indexed").fn(s, d),
-        "pq_res" -> CurateQueries.ivfPqResidualTopK(s, d),
-        "pq_res256" -> CurateQueries.ivfPqResidualTopK(s, d, 4, 16, 256))
-      val hits = rungs.map { case (m, f) =>
-          f.select(lit(m).as("method"), col("qid"), col("cid")) }
-        .reduce(_ unionAll _)
+      val rungs: Seq[(String, () => DataFrame)] = Seq(
+        "ann" -> (() => LlmQueries.queries("sim_search_ann").fn(s, d)),
+        "ann_b8x2" -> (() => LlmQueries.srpAnnTopK(s, d, 8, 2)),
+        "ivf" -> (() => LlmQueries.queries("sim_search_ivf").fn(s, d)),
+        "ivf_np8" -> (() => LlmQueries.ivfTopK(s, d, 8)),
+        "matryoshka" -> (() => simSearchMatryoshka.fn(s, d)),
+        "pq_adc" -> (() => LlmQueries.queries("sim_search_pq_adc").fn(s, d)),
+        "pq_k256" -> (() => CurateQueries.pqAdcTopKFor(s, d, 4, 16, 256)),
+        "ivfpq" -> (() =>
+          CurateQueries.queries("sim_search_ivfpq_indexed").fn(s, d)),
+        "pq_res" -> (() => CurateQueries.ivfPqResidualTopK(s, d)),
+        "pq_res256" -> (() => CurateQueries.ivfPqResidualTopK(s, d, 4, 16, 256)))
+      // The ten rungs are mutually independent serving queries (disjoint
+      // or memo-guarded index builds; every shared sub-frame sits behind
+      // a keyed/once cache), so each top-k frame — ≤ queries × topK rows
+      // — is materialized on a sibling thread (Core.inParallel, guide
+      // §2.6): the report pays max(rung) + the grid joins instead of
+      // Σ(rung). checkpointFresh per rung also severs the 10 corpus-scan
+      // subtrees from the final grid plan, which the optimizer
+      // re-planned as one 10-branch union.
+      val rungTop = new Array[DataFrame](rungs.size)
+      engine.Core.inParallel(rungs.zipWithIndex.map { case ((m, f), i) =>
+        () => rungTop(i) = engine.Core.checkpointFresh(
+          f().select(lit(m).as("method"), col("qid"), col("cid")))
+      }: _*)
+      val hits = rungTop.reduce(_ unionAll _)
         .join(brute, Seq("qid", "cid"), "left")
         .groupBy(col("method"), col("qid"))
         .agg(count(col("hit")).as("h"))
@@ -2637,6 +2649,11 @@ object SearchQueries {
       ORDER BY g.method, g.qid"""
     })
 
+  /** Session memo for [[streamBm25Probe]]'s offline index: store root →
+    * the corpus fingerprint its current version was built from. */
+  private val bm25ProbeIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // ------------------------------------------- B53g stream_bm25_probe
   /** B53g: ONLINE lexical retrieval — the [[streamAnnProbe]] twin for
     * the keyword modality, completing serving-time hybrid retrieval: an
@@ -2660,19 +2677,28 @@ object SearchQueries {
     (s, d) => {
       val QMax = 40
       val san = d.replaceAll("[^a-zA-Z0-9]", "_")
-      // ---- offline index build (once; replace-on-rebuild state)
+      // ---- offline index build (once; replace-on-rebuild state).
+      // SESSION-memoized like ivfBuildIndex: the op's semantics is a
+      // nightly index job + a query stream, but each call committed a
+      // fresh version — a full posting-table rewrite per bench run.
+      // In-memory and fingerprint-keyed, so a new process always
+      // rebuilds from the parquet inputs.
       val idxRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_bm25_index_$san")
-      val posts = bm25Postings(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
-      val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val glob = posts.groupBy(col("doc_id"))
-        .agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val id = engine.stream.VersionedTable.currentDir(idxRoot)
-        .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
-      engine.stream.VersionedTable.commitDir(idxRoot, id) { dir =>
-        posts.write.parquet(new java.io.File(dir, "postings").getPath)
-        dfs.write.parquet(new java.io.File(dir, "dfs").getPath)
-        glob.write.parquet(new java.io.File(dir, "stats").getPath)
+      val idxFp = s"$d#${engine.Core.srcFingerprint(d, "documents")}"
+      if (bm25ProbeIndexCache.get(idxRoot.getPath) != idxFp) {
+        val posts = bm25Postings(docs(s, d), Some(engine.Core.fpKey("bm25posts", d, "documents")))
+        val dfs = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val glob = posts.groupBy(col("doc_id"))
+          .agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val id = engine.stream.VersionedTable.currentDir(idxRoot)
+          .map(_.getName.stripPrefix("v").toLong + 1).getOrElse(0L)
+        engine.stream.VersionedTable.commitDir(idxRoot, id) { dir =>
+          posts.write.parquet(new java.io.File(dir, "postings").getPath)
+          dfs.write.parquet(new java.io.File(dir, "dfs").getPath)
+          glob.write.parquet(new java.io.File(dir, "stats").getPath)
+        }
+        bm25ProbeIndexCache.put(idxRoot.getPath, idxFp): Unit
       }
       // ---- probe: pure function of (query batch, static index)
       val resRoot = new java.io.File(s"${engine.Core.scratchRoot}/graft_bm25probe_res_$san")
