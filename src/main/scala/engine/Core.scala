@@ -260,6 +260,50 @@ object Core {
     if (!errs.isEmpty) throw errs.peek()
   }
 
+  /** [[inParallel]] gated to at most `maxConc` bodies RUNNING at once.
+    * For fan-outs whose cold path is heavyweight (each body may train a
+    * model / build an index before its cheap serve): unbounded fan-out
+    * turns N one-time builds into N concurrent memory peaks + driver
+    * contention (r21: ann_recall_report's 10 rungs at full width took
+    * 117 s cold in the bench's heap state vs ~18 s serial), while the
+    * WARM wins the fan-out exists for need only a few lanes. Threads
+    * still spawn eagerly (inheriting the caller's job group); the
+    * semaphore bounds concurrency, not creation. */
+  def inParallelBounded(maxConc: Int)(bodies: (() => Unit)*): Unit = {
+    val sem = new java.util.concurrent.Semaphore(maxConc)
+    inParallel(bodies.map(b => () => {
+      sem.acquire()
+      try b() finally sem.release()
+    }): _*)
+  }
+
+  /** PROBE-ONLY work counters (r20 verdict item 2): the scaleprobe's
+    * replica-physics adjudication ("the candidate-pair set itself grows
+    * ~scale² per clique — result-set growth, not a plan regression")
+    * must be a NUMBER in the artifact, not a flag-note narrative. When
+    * `spark.graft.probe.counters=true` (set ONLY by ScaleProbe — the
+    * bench and oracle paths never pay this), instrumented ops count
+    * their internal candidate/edge frames here; ScaleProbe drains the
+    * registry per op into the artifact. The count() is an extra job
+    * over a frame the op already built — probe-only cost by the conf
+    * gate. */
+  private val probeCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def probeCountersEnabled(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.probe.counters", "false") == "true"
+  def probeCount(s: SparkSession, key: String)(df: => DataFrame): Unit =
+    if (probeCountersEnabled(s))
+      probeCounters.merge(key, df.count(), (a, b) => a + b): Unit
+  def probeCountAdd(s: SparkSession, key: String, n: => Long): Unit =
+    if (probeCountersEnabled(s))
+      probeCounters.merge(key, n, (a, b) => a + b): Unit
+  def drainProbeCounters(): Map[String, Long] = {
+    val snap = scala.jdk.CollectionConverters
+      .MapHasAsScala(probeCounters).asScala.toMap
+    probeCounters.clear()
+    snap
+  }
+
   /** Register a scratch dir for deletion when the owning SparkSession's
     * context stops. For run-UUID-scoped state dirs whose RESULT frame is
     * lazy (a parquet scan of the dir): the dir can't be destroyed inside
@@ -341,7 +385,9 @@ object Core {
   * session — persist lifetime is one query, not one SparkSession. */
 object ScratchCache {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  private val keyed = scala.collection.mutable.HashMap.empty[String, DataFrame]
+  // insertion/access-ordered: head = coldest, for the cap eviction below
+  private val keyed =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(); frames += p; p
   }
@@ -353,9 +399,68 @@ object ScratchCache {
     * pipeline materializes a signature table once and feeds every
     * downstream dedup stage from it. Exempt from [[drain]] (lifetime =
     * session); the frames are id+hash tables, orders of magnitude
-    * smaller than their source text. */
-  def persistKeyed(key: String)(df: => DataFrame): DataFrame = synchronized {
-    keyed.getOrElseUpdate(key, { builtLog += key; df.persist() })
+    * smaller than their source text.
+    *
+    * BOUNDED (r20 verdict item 7): the registry is a size-accounted LRU.
+    * A long-lived session touching many corpora would otherwise grow
+    * storage memory monotonically (one PQ code table is ~25 MB per
+    * operating point) until the block manager starts evicting blocks
+    * IMPLICITLY — the exact disk-store pathology lesson 22 measured.
+    * When the session's total cached-block footprint exceeds
+    * `spark.graft.keyed.capBytes` (default 8 GiB), the coldest keyed
+    * frames are unpersisted explicitly (newest always survives); a later
+    * request for an evicted key re-derives it from the parquet inputs. */
+  /** Per-key build monitors: the frame BUILD (the by-name `df`, which
+    * may run whole Spark jobs — index training, ground-truth scans)
+    * must not run under the registry's global lock. Holding the global
+    * monitor across a multi-second build convoys every other
+    * persistKeyed caller behind it (r21: ann_recall_report's parallel
+    * rungs collapsed to serial-plus-contention on the cold path), and
+    * nests the global lock inside builder-owned locks — a cross-lock
+    * cycle waiting to happen. Same-key callers still serialize (one
+    * build, everyone else reuses); different keys build concurrently. */
+  private val keyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def persistKeyed(key: String)(df: => DataFrame): DataFrame =
+    keyMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      val hit = this.synchronized {
+        val h = keyed.remove(key)
+        h.foreach(f => keyed.put(key, f)) // bump to most-recently-used
+        h
+      }
+      hit.getOrElse {
+        val p = df.persist() // build OUTSIDE the global lock
+        this.synchronized {
+          builtLog += key
+          keyed.put(key, p): Unit
+          evictOverCap(p.sparkSession)
+        }
+        p
+      }
+    }
+  /** BOUNDED registry (r20 verdict item 7): when the session's total
+    * cached-block footprint exceeds `spark.graft.keyed.capBytes`
+    * (default 8 GiB), unpersist the coldest keyed frames (newest always
+    * survives); a later request for an evicted key re-derives it from
+    * the parquet inputs. Without the cap a long-lived session touching
+    * many corpora grows storage memory monotonically (one PQ code table
+    * is ~25 MB per operating point) until the block manager evicts
+    * blocks IMPLICITLY — the disk-store pathology lesson 22 measured.
+    * The footprint is measured across ALL cached blocks (keyed frames,
+    * intra-query persists, live localCheckpoints): the cap protects the
+    * session's storage memory as a whole, and the keyed registry is the
+    * only pool with session lifetime to shed from. Caller must hold the
+    * global lock. */
+  private def evictOverCap(s: SparkSession): Unit = {
+    val cap = s.conf.get("spark.graft.keyed.capBytes",
+      (8L << 30).toString).toLong
+    def used() = s.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    while (keyed.size > 1 && used() > cap) {
+      val (k, f) = keyed.head // coldest
+      keyed.remove(k): Unit
+      f.unpersist(blocking = true): Unit
+    }
   }
   /** Keys first REGISTERED (hence first materialized, and paid for)
     * since the last call — the bench drains this per timing window to

@@ -882,53 +882,76 @@ object LlmQueries {
     * job's checkpoint dir; same shape.) */
   def clusterPairs(pairsDf: DataFrame): DataFrame = {
     val spark = pairsDf.sparkSession
-    // the loop's frames are (id, label) pairs a few thousand rows long;
-    // 32-way exchanges would pay 4x the task-scheduling overhead of the
-    // data's actual width per round. Scoped to the EAGER loop below —
-    // the returned frame plans lazily under the caller's setting. (On a
-    // real cluster this is the iteration-job conf, sized to edge count.)
-    val shufKey = "spark.sql.shuffle.partitions"
-    val shufPrev = spark.conf.get(shufKey)
-    try {
-      spark.conf.set(shufKey, "8")
-      val pairs = pairsDf.toDF("da", "db").localCheckpoint()
-      // symmetric edge list: propagation must flow both ways. Hash-
-      // partitioned on v BEFORE its checkpoint (localCheckpoint preserves
-      // partitioning into the LogicalRDD): every round joins edges on v,
-      // and an unpartitioned checkpoint re-shuffles the whole edge list
-      // once per round — the static frame should shuffle ONCE, ever.
-      val edges = pairs.union(pairs.select(col("db"), col("da"))).toDF("v", "u")
-        .repartition(col("v")).localCheckpoint()
-      // seed = least(self, min neighbor): folds the first propagation
-      // round into initialization (the alternative `distinct()` seed
-      // costs the same shuffle and still labels everything with itself);
-      // near-clique components — the near-dup common case — then
-      // converge in ONE checked round
-      var labels = edges.groupBy(col("v"))
-        .agg(least(col("v"), min(col("u"))).as("l")).localCheckpoint()
-      var moved = 1L; var rounds = 0
-      while (moved > 0 && rounds < 25) {
-        val viaEdge = edges.join(labels, "v").select(col("u").as("v"), col("l"))
-        val viaHop = labels.toDF("w", "wl")
-          .join(labels.toDF("x", "xl"), col("wl") === col("x"))
-          .select(col("w").as("v"), col("xl").as("l"))
-        // the old label rides the union as `ol` (non-null only on the
-        // self branch, min ignores nulls ⇒ ol = previous label), so the
-        // fixpoint test is a filter over THIS round's checkpointed
-        // output — not a second join job against the previous labels
-        val next = labels.select(col("v"), col("l"), col("l").as("ol"))
-          .union(viaEdge.withColumn("ol", lit(null).cast("long")))
-          .union(viaHop.withColumn("ol", lit(null).cast("long")))
-          .groupBy("v").agg(min(col("l")).as("l"), min(col("ol")).as("ol"))
-          .localCheckpoint()
-        moved = next.filter(col("l") < col("ol")).count()
-        labels = next.select(col("v"), col("l")); rounds += 1
-      }
-      val sz = labels.groupBy("l").agg(count(lit(1)).as("cluster_size"))
-      labels.join(sz, "l")
-        .select(col("v").as("doc_id"), col("l").as("rep_id"),
-          col("cluster_size"))
-    } finally spark.conf.set(shufKey, shufPrev)
+    import spark.implicits._
+    // The loop runs at the RDD level, not on DataFrames: each round is
+    // an equi-join + min-combine over (long, long) pairs, and the DF
+    // formulation paid ~10 driver-scheduled AQE stage jobs + a full
+    // Catalyst re-plan PER ROUND for frames a few thousand rows long —
+    // r21 JobTimer on cluster_dbscan: 90 serialized ~60 ms broadcast/
+    // stage futures for 233 total tasks, i.e. the loop's cost was
+    // planning, not data (guide §5: driver work is the scale-killer
+    // the executors can't hide). The RDD DAG plans in microseconds,
+    // keeps the same shuffle structure (edges hash-partitioned once,
+    // ever; per-round 16-byte label shuffles), and the per-row work is
+    // min() on longs — no per-row serialization-heavy closures. The
+    // partition count is the iteration-job conf (on a real cluster
+    // sized to edge count; pinned small here because the frames are
+    // id-pair scale).
+    val parts = spark.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt).getOrElse(8)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val pairs = pairsDf.select(
+      col(pairsDf.columns(0)).cast("long"),
+      col(pairsDf.columns(1)).cast("long")).as[(Long, Long)].rdd
+    // symmetric edge list: propagation must flow both ways. Hash-
+    // partitioned on v ONCE — every round joins edges on v against
+    // labels carrying the same partitioner, so the static frame never
+    // re-shuffles.
+    val edges = pairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist()
+    // seed = least(self, min neighbor): folds the first propagation
+    // round into initialization; near-clique components — the near-dup
+    // common case — then converge in ONE checked round
+    var labels = edges.reduceByKey(part, math.min(_: Long, _: Long))
+      .map { case (v, m) => (v, math.min(v, m)) }
+      .partitionBy(part).persist()
+    var prev: org.apache.spark.rdd.RDD[_] = labels
+    var moved = 1L; var rounds = 0
+    while (moved > 0 && rounds < 25) {
+      // (v,u) ⋈ (v,l) → neighbor propagation (u, l(v)); the join is
+      // narrow (both sides co-partitioned on v)
+      val viaEdge = edges.join(labels).map { case (_, (u, l)) => (u, l) }
+      // pointer-halving hop: (w, l(w)) keyed by l(w) ⋈ (x, l(x)) on
+      // l(w) = x → (w, l(l(w)))
+      val viaHop = labels.map { case (w, wl) => (wl, w) }.join(labels)
+        .map { case (_, (w, xl)) => (w, xl) }
+      // the old label rides the combine as the tuple's second slot
+      // (MaxValue on the propagate branches, so min() recovers the
+      // previous label from the self branch) — the fixpoint test is a
+      // filter over THIS round's persisted output, not a second join
+      val next = labels.map { case (v, l) => (v, (l, l)) }
+        .union(viaEdge.map { case (v, l) => (v, (l, Long.MaxValue)) })
+        .union(viaHop.map { case (v, l) => (v, (l, Long.MaxValue)) })
+        .reduceByKey(part, (a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+        .persist()
+      moved = next.filter { case (_, (l, ol)) => l < ol }.count()
+      prev.unpersist(blocking = false): Unit
+      prev = next
+      labels = next.mapValues(_._1) // partitioner-preserving
+      rounds += 1
+    }
+    val sz = labels.map { case (_, l) => (l, 1L) }.reduceByKey(part, _ + _)
+    val out = labels.map { case (v, l) => (l, v) }.join(sz)
+      .map { case (l, (v, n)) => (v, l, n) }
+    // materialize + truncate lineage before releasing the loop's
+    // persisted blocks — the returned frame must replay rows, not the
+    // whole round history (the DF version's localCheckpoint discipline)
+    val ck = out.localCheckpoint()
+    ck.count(): Unit
+    edges.unpersist(blocking = false)
+    prev.unpersist(blocking = false)
+    ck.toDF("doc_id", "rep_id", "cluster_size")
   }
 
   private val dedupClusters = Q(
@@ -1280,13 +1303,17 @@ object LlmQueries {
   private val clusterDbscan = Q(
     (s, d) => {
       // every frame past the pair screen is a few thousand integer
-      // rows — 32-way exchanges pay pure task-scheduling overhead, the
-      // clusterPairs rationale (on a cluster this is the epsilon-graph
-      // job conf, sized to edge count)
-      val shufKey = "spark.sql.shuffle.partitions"
-      val shufPrev = s.conf.get(shufKey)
-      try {
-        s.conf.set(shufKey, "8")
+      // rows — 32-way exchanges pay pure task-scheduling overhead, and
+      // AQE materializes each of the body's ~10 exchanges as its own
+      // serialized stage job (r21 JobTimer: 32 × ~70 ms futures for 2.3
+      // of 3.9 warm seconds). Same trade as the capstones' trigger
+      // bodies, so the same wrapper: 8-wide exchanges, AQE off,
+      // materialized eagerly inside the scope (checkpointFresh) so the
+      // caller's action replays rows under whatever confs the session
+      // restores to. A/B at sf0.1: 3.9 → 3.4 s warm, byte-identical.
+      // (On a cluster this is the epsilon-graph job conf, sized to edge
+      // count.)
+      engine.stream.StreamQueries.withMicroBatchConfs(s) {
         // edges and core are each consumed by several downstream
         // branches (degrees, core-core pairs, border assignment) —
         // materialize ONCE or each branch re-runs the band-join verify
@@ -1294,6 +1321,13 @@ object LlmQueries {
           .select(col("va").as("v"), col("vb").as("u"))
         val edges = prs.unionByName(prs.select(col("u").as("v"), col("v").as("u")))
           .repartition(col("v")).localCheckpoint()
+        // probe-only ε-graph counters (r20 verdict item 2): the
+        // scaleprobe's "edges-per-point stays ~scale" adjudication as
+        // measured numbers — counts over the just-checkpointed frame,
+        // never paid by bench/oracle paths
+        engine.Core.probeCount(s, "epsilon_edges")(edges)
+        engine.Core.probeCount(s, "epsilon_points")(
+          edges.select(col("v")).distinct())
         val core = edges.groupBy(col("v")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= DbscanMinPts).select(col("v"))
           .localCheckpoint()
@@ -1316,13 +1350,14 @@ object LlmQueries {
           .unionByName(border
             .select(col("v"), lit("border").as("role"), col("cluster")))
           .withColumnRenamed("v", "vec_id")
-        unitCorpus(s, d).select(col("vec_id"))
-          .join(lbl, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("role"), lit("noise")).as("role"),
-            coalesce(col("cluster"), lit(-1L)).as("cluster"))
-          .orderBy("vec_id")
-      } finally s.conf.set(shufKey, shufPrev)
+        engine.Core.checkpointFresh(
+          unitCorpus(s, d).select(col("vec_id"))
+            .join(lbl, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("role"), lit("noise")).as("role"),
+              coalesce(col("cluster"), lit(-1L)).as("cluster"))
+            .orderBy("vec_id"))
+      }
     },
     Some(unitSql.replaceFirst("^WITH ", "WITH RECURSIVE ") + srpSqlCtes + s""",
       cand AS (SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi

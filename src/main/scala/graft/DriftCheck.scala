@@ -64,6 +64,28 @@ object DriftCheck {
         .map(p => (q, p, c, c / p))
     }.sortBy(-_._4)
 
+  /** Isolated-triple adjudication (r20 verdict item 3): a flag's
+    * disposition must be machine-readable IN the artifact, not a
+    * SURVEY paragraph. [[Bench]] re-runs every flagged op three times
+    * (each isolated: blocking cache drain + GC first) and this decides:
+    * the flag is CLEARED — environmental, not a plan regression — when
+    * the triple's median lands back inside the band (median ≤ prev ×
+    * [[DriftBand]]) or under the [[AbsFloorSec]] jitter floor (the
+    * gate's own "can't meaningfully drift" rule). Returns
+    * (median, cleared); median −1 when every re-run crashed (never
+    * cleared). Median, not min: a single lucky fast run must not clear
+    * a real regression, and a single loaded run must not sustain a
+    * false flag — the lesson-9 protocol the r20 retention_cohorts flag
+    * was hand-cleared by. */
+  def adjudicate(prevSec: Double, isolated: Seq[Double])
+      : (Double, Boolean) = {
+    val valid = isolated.filter(_ >= 0).sorted
+    val med = if (valid.isEmpty) -1.0 else valid(valid.size / 2)
+    val cleared = med >= 0 &&
+      (med <= AbsFloorSec || (prevSec > 0 && med / prevSec <= DriftBand))
+    (med, cleared)
+  }
+
   /** Per-op (sec, us_per_row) from a committed scaleprobe artifact
     * (r17 verdict item 3). Same tolerant flat-regex discipline as
     * [[readQueries]] — the file is machine-written by ScaleProbe. */

@@ -125,10 +125,19 @@ object ScaleProbe {
         // tokenize_decode stays on the 100× roster by name: it carried
         // the r19 superlinear flag (fixed r20 — the narrow-posting-path
         // rewrite), and the clean ratio must remain a MEASURED artifact
-        // even now that the op is fast enough to fall out of the top-8
+        // even now that the op is fast enough to fall out of the top-8.
+        // r21 (r20 verdict item 8): the frontier roster is no longer
+        // extrapolated from the batch-heavy top-8 — the streaming
+        // capstone stateful ops and one op per LLM family ride by name
+        // (stream_stateful_merge, stream_scd2_apply; dedup's
+        // dedup_embedding_banded, sim-search's sim_search_ivfpq_indexed,
+        // curation's pack_sequences)
         withProxies(tenProbe.toSeq.sortBy(-_._2).take(8).map(_._1) ++
           Seq("decontaminate_incremental", "dedup_edit_distance",
-            "dedup_ngram_jaccard", "tokenize_decode"))
+            "dedup_ngram_jaccard", "tokenize_decode",
+            "stream_stateful_merge", "stream_scd2_apply",
+            "dedup_embedding_banded", "sim_search_ivfpq_indexed",
+            "pack_sequences"))
       // frontier probe: the top-8 ops by committed 10× probe time —
       // the worst absolute trends are exactly where a super-linear
       // term shows first
@@ -141,13 +150,37 @@ object ScaleProbe {
     // the self-regression gate only runs at 10x (frontier runs are
     // flagged by ratio, not gated), so only read the prior artifact there
     val prev = if (scale == 10) readPrev(artifactPath(10)) else Map.empty[String, Double]
+    // ops whose replica-physics flags demand measured work counters
+    // (r20 verdict item 2): after the TIMED run — which stays
+    // counter-free so sec/us_per_row remain comparable to previous
+    // rounds' artifacts — the op replays once with
+    // spark.graft.probe.counters on, and the drained counters
+    // (candidate_pairs band collisions, epsilon edges/points) ride the
+    // artifact, so "the result set grows ~scale², not the plan" is a
+    // number, never a flag-note narrative
+    val counterOps = Set("pipeline_online", "pipeline_online_hybrid",
+      "cluster_dbscan")
     val results = ops.map { q =>
       val t0 = System.nanoTime()
       val c = Eval.rows(SparkEntry.queries(q)(spark, out))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"SCALE $q: $sec%.2f s ($c rows)")
       engine.ScratchCache.drain(); System.gc()
-      (q, sec, c)
+      val counters: Map[String, Long] = if (!counterOps(q)) Map.empty
+        else {
+          spark.conf.set("spark.graft.probe.counters", "true")
+          try {
+            engine.Core.drainProbeCounters(): Unit // pre-window noise
+            Eval.rows(SparkEntry.queries(q)(spark, out)): Unit
+            engine.Core.drainProbeCounters()
+          } finally {
+            spark.conf.set("spark.graft.probe.counters", "false")
+            engine.ScratchCache.drain(); System.gc()
+          }
+        }
+      counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        println(s"SCALE $q counter $k=$v") }
+      (q, sec, c, counters)
     }
     // r15 (r14 verdict item 5): the √N recipe's RECALL trade, measured
     // in-engine — within-cell kNN recall vs the exact corpus-wide top-k
@@ -207,7 +240,7 @@ object ScaleProbe {
         DriftCheck.readProbe(artifactPath(10))
       else Map.empty
     val usFlags = DriftCheck.checkProbe(prevProbeUs,
-      results.flatMap { case (q, sec, c) =>
+      results.flatMap { case (q, sec, c, _) =>
         if (c == 0) None else Some(q -> (sec, sec * 1e6 / c))
       }.toMap)
     usFlags.foreach { case (q, p, c, r) =>
@@ -218,9 +251,9 @@ object ScaleProbe {
     // 10.0, so the bare 30× constant would flag every perfectly-linear
     // op; deriving keeps the constant live instead of dead-and-stale
     val flagFactor = FrontierFactor * scale / 30.0
-    val rowsNow = results.map { case (q, _, c) => q -> c }.toMap
+    val rowsNow = results.map { case (q, _, c, _) => q -> c }.toMap
     val flagged = if (scale == 10) Nil
-      else results.flatMap { case (q, sec, c) =>
+      else results.flatMap { case (q, sec, c, _) =>
         // eval ops emit a 1-row metrics frame, so their own output
         // can't express their workload: dedup_eval's cost IS the two
         // pair tables it evaluates, which grow quadratically in replica
@@ -244,7 +277,7 @@ object ScaleProbe {
       }
     val thirty = readPrev(artifactPath(30))
     val thirtyRows = readPrevRows(artifactPath(30))
-    val json = results.map { case (q, sec, c) =>
+    val json = results.map { case (q, sec, c, cnt) =>
       val ratio = if (scale == 10) ""
         else tenProbe.get(q).map(t10 =>
           f""", "vs10x": ${sec / t10}%.2f""").getOrElse("")
@@ -270,7 +303,20 @@ object ScaleProbe {
             (if (scale != 100) "" else s"${vs("10x", tenProbe, tenRows)}${
               vs("30x", thirty, thirtyRows)}")
         }
-      f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio$perRow}"""
+      // measured work counters (r20 verdict item 2) from the untimed
+      // counter replay; edges_per_point derived when both ε-graph
+      // counters are present so the flag_notes' "edges-per-point stays
+      // ~scale" claim is directly readable
+      val counters = if (cnt.isEmpty) "" else {
+        val derived = (for {
+          e <- cnt.get("epsilon_edges"); p <- cnt.get("epsilon_points")
+          if p > 0
+        } yield f""", "edges_per_point": ${e.toDouble / p}%.2f""")
+          .getOrElse("")
+        cnt.toSeq.sorted.map { case (k, v) => s""""$k": $v""" }
+          .mkString(""", "counters": {""", ", ", s"$derived}")
+      }
+      f"""    "$q": {"sec": $sec%.2f, "rows": $c$ratio$perRow$counters}"""
     }.mkString(
       s"""{\n  "sf_base": "sf0.1", "scale": $scale,""" +
         s""" "flagged": [${flagged.map("\"" + _._1 + "\"").mkString(", ")}],""" +
@@ -314,7 +360,7 @@ object ScaleProbe {
       println(f"SCALE FRONTIER FLAG $q: ${r}%.1fx its 10x time (linear = ${scale / 10.0}%.1f)")
     }
     val regressions = if (scale != 10) Nil
-      else results.flatMap { case (q, sec, _) =>
+      else results.flatMap { case (q, sec, _, _) =>
         prev.get(q).filter(p => p > 0 && sec / p > RegressionFactor)
           .map(p => f"$q: ${p}%.2f -> $sec%.2f s (${sec / p}%.1fx)")
       }

@@ -98,6 +98,51 @@ class CoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("persistKeyed evicts coldest-first past the declared cap and " +
+      "re-derives on next read (r20 verdict item 7)") {
+    val spark = gps.TestSpark.spark
+    import spark.implicits._
+    val capKey = "spark.graft.keyed.capBytes"
+    val prev = spark.conf.getOption(capKey)
+    try {
+      // cap ABOVE any plausible test footprint first: both frames must
+      // coexist so the eviction below is attributable to the cap change
+      spark.conf.set(capKey, (64L << 30).toString)
+      ScratchCache.drainBuiltLog()
+      val a = ScratchCache.persistKeyed("corespec_lru_a")(
+        Seq(1, 2, 3).toDF("x"))
+      a.count() // materialize so the storage accounting sees its blocks
+      val b = ScratchCache.persistKeyed("corespec_lru_b")(
+        Seq(4, 5).toDF("x"))
+      b.count()
+      assert(ScratchCache.drainBuiltLog()
+        .count(_.startsWith("corespec_lru_")) == 2)
+      assert(a.storageLevel.useMemory && b.storageLevel.useMemory)
+      // a HIT never re-derives (the by-name builder must not run)
+      val b2 = ScratchCache.persistKeyed("corespec_lru_b")(
+        sys.error("hit must not re-derive"))
+      assert(b2.storageLevel.useMemory)
+      // 1-byte cap: the next INSERT must evict coldest-first — `a` then
+      // `b` (LRU order after the hit bump) go; the inserted key itself
+      // survives (the newest always does)
+      spark.conf.set(capKey, "1")
+      val c = ScratchCache.persistKeyed("corespec_lru_c")(
+        Seq(6).toDF("x"))
+      c.count()
+      assert(c.storageLevel.useMemory, "the newest entry must survive")
+      assert(!a.storageLevel.useMemory, "coldest entry must be evicted")
+      assert(!b.storageLevel.useMemory, "older entries evict before newest")
+      // an evicted key re-derives from its builder on the next read
+      spark.conf.set(capKey, (64L << 30).toString)
+      ScratchCache.drainBuiltLog()
+      ScratchCache.persistKeyed("corespec_lru_a")(Seq(9).toDF("x")): Unit
+      assert(ScratchCache.drainBuiltLog().contains("corespec_lru_a"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
+  }
+
   test("boundedCollect returns within-bound rows and throws past the " +
       "declared bound (r15 verdict item 8)") {
     val spark = gps.TestSpark.spark
